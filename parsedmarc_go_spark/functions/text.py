@@ -1,0 +1,87 @@
+"""Text-analysis column functions for the training-data pipeline:
+tokenization, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything here is built from JVM-side `pyspark.sql.functions` /
+higher-order-function expressions — no Python UDFs — so the whole layer
+stays inside whole-stage codegen and scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tokens that appear as function-word noise in the corpus; a production
+# deployment swaps in a per-language list.
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in")
+
+# crude marker-word table for the n-gram/keyword language-ID heuristic.
+# Order matters: first match wins, default 'en'.
+LANG_MARKERS: tuple[tuple[str, str], ...] = (
+    ("de", " der "),
+    ("de", " und "),
+    ("fr", " le "),
+    ("fr", " et "),
+    ("es", " el "),
+    ("es", " que "),
+    ("zh", "的"),
+)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lower-cased)."""
+    return F.split(F.lower(F.col(text) if isinstance(text, str) else text), " ")
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def regex_token_count(text_col: str) -> Column:
+    """BPE-ish sub-word-boundary token count: runs of letters, runs of
+    digits, or single non-alphanumeric marks."""
+    return F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+def stopword_hits(tokens_col: str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    quoted = ", ".join(f"'{s}'" for s in stopwords)
+    return F.expr(f"size(filter({tokens_col}, t -> t in ({quoted})))")
+
+
+def distinct_token_count(tokens_col: str) -> Column:
+    return F.size(F.array_distinct(F.col(tokens_col)))
+
+
+def quality_score(n_tokens_col: str, n_distinct_col: str, stop_hits_col: str) -> Column:
+    """Deterministic doc-quality heuristic in [0,1]:
+    length saturation + lexical diversity + (1 - stopword ratio).
+    Plain per-row IEEE double math — identical on any engine."""
+    nt = F.col(n_tokens_col).cast("double")
+    len_score = F.least(nt / F.lit(80.0), F.lit(1.0))
+    diversity = F.col(n_distinct_col).cast("double") / nt
+    stop_ratio = F.col(stop_hits_col).cast("double") / nt
+    return F.lit(0.4) * len_score + F.lit(0.4) * diversity + F.lit(0.2) * (F.lit(1.0) - stop_ratio)
+
+
+def lang_id(text_col: str) -> Column:
+    """Marker-word language-ID heuristic (first match wins, default en).
+    Mirrors the contains-chain bucketing idiom the reference uses for
+    delivery_result (parser.go:1654-1667)."""
+    expr = None
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    for lang, marker in LANG_MARKERS:
+        cond = padded.contains(marker)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise("en")
+
+
+def normalized_text(text_col: str) -> Column:
+    """Whitespace-collapse + trim + lowercase — the canonical form used
+    for fingerprinting and exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+
+def fingerprint16(col: Column) -> Column:
+    """16-hex-char content fingerprint (sha256 prefix) — the same idiom
+    the reference uses for forensic ids (output.go:872-875)."""
+    return F.substring(F.sha2(col, 256), 1, 16)

@@ -1,0 +1,211 @@
+"""Deduplication operators for large-scale corpora:
+
+- exact dedup (hash group-by on a normalized fingerprint),
+- exact n-gram Jaccard pairs (shingle inverted-index self-join),
+- MinHash + LSH banding (the 100 TB-scale near-dup path),
+- SimHash with banded Hamming blocking.
+
+All of it is DataFrame-native (higher-order functions + hash joins) —
+no Python UDFs, no driver-side loops. The LSH variants keep the shuffle
+keyed on (band, signature) buckets, so work scales with the number of
+*colliding* documents, not with |docs|² — the property that makes
+near-dedup feasible at 100 TB where the exact inverted-index join is
+only feasible per-block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parsedmarc_go_spark.functions.text import normalized_text
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (lower-cased).
+
+    `sequence(a, b)` in Spark generates a *descending* range when a > b,
+    so short docs are guarded explicitly."""
+    toks = f"split(lower({text_col}), ' ')"
+    shingle_expr = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))) "
+        f"ELSE array() END"
+    )
+    return df.withColumn(out, F.expr(shingle_expr))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one output row per
+    distinct content, keeping the smallest id as the representative.
+    Single hash-aggregate with map-side partial agg; the group key is the
+    (short) normalized text, so the shuffle payload stays bounded."""
+    return (
+        df.select(F.col(id_col), normalized_text(text_col).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _shingle_index(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> DataFrame:
+    """(doc_id, shingle) inverted index, distinct per doc."""
+    return with_shingles(docs, "text", shingle_df_n).select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
+    )
+
+
+def _pairs_with_jaccard(index: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing shingles. If `candidates`
+    (doc_a, doc_b) is given, only those pairs are scored (LSH verify
+    step); otherwise all co-shingled pairs are scored (exact mode)."""
+    sizes = index.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = index.select(F.col("doc").alias("doc_a"), "shingle")
+    b = index.select(F.col("doc").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(candidates, ["doc_a", "doc_b"], "inner")
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    Cost is Σ freq(shingle)² — fine per-block / at test SF; at 100 TB use
+    minhash_lsh_pairs (same output contract) instead."""
+    index = _shingle_index(docs, id_col, n)
+    return _pairs_with_jaccard(index).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified with exact Jaccard.
+
+    shingle → K minhashes (xxhash64 with per-permutation salt, one
+    hash-aggregate) → `bands` banded signatures → bucket self-join →
+    candidate pairs → exact-Jaccard verify. With K=32, b=16, r=2 the
+    S-curve catches j≥0.7 with P ≈ 1 - (1-j²)^16 ≈ 1 - 2e-5, while
+    keeping bucket collisions (and thus the join fan-out) sparse.
+    """
+    rows = num_hashes // bands
+    index = _shingle_index(docs, id_col, n)
+    mins = index.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(f"mh{k}"), F.col("shingle"))).alias(f"mh_{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = mins.select("doc", F.explode(band_structs).alias("bs")).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    left = buckets.select(F.col("doc").alias("doc_a"), "band", "sig")
+    right = buckets.select(F.col("doc").alias("doc_b"), "band", "sig")
+    candidates = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pairs_with_jaccard(index, candidates).filter(F.col("jaccard") >= threshold)
+
+
+def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, ±1 bit voting,
+    sign → bit. Bit votes are integer sums (order-independent), built
+    entirely from higher-order expressions."""
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"))
+        .select(id_col, F.xxhash64("tok").alias("h"))
+    )
+    hashes = toks.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
+    votes = (
+        "transform(sequence(0, 63), j -> "
+        "aggregate(hs, 0, (acc, h) -> acc + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END))"
+    )
+    simhash = (
+        f"aggregate(sequence(0, 63), 0L, "
+        f"(acc, j) -> acc + CASE WHEN element_at(votes, j + 1) > 0 THEN shiftleft(1L, j) ELSE 0L END)"
+    )
+    return (
+        hashes.withColumn("votes", F.expr(votes))
+        .withColumn("simhash", F.expr(simhash))
+        .drop("hs", "votes")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit bands (a pair within
+    Hamming ≤ bands-1 of 64 bits must agree on ≥1 of 4 bands — pigeonhole
+    guarantees recall for distance < bands), then verify with
+    bit_count(xor)."""
+    width = 64 // bands
+    sh = with_simhash(docs, id_col, text_col)
+    banded = sh.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    left = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "val")
+    right = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "val")
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (`array<float>`):
+
+- brute-force cosine top-k (the correctness baseline),
+- IVF-style probed search (coarse centroids → search nearest cells),
+- cosine near-dup pairs blocked on a partition column.
+
+Dot products / norms are higher-order-function expressions over the
+embedding arrays (JVM-side, codegen'd) — no Python in the hot path.
+At cluster scale, brute-force top-k is one broadcast of the query
+vector + a map-side partial TakeOrdered; IVF cuts the scanned fraction
+to nprobe/ncells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: str, out: str = "v") -> Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))").alias(out)
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(f"aggregate({a}, 0D, (acc, x) -> acc + x * x)"))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of `vectors` against a single-row `query`
+    DataFrame (column `q`). The query side is broadcast; the plan is a
+    single scan + TakeOrderedAndProject — no shuffle of the corpus.
+    Cosine is rounded to 4 decimals with an id tie-break so the k-th
+    boundary is deterministic."""
+    scored = (
+        vectors.select(id_col, "label", as_double_vec(vec_col))
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            "label",
+            F.round(cosine("v", "q"), 4).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def query_vector(vectors: DataFrame, vec_id: int, vec_col: str = "embedding") -> DataFrame:
+    return vectors.filter(F.col("vec_id") == vec_id).select(
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q")
+    )
+
+
+def ivf_centroids(vectors: DataFrame, cell_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Element-wise mean vector per cell (coarse quantizer). posexplode →
+    (cell, dim) partial-agg mean → re-assemble ordered array."""
+    return (
+        vectors.select(cell_col, F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy(cell_col, "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select(cell_col, F.expr("transform(dm, s -> s.m)").alias("centroid"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probed ANN: rank cells by centroid cosine to the query, scan
+    only the nprobe nearest cells, exact top-k within them. The centroid
+    table is tiny (ncells rows) and broadcast; the corpus scan is pruned
+    by a broadcast semi-join on the probed cells — at scale, with the
+    corpus bucketed/partitioned by cell, that prune is partition pruning."""
+    cents = ivf_centroids(vectors, cell_col, vec_col)
+    probed = (
+        cents.crossJoin(F.broadcast(query))
+        .select(cell_col, F.round(cosine("centroid", "q"), 4).alias("c_sim"))
+        .orderBy(F.desc("c_sim"), F.asc(cell_col))
+        .limit(nprobe)
+        .select(cell_col)
+    )
+    pruned = vectors.join(F.broadcast(probed), cell_col, "inner")
+    return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks. The
+    equi-join on the block column keeps the pair space |block|² instead
+    of |corpus|² — the blocking key at scale is an LSH bucket or IVF
+    cell rather than a label."""
+    e = vectors.select(
+        F.col(id_col), F.col(block_col).alias("block"), as_double_vec(vec_col)
+    )
+    a = e.select(F.col(id_col).alias("vec_a"), "block", F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("vec_b"), "block", F.col("v").alias("vb"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("block", "vec_a", "vec_b", F.round(cosine("va", "vb"), 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

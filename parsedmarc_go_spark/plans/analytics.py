@@ -1,0 +1,671 @@
+"""The dashboard analytics workload (SURVEY §2.4-2.7, A1-A17 / F9-F12 /
+J1-J3 / sorts) re-expressed over the driver's synthetic tables.
+
+Each query mirrors a reference query shape, cited by SURVEY id and the
+ClickHouse SQL that ships in the reference's Grafana dashboards/docs
+(`grafana/clickhouse/dashboard-*.json`, `docs/grafana.md`,
+`docs/clickhouse.md`). The `events` table stands in for
+`dmarc_aggregate_records` (ts→begin_date, user_id→source, value→count,
+event_type→disposition); `lineitem ⋈ orders` stands in for the
+records ⋈ reports parent-child join (J1).
+
+Scale notes (100 TB posture):
+
+- every aggregation is a single hash-aggregate with map-side partial
+  aggregation — no row ever leaves the JVM;
+- top-k plans compile to TakeOrderedAndProject (no global sort);
+- J1 broadcasts the parent/dim side explicitly; J3 (the only non-equi
+  join) broadcasts a constant 3-row bracket dim;
+- time filters are sargable parquet pushdown predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parsedmarc_go_spark.plans.registry import query
+from parsedmarc_go_spark.tables import AS_OF, load
+
+# exact, order-independent sum of a 2-decimal double column (see
+# registry docstring); the cast back to double keeps schemas simple.
+def _dsum(col, alias):
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _dsum_if(cond, col, alias):
+    return (
+        F.sum(F.when(cond, F.col(col).cast("decimal(18,2)")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — time-bucketed sum. Ref: overview panel 0,
+# `SELECT toDate(begin_date) d, sum(count) FROM dmarc_aggregate_records
+#  GROUP BY d ORDER BY d` (dashboard-dmarc-overview.json).
+@query(
+    "a1_daily_volume",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def a1_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+        .orderBy("d")
+    )
+
+
+# A2 — global scalar sum over a relative time window. Ref: overview
+# panel 1 `SELECT sum(count) FROM … WHERE begin_date >= now() - 7 day`;
+# the now() anchor is injected as AS_OF (SURVEY §7 hard part 5).
+@query(
+    "a2_scalar_sum_7d",
+    oracle=f"""
+    SELECT COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{AS_OF}' - INTERVAL 7 DAY AND ts < TIMESTAMP '{AS_OF}'
+    """,
+)
+def a2_scalar_sum_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.expr(f"TIMESTAMP '{AS_OF}' - INTERVAL 7 DAY")
+    return (
+        load(spark, sf_dir, "events")
+        .filter((F.col("ts") >= lo) & (F.col("ts") < F.expr(f"TIMESTAMP '{AS_OF}'")))
+        .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+    )
+
+
+# A3 — conditional sum (ClickHouse sumIf). Ref: overview panel 2,
+# `sumIf(count, dmarc_aligned = 1)` (docs/grafana.md:178-185).
+@query(
+    "a3_conditional_sum",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def a3_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        _dsum_if(F.col("event_type") == "purchase", "value", "purchase_value"),
+        _dsum("value", "total_value"),
+    )
+
+
+# A4 — ratio-of-aggregates + round: the flagship "DMARC compliance rate".
+# Ref: overview panel 2 `round(sumIf(count, dmarc_aligned=1) * 100.0 /
+# sum(count), 2)` (docs/grafana.md:178-185).
+@query(
+    "a4_compliance_rate",
+    oracle="""
+    WITH s AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d,
+             CAST(SUM(CASE WHEN event_type IN ('purchase','signup')
+                           THEN CAST(value AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS aligned_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT d, aligned_value, total_value,
+           ROUND(aligned_value * 100.0 / total_value, 2) AS compliance_rate
+    FROM s ORDER BY d
+    """,
+)
+def a4_compliance_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        _dsum_if(F.col("event_type").isin("purchase", "signup"), "value", "aligned_value"),
+        _dsum("value", "total_value"),
+    )
+    return s.select(
+        "d",
+        "aligned_value",
+        "total_value",
+        F.round(F.col("aligned_value") * 100.0 / F.col("total_value"), 2).alias("compliance_rate"),
+    ).orderBy("d")
+
+
+# A5 — CASE-bucketed group-agg. Ref: overview panel 3
+# `CASE WHEN dmarc_aligned = 1 THEN 'Pass' ELSE 'Fail' END AS status`.
+@query(
+    "a5_case_bucket",
+    oracle="""
+    SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'Pass' ELSE 'Fail' END AS status,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def a5_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    status = F.when(F.col("event_type").isin("purchase", "signup"), "Pass").otherwise("Fail")
+    return ev.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n_events"), _dsum("value", "total_value")
+    )
+
+
+# A6 — group-by-category. Ref: overview panel 4
+# `disposition, sum(count) GROUP BY disposition ORDER BY messages DESC`.
+@query(
+    "a6_group_by_category",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY total_value DESC
+    """,
+)
+def a6_group_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+        .orderBy(F.desc("total_value"))
+    )
+
+
+# A7 — top-k by aggregate (TakeOrderedAndProject, no global sort).
+# Ref: overview panel 5 `GROUP BY source_country ORDER BY messages DESC
+# LIMIT 10`. user_id tie-break makes the k-boundary deterministic.
+@query(
+    "a7_topk_users",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+)
+def a7_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# A8 — plain grouped row count. Ref: forensic panels 0/1/4.
+@query(
+    "a8_grouped_count",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1",
+)
+def a8_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+# A9 — distinct counts. ClickHouse `uniq()` is approximate (HLL); the
+# declared oracle pair uses the exact form (SURVEY §5.2), the production
+# approximate variant is a9_distinct_approx below.
+@query(
+    "a9_distinct_exact",
+    oracle="SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users FROM events GROUP BY 1",
+)
+def a9_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("uniq_users"))
+    )
+
+
+# A9 (production default) — approx_count_distinct ≈ ClickHouse uniq().
+# No oracle: HLL++ estimates differ engine-to-engine by construction.
+@query("a9_distinct_approx")
+def a9_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("uniq_users_approx"))
+    )
+
+
+# A10 — distinct-collect (ClickHouse groupArray(DISTINCT …), forensic
+# panel 8). Set order is undefined → sort + join to string for a stable
+# value-hash.
+@query(
+    "a10_collect_distinct",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
+    FROM events GROUP BY 1
+    """,
+)
+def a10_collect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"))
+    )
+
+
+# A11 — max-in-group (last seen). Ref: forensic panel 9 `max(arrival_date)`.
+@query(
+    "a11_last_seen",
+    oracle="SELECT user_id, MAX(ts) AS last_ts, MIN(ts) AS first_ts FROM events GROUP BY 1",
+)
+def a11_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"), F.min("ts").alias("first_ts"))
+    )
+
+
+# A12 — multi-way conditional bucket by day (ClickHouse multiIf,
+# docs/grafana.md:284-301 "DKIM/SPF failure breakdown").
+@query(
+    "a12_multiif_buckets",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS d,
+           CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 'returned_finished'
+                WHEN l_returnflag = 'R' THEN 'returned_open'
+                WHEN l_linestatus = 'F' THEN 'kept_finished'
+                ELSE 'kept_open' END AS bucket,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def a12_multiif_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"), "returned_finished")
+        .when(F.col("l_returnflag") == "R", "returned_open")
+        .when(F.col("l_linestatus") == "F", "kept_finished")
+        .otherwise("kept_open")
+    )
+    return li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"), bucket.alias("bucket")).agg(
+        _dsum("l_quantity", "total_qty"), F.count("*").alias("n_items")
+    )
+
+
+# A13 — weekly bucket (ClickHouse toStartOfWeek, docs/grafana.md:330-339).
+# Both engines truncate to Monday 00:00.
+@query(
+    "a13_weekly_volume",
+    oracle="""
+    SELECT date_trunc('week', ts) AS wk,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def a13_weekly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", F.col("ts")).alias("wk"))
+        .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+        .orderBy("wk")
+    )
+
+
+# A14 — multi-aggregate daily summary (the materialized-view shape,
+# docs/clickhouse.md:241-293: sum + 3×sumIf + uniq per (date, domain)).
+@query(
+    "a14_daily_summary",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN value >= 100 THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS large_value,
+           COUNT(DISTINCT user_id) AS uniq_users,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a14_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        _dsum("value", "total_value"),
+        _dsum_if(F.col("value") >= 100, "value", "large_value"),
+        F.countDistinct("user_id").alias("uniq_users"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# A15/F12 — post-aggregation threshold (HAVING). Ref: duplicate check
+# `GROUP BY report_id HAVING count() > 1000` (docs/clickhouse.md:594-596)
+# and overview panel 7 `HAVING Messages > 100`.
+@query(
+    "a15_having_threshold",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY 1 HAVING COUNT(*) > 50
+    """,
+)
+def a15_having_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") > 50)
+    )
+
+
+# A16 — multi-key grouped sort. Ref: docs/grafana.md:343-355
+# `ORDER BY compliance_rate ASC, total_messages DESC`.
+@query(
+    "a16_multikey_sort",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN event_type = 'purchase' OR value >= 200
+                           THEN CAST(value AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS hot_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, hot_value, total_value,
+           ROUND(hot_value * 100.0 / total_value, 2) AS hot_rate
+    FROM s ORDER BY hot_rate ASC, total_value DESC
+    """,
+)
+def a16_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        _dsum_if((F.col("event_type") == "purchase") | (F.col("value") >= 200), "value", "hot_value"),
+        _dsum("value", "total_value"),
+    )
+    return s.select(
+        "event_type",
+        "hot_value",
+        "total_value",
+        F.round(F.col("hot_value") * 100.0 / F.col("total_value"), 2).alias("hot_rate"),
+    ).orderBy(F.asc("hot_rate"), F.desc("total_value"))
+
+
+# A17 — IN-list conditional sum. Ref: docs/grafana.md:360-373
+# `sumIf(count, disposition IN ('reject','quarantine'))`.
+@query(
+    "a17_inlist_conditional",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           CAST(SUM(CASE WHEN event_type IN ('error','view')
+                         THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS flagged_value
+    FROM events GROUP BY 1
+    """,
+)
+def a17_inlist_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        _dsum_if(F.col("event_type").isin("error", "view"), "value", "flagged_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — relative time-range row filter (dashboard variable time_range;
+# overview panels 0-7). Raw row passthrough shows the pushed predicate.
+@query(
+    "f9_time_range_filter",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '{AS_OF}' - INTERVAL 7 DAY AND ts < TIMESTAMP '{AS_OF}'
+    """,
+)
+def f9_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.expr(f"TIMESTAMP '{AS_OF}' - INTERVAL 7 DAY")
+    return (
+        load(spark, sf_dir, "events")
+        .filter((F.col("ts") >= lo) & (F.col("ts") < F.expr(f"TIMESTAMP '{AS_OF}'")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# F10 — known-value filter (`source_country != 'Unknown'`, overview
+# panel 5 / docs/grafana.md:243-247).
+@query(
+    "f10_exclude_category",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang <> 'en' GROUP BY 1
+    """,
+)
+def f10_exclude_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") != "en")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# F11 — boolean/flag filter (`dmarc_aligned = 0` misalignment filter,
+# docs/grafana.md:218-228).
+@query(
+    "f11_flag_filter",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    """,
+)
+def f11_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n_items"), _dsum("l_extendedprice", "total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — the parent-child equi-join: records ⋈ reports on report_id
+# (docs/grafana.md:262-272 Domain Analysis; 360-373 Policy
+# Effectiveness). lineitem(child) ⋈ orders(parent) on orderkey; parent
+# side is broadcast — at production scale reports is orders-of-magnitude
+# smaller than records, exactly like orders vs lineitem.
+@query(
+    "j1_fact_dim_join",
+    oracle="""
+    SELECT o.o_orderpriority, o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def j1_fact_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum("l_quantity", "total_qty"),
+            _dsum("l_extendedprice", "total_price"),
+        )
+    )
+
+
+# J2 — enrichment lookup join with Unknown fill (reverse-DNS map join;
+# SURVEY J2: left broadcast join + coalesce(name,'Unknown')). The dim is
+# deliberately partial (c_custkey < 100) so the miss path is exercised,
+# mirroring fact rows whose base_domain misses the 1,794-row map.
+@query(
+    "j2_enrichment_lookup",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'Unknown') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e LEFT JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
+      ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def j2_enrichment_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_mktsegment")
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("Unknown")).alias("segment"))
+        .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+    )
+
+
+# J3 — the GeoIP-style range join (SURVEY J3: IP → country via interval
+# lookup, `utils.go:41-71`): value BETWEEN bracket bounds against a tiny
+# broadcast dim → BroadcastNestedLoopJoin, never a shuffle.
+_BRACKETS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"), (250.0, 1e9, "high")]
+
+@query(
+    "j3_range_join",
+    oracle="""
+    WITH brackets(lo, hi, bracket) AS (
+      VALUES (0.0, 100.0, 'low'), (100.0, 250.0, 'mid'), (250.0, 1000000000.0, 'high')
+    )
+    SELECT b.bracket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN brackets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+)
+def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    brackets = spark.createDataFrame(_BRACKETS, "lo double, hi double, bracket string")
+    return (
+        ev.join(
+            F.broadcast(brackets),
+            (ev.value >= brackets.lo) & (ev.value < brackets.hi),
+            "inner",
+        )
+        .groupBy("bracket")
+        .agg(F.count("*").alias("n_events"), _dsum("value", "total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-layer: scalar/derived-column operators with SQL oracles.
+
+# P1/P4/P8/P13/P14/P15/P22 in one normalization projection (the shape of
+# the reference's per-record normalize pass, parser.go:1183-1196 +
+# utils.go:153-210 + output.go:872-875).
+@query(
+    "p_scalar_normalize",
+    oracle="""
+    SELECT doc_id,
+           rtrim(lower(source), '.') AS src_norm,
+           COALESCE(NULLIF(lang, ''), 'unknown') AS lang_norm,
+           split_part(text, ' ', 1) AS first_token,
+           len(string_split(text, ' ')) AS n_tokens,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean_text,
+           substr(sha256(text), 1, 16) AS doc_sha16
+    FROM documents
+    """,
+)
+def p_scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("source"), r"\.+$", "").alias("src_norm"),
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("unknown")).alias("lang_norm"),
+        F.element_at(F.split("text", " "), 1).alias("first_token"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("clean_text"),
+        F.substring(F.sha2("text", 256), 1, 16).alias("doc_sha16"),
+    )
+
+
+# P2 — unix-epoch decode (utils.go:24-30: epoch seconds → UTC timestamp).
+@query(
+    "p2_epoch_decode",
+    oracle="SELECT event_id, epoch_ms(event_id * 1000) AS ts_from_epoch FROM events",
+)
+def p2_epoch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.timestamp_seconds(F.col("event_id")).alias("ts_from_epoch")
+    )
+
+
+# P3 — multi-format timestamp parse, first match wins
+# (validator.go:285-312: try RFC3339, then '2006-01-02 15:04:05', …).
+@query(
+    "p3_multiformat_timestamp",
+    oracle="""
+    WITH s AS (SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS raw FROM events)
+    SELECT event_id,
+           COALESCE(try_strptime(raw, '%Y/%m/%d'),
+                    try_strptime(raw, '%Y-%m-%d %H:%M:%S')) AS parsed_ts
+    FROM s
+    """,
+)
+def p3_multiformat_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    raw = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.try_to_timestamp(raw, F.lit("yyyy/MM/dd")),
+            F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+        ).alias("parsed_ts"),
+    )
+
+
+# P6 — explode (report → record fact rows, parser.go:1179-1266): token
+# explode + frequency count, the same generate→aggregate shape.
+@query(
+    "p6_explode_tokens",
+    oracle="""
+    SELECT t.token, COUNT(*) AS n
+    FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+    GROUP BY 1 ORDER BY n DESC, token
+    """,
+)
+def p6_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+# P16 — contains-match bucketing (delivery_result normalization,
+# parser.go:1654-1667: contains 'delivered' → delivered, …).
+@query(
+    "p16_contains_bucket",
+    oracle="""
+    SELECT CASE WHEN text LIKE '%error%' THEN 'error'
+                WHEN text LIKE '%join%' THEN 'join'
+                WHEN text LIKE '%scan%' THEN 'scan'
+                ELSE 'other' END AS bucket,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def p16_contains_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("text").contains("error"), "error")
+        .when(F.col("text").contains("join"), "join")
+        .when(F.col("text").contains("scan"), "scan")
+        .otherwise("other")
+    )
+    return docs.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n_docs"))

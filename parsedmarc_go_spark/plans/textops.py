@@ -1,0 +1,184 @@
+"""Text-analysis + deduplication queries over the `documents` table,
+with DuckDB oracles wherever the semantics are SQL-expressible.
+
+LSH-family queries (MinHash banding, SimHash) depend on Spark-side hash
+functions (xxhash64/murmur) DuckDB does not implement, so they register
+rows-only; their recall against the exact operators is asserted in
+tests/test_dedup.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parsedmarc_go_spark.functions.text import (
+    STOPWORDS,
+    distinct_token_count,
+    fingerprint16,
+    lang_id,
+    normalized_text,
+    quality_score,
+    regex_token_count,
+    stopword_hits,
+    token_count,
+)
+from parsedmarc_go_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from parsedmarc_go_spark.plans.registry import query
+from parsedmarc_go_spark.tables import load
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks, lower(text) AS lt
+               FROM documents)
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_regex_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS stop_hits
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("toks", F.split(F.lower("text"), " "))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        regex_token_count("text").alias("n_regex_tokens"),
+        distinct_token_count("toks").alias("n_distinct"),
+        stopword_hits("toks").alias("stop_hits"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) AS nd,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP_IN}))) AS DOUBLE) AS sh
+      FROM documents)
+    SELECT doc_id,
+           0.4 * LEAST(nt / 80.0, 1.0) + 0.4 * (nd / nt) + 0.2 * (1.0 - sh / nt) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", F.split(F.lower("text"), " "))
+        .withColumn("nt", token_count("text"))
+        .withColumn("nd", distinct_token_count("toks"))
+        .withColumn("sh", stopword_hits("toks"))
+    )
+    return docs.select("doc_id", quality_score("nt", "nd", "sh").alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN contains(p, ' der ') THEN 'de'
+                WHEN contains(p, ' und ') THEN 'de'
+                WHEN contains(p, ' le ') THEN 'fr'
+                WHEN contains(p, ' et ') THEN 'fr'
+                WHEN contains(p, ' el ') THEN 'es'
+                WHEN contains(p, ' que ') THEN 'es'
+                WHEN contains(p, '的') THEN 'zh'
+                ELSE 'en' END AS predicted_lang
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("predicted_lang"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text
+               FROM documents)
+    SELECT doc_id, norm_text,
+           substr(sha256(norm_text), 1, 16) AS fp16,
+           md5(norm_text) AS fp_md5
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("norm_text", normalized_text("text"))
+    return docs.select(
+        "doc_id",
+        "norm_text",
+        fingerprint16(F.col("norm_text")).alias("fp16"),
+        F.md5("norm_text").alias("fp_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_NGRAM_JACCARD_ORACLE = """
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [] END)) AS shingle
+      FROM d),
+    n AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    p AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2)
+    SELECT p.da AS doc_a, p.db AS doc_b,
+           na.n_shingles AS n_a, nb.n_shingles AS n_b, p.shared AS shared,
+           CAST(p.shared AS DOUBLE)
+             / CAST(na.n_shingles + nb.n_shingles - p.shared AS DOUBLE) AS jaccard
+    FROM p JOIN n na ON p.da = na.doc JOIN n nb ON p.db = nb.doc
+    WHERE CAST(p.shared AS DOUBLE)
+             / CAST(na.n_shingles + nb.n_shingles - p.shared AS DOUBLE) >= {thr}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE.format(thr=0.6))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.6)
+
+
+# MinHash+LSH: registered rows-only (xxhash64 signatures are not
+# reproducible in DuckDB); tests/test_dedup.py asserts exact agreement
+# with the inverted-index operator at the verified threshold.
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=6)

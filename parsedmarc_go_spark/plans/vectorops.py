@@ -1,0 +1,58 @@
+"""Similarity-search queries over the `embeddings` table.
+
+Brute-force cosine top-k and blocked near-dup pairs carry exact DuckDB
+oracles (list_cosine_similarity over DOUBLE[] casts; outputs rounded to
+4 decimals with id tie-breaks so the hash compare is stable). The IVF
+probed variant depends on float centroid accumulation order and
+registers rows-only; tests assert it agrees with brute force on this
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parsedmarc_go_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    ivf_topk,
+    query_vector,
+)
+from parsedmarc_go_spark.plans.registry import query
+from parsedmarc_go_spark.tables import load
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_vector(emb, 0), k=10)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vector(emb, 0), k=10, nprobe=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.label AS block, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)

@@ -1,0 +1,52 @@
+"""Loaders for the driver's synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# All synthetic timestamps live in a 30-day window ending 2024-01-30
+# (TESTDATA.md, seed=42). Time-relative dashboard filters (SURVEY F9,
+# `begin_date >= now() - interval N day`) take this injected anchor so
+# Spark and the DuckDB oracle see identical, reproducible predicates
+# (SURVEY §7 hard part 5).
+AS_OF = "2024-01-31 00:00:00"
+
+
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """The driver calls us with its own SparkSession; these SQL confs are
+    runtime-settable and required for correct reads regardless of how
+    that session was built: events.ts is parquet TIMESTAMP(NANOS) (which
+    the reader otherwise rejects), and all report timestamps are UTC."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # events.ts is parquet TIMESTAMP(NANOS), read as a nanos long via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (same
+        # as DuckDB's ns→µs conversion). `div` keeps int64 precision —
+        # `/` would round-trip through double and lose low bits.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

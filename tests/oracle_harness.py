@@ -1,0 +1,56 @@
+"""Local mirror of the driver's correctness gate: run a registered
+Spark query and its DuckDB oracle on the same parquet tables, sort
+columns by name, sort rows, and compare values exactly."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from parsedmarc_go_spark.tables import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]")
+    out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out
+
+
+def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errs: list[str] = []
+    s = canon(spark_df.toPandas())
+    o = canon(oracle_df)
+    if list(s.columns) != list(o.columns):
+        errs.append(f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}")
+        return errs
+    if len(s) != len(o):
+        errs.append(f"row count differs: spark={len(s)} oracle={len(o)}")
+        return errs
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if a != b:
+                    errs.append(f"col {c} row {i}: spark={a!r} oracle={b!r} (Δ={a - b})")
+            elif a != b:
+                errs.append(f"col {c} row {i}: spark={a!r} oracle={b!r}")
+            if len(errs) >= 5:
+                return errs
+    return errs

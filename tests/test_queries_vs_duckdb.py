@@ -1,0 +1,44 @@
+"""Every registered (query, oracle) pair must match DuckDB exactly at
+sf0.001 and sf0.01 — a local mirror of the driver's correctness gate.
+Queries without an oracle get a smoke run (schema + deterministic
+row count across two executions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parsedmarc_go_spark.plans import ORACLES, QUERIES
+from tests.conftest import SF_CORRECT, SF_SMOKE
+from tests.oracle_harness import compare, run_oracle
+
+ORACLE_NAMES = sorted(ORACLES)
+ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_pair_sf001(spark, name):
+    errs = compare(QUERIES[name](spark, SF_SMOKE), run_oracle(ORACLES[name], SF_SMOKE))
+    assert not errs, f"{name} @ sf0.001: " + "; ".join(errs)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_pair_sf01(spark, name):
+    errs = compare(QUERIES[name](spark, SF_CORRECT), run_oracle(ORACLES[name], SF_CORRECT))
+    assert not errs, f"{name} @ sf0.01: " + "; ".join(errs)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_deterministic(spark, name):
+    df1 = QUERIES[name](spark, SF_SMOKE)
+    n1 = df1.count()
+    n2 = QUERIES[name](spark, SF_SMOKE).count()
+    assert n1 == n2, f"{name}: nondeterministic row count {n1} vs {n2}"
+    assert n1 >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
