@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is fully materialized with collect() (count() would let
+Catalyst prune the projections we mean to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# the headline mix: every operator family — time-bucketed agg, ratio,
+# top-k, distinct, multi-agg summary, broadcast equi-join, range join,
+# explode, exact + LSH dedup, ANN, text scoring.
+HEADLINE = [
+    "a1_daily_volume",
+    "a4_compliance_rate",
+    "a6_group_by_category",
+    "a7_topk_users",
+    "a9_distinct_exact",
+    "a14_daily_summary",
+    "j1_fact_dim_join",
+    "j3_range_join",
+    "p6_explode_tokens",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from parsedmarc_go_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="parsedmarc-go-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from parsedmarc_go_spark.plans import QUERIES
+
+    # warm the JVM / parquet footers once, off the clock
+    QUERIES["a8_grouped_count"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

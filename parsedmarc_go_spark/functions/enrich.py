@@ -1,0 +1,114 @@
+"""Enrichment layer (SURVEY P9-P12, J2/J3): GeoIP country, base-domain
+extraction, sender classification.
+
+The reference does per-row network lookups (MaxMind reader + PTR
+queries, utils.go:41-113) guarded by an offline flag (config.go:30-37).
+At Spark scale the same semantics become joins against dimension
+tables:
+
+- GeoIP: a (start_ip_int, end_ip_int, country) prefix dim, broadcast
+  non-equi range join — the one non-equi join in the system (SURVEY J3).
+- Sender classification: a (base_reverse_dns, name, type) map (the
+  reference ships 1,794 rows), broadcast left join with Unknown fill
+  (SURVEY J2).
+- Reverse DNS itself is inherently a network side-effect; it stays an
+  external batch step that lands a (ip, hostname) dim — the engine
+  consumes the dim. Offline mode (the default) skips it, exactly like
+  the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def base_domain(col: Column) -> Column:
+    """P11 — utils.go:116-145: last two labels, with CDN special cases:
+    akamaiedge (3 labels keyed on 2nd-to-last label), cloudfront/fastly/
+    herokuapp (3 labels). Pure column expression over split()."""
+    parts = F.split(col, r"\.")
+    n = F.size(parts)
+
+    def p(i: int) -> Column:
+        # try_element_at: when() branches are not reliably short-circuited
+        # under ANSI mode, so out-of-range element_at would throw
+        return F.try_element_at(parts, F.lit(i))
+
+    last2 = F.concat_ws(".", p(-2), p(-1))
+    last3 = F.concat_ws(".", p(-3), p(-2), p(-1))
+    return (
+        F.when(col.isNull() | (col == ""), col)
+        .when(n < 2, col)
+        .when((n >= 3) & (p(-2) == "akamaiedge"), last3)
+        .when((n >= 3) & last2.isin("cloudfront.net", "fastly.com", "herokuapp.com"), last3)
+        .otherwise(last2)
+    )
+
+
+def ipv4_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 → int64 (NULL for malformed/IPv6), for the GeoIP
+    range join."""
+    oct_ = F.split(col, r"\.")
+
+    def o(i: int) -> Column:
+        # try_element_at: ANSI mode errors on out-of-bounds element_at,
+        # and when() does not short-circuit evaluation of the other branch
+        return F.try_element_at(oct_, F.lit(i)).try_cast("long")
+
+    value = o(1) * 16777216 + o(2) * 65536 + o(3) * 256 + o(4)
+    ok = (
+        (F.size(oct_) == 4)
+        & o(1).between(0, 255)
+        & o(2).between(0, 255)
+        & o(3).between(0, 255)
+        & o(4).between(0, 255)
+    )
+    return F.when(ok, value).otherwise(F.lit(None).cast("long"))
+
+
+def geoip_enrich(
+    df: DataFrame,
+    geo_dim: DataFrame,
+    ip_col: str = "source_ip_address",
+    out_col: str = "source_country",
+) -> DataFrame:
+    """P9/J3 — prefix-interval lookup as a broadcast range join
+    (BroadcastNestedLoopJoin; the dim is small, the fact side never
+    shuffles). `geo_dim`: (start_ip, end_ip, country) as int64 bounds.
+    Unmatched / malformed IPs get 'Unknown' (parser.go:1274-1277)."""
+    fact = df.withColumn("__ip_long", ipv4_to_long(F.col(ip_col)))
+    dim = F.broadcast(geo_dim.select("start_ip", "end_ip", "country"))
+    joined = fact.join(
+        dim,
+        (F.col("__ip_long") >= dim["start_ip"]) & (F.col("__ip_long") <= dim["end_ip"]),
+        "left",
+    )
+    return joined.withColumn(out_col, F.coalesce(dim["country"], F.lit("Unknown"))).drop(
+        "__ip_long", "start_ip", "end_ip", "country"
+    )
+
+
+def classify_sender(
+    df: DataFrame,
+    dns_map: DataFrame,
+    reverse_dns_col: str = "source_reverse_dns",
+) -> DataFrame:
+    """P12/J2 — sender classification via the reverse-DNS map dim
+    (base_reverse_dns, name, type), broadcast left join keyed on the
+    base domain of the PTR hostname; misses → 'Unknown'
+    (SURVEY J2; fields stored at clickhouse.go:116-117)."""
+    fact = df.withColumn("source_base_domain", base_domain(F.lower(F.col(reverse_dns_col))))
+    dim = F.broadcast(
+        dns_map.select(
+            F.lower(F.col("base_reverse_dns")).alias("__brd"),
+            F.col("name").alias("__name"),
+            F.col("type").alias("__type"),
+        )
+    )
+    joined = fact.join(dim, fact["source_base_domain"] == dim["__brd"], "left")
+    return (
+        joined.withColumn("source_name", F.coalesce(F.col("__name"), F.lit("Unknown")))
+        .withColumn("source_type", F.coalesce(F.col("__type"), F.lit("Unknown")))
+        .drop("__brd", "__name", "__type")
+    )
