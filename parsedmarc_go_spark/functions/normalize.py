@@ -161,4 +161,9 @@ def aggregate_records_flat(parsed: DataFrame, fb: str = "fb") -> DataFrame:
         ),
         "begin_date",
         F.current_timestamp().alias("created_at"),
+        # engine-internal extras beyond the ClickHouse 25-column contract:
+        # raw policy-evaluated values, needed for the CSV writer's exact
+        # dkim_result/spf_result columns (output.go:293-295)
+        dkim_eval.alias("policy_eval_dkim"),
+        spf_eval.alias("policy_eval_spf"),
     )

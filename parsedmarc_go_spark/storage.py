@@ -1,0 +1,107 @@
+"""Storage layout + materialized summaries (SURVEY §4, milestone 3).
+
+ClickHouse-DDL parity, re-expressed as Parquet physical design:
+
+| ClickHouse (clickhouse.go:79-228)        | here                         |
+|------------------------------------------|------------------------------|
+| PARTITION BY toYYYYMM(begin_date)        | partitionBy("month")         |
+| ORDER BY (org_name, report_id, date)     | sortWithinPartitions(...)    |
+| bloom_filter INDEX on report_id/org      | parquet bloom filter options |
+| SummingMergeTree daily summary MV        | scheduled groupBy refresh    |
+| ReplacingMergeTree (keep latest)         | row_number() == 1 window     |
+
+Monthly partitions make the dashboard's relative-time filters (F9)
+partition-pruned scans; the within-partition sort gives parquet
+row-group min/max skipping on the clustered keys. At 100 TB the month
+partition + org/report sort bounds every dashboard query to a handful
+of row groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MONTH_COL = "month"
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "begin_date",
+    sort_cols: tuple[str, ...] = ("org_name", "report_id"),
+    bloom_cols: tuple[str, ...] = ("report_id",),
+    mode: str = "append",
+) -> None:
+    """Monthly-partitioned, clustered, bloom-indexed Parquet fact table."""
+    out = (
+        df.withColumn(MONTH_COL, F.date_format(F.col(ts_col), "yyyyMM"))
+        # one shuffle keyed on the partition column so each month lands in
+        # few large files instead of |tasks|×|months| small ones
+        .repartition(F.col(MONTH_COL))
+        .sortWithinPartitions(*sort_cols)
+    )
+    writer = out.write.mode(mode).partitionBy(MONTH_COL)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def latest_by_key(df: DataFrame, keys: list[str], ts_col: str = "created_at") -> DataFrame:
+    """ReplacingMergeTree semantics (docs/clickhouse.md:257-276): keep
+    the most recent row per key — the engine's one window function
+    (SURVEY §2.9)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def daily_summary(records: DataFrame) -> DataFrame:
+    """The dmarc_daily_summary materialized view
+    (docs/clickhouse.md:241-259): per (date, header_from, org_name):
+    total, aligned, reject, quarantine sums + distinct sources."""
+    return records.groupBy(
+        F.to_date("begin_date").alias("date"),
+        F.col("header_from").alias("domain"),
+        "org_name",
+    ).agg(
+        F.sum("count").alias("total_messages"),
+        F.sum(F.when(F.col("dmarc_aligned"), F.col("count")).otherwise(0)).alias("aligned_messages"),
+        F.sum(F.when(F.col("disposition") == "reject", F.col("count")).otherwise(0)).alias(
+            "rejected_messages"
+        ),
+        F.sum(F.when(F.col("disposition") == "quarantine", F.col("count")).otherwise(0)).alias(
+            "quarantined_messages"
+        ),
+        F.approx_count_distinct("source_ip_address").alias("unique_sources"),
+    )
+
+
+def compliance_summary(records: DataFrame) -> DataFrame:
+    """The dmarc_compliance_summary view (docs/clickhouse.md:261-276):
+    adds pass-rate percentage and reporting-org distinct count."""
+    s = records.groupBy(F.to_date("begin_date").alias("date"), F.col("header_from").alias("domain")).agg(
+        F.sum("count").alias("total_messages"),
+        F.sum(F.when(F.col("dmarc_aligned"), F.col("count")).otherwise(0)).alias("aligned_messages"),
+        F.approx_count_distinct("org_name").alias("reporting_orgs"),
+    )
+    return s.withColumn(
+        "pass_rate",
+        F.round(F.col("aligned_messages") * 100.0 / F.col("total_messages"), 2),
+    )
+
+
+def source_ip_summary(records: DataFrame) -> DataFrame:
+    """The dmarc_source_ip_summary view (docs/clickhouse.md:278-293)."""
+    return records.groupBy(
+        F.to_date("begin_date").alias("date"),
+        "source_ip_address",
+        "source_country",
+    ).agg(
+        F.sum("count").alias("total_messages"),
+        F.sum(F.when(F.col("dmarc_aligned"), F.col("count")).otherwise(0)).alias("aligned_messages"),
+        F.approx_count_distinct("header_from").alias("unique_domains"),
+    )

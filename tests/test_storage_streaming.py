@@ -1,0 +1,90 @@
+"""Milestones 3+4: partitioned storage layout, ReplacingMergeTree-style
+dedup, materialized summaries, and batch/stream parity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SAMPLES = "/root/reference/samples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SAMPLES), reason="reference sample corpus not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark):
+    from parsedmarc_go_spark.sources.ingest import ingest
+
+    return ingest(spark, SAMPLES)
+
+
+def test_partitioned_write_and_pruning(spark, ingested, tmp_path):
+    from parsedmarc_go_spark.storage import read_table, write_partitioned
+
+    path = str(tmp_path / "records")
+    write_partitioned(ingested.aggregate_records, path, mode="overwrite")
+    back = read_table(spark, path)
+    assert back.count() == ingested.aggregate_records.count()
+    # partition values are type-inferred back as yyyyMM ints
+    months = {int(r.month) for r in back.select("month").distinct().collect()}
+    assert all(190001 <= m <= 210012 for m in months)
+    # partition pruning: a month filter must reach PartitionFilters
+    plan = back.filter(F.col("month") == sorted(months)[0])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan, plan[:800]
+
+
+def test_latest_by_key_dedup(spark, ingested):
+    from parsedmarc_go_spark.storage import latest_by_key
+
+    # the corpus contains the same report id ingested multiple times
+    # (extract_report/ repeats) — ReplacingMergeTree semantics keep one
+    deduped = latest_by_key(ingested.aggregate_reports, ["report_id"], "created_at")
+    ids = [r.report_id for r in deduped.select("report_id").collect()]
+    assert len(ids) == len(set(ids))
+    assert len(ids) < ingested.aggregate_reports.count()
+
+
+def test_summaries(spark, ingested):
+    from parsedmarc_go_spark.storage import compliance_summary, daily_summary, source_ip_summary
+
+    rec = ingested.aggregate_records
+    ds = daily_summary(rec)
+    assert ds.filter(F.col("total_messages") <= 0).count() == 0
+    cs = compliance_summary(rec).collect()
+    assert all(0 <= r.pass_rate <= 100 for r in cs)
+    ips = source_ip_summary(rec)
+    assert ips.count() > 0
+    # invariant: aligned ≤ total everywhere
+    assert ds.filter(F.col("aligned_messages") > F.col("total_messages")).count() == 0
+
+
+def test_stream_matches_batch(spark, ingested, tmp_path):
+    """Batch/stream parity (SURVEY §5.2 item 4): one availableNow pass
+    over the same corpus produces identical flat tables."""
+    from parsedmarc_go_spark.streaming.daemon import stream_ingest
+
+    out = str(tmp_path / "out")
+    q = stream_ingest(
+        spark,
+        SAMPLES,
+        out,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        max_files_per_trigger=7,  # force multiple micro-batches
+    )
+    q.awaitTermination(120)
+
+    stream_records = spark.read.parquet(os.path.join(out, "aggregate_records"))
+    batch_records = ingested.aggregate_records
+    assert stream_records.count() == batch_records.count()
+    key = ["report_id", "source_ip_address", "header_from", "count"]
+    s = stream_records.select(*key).exceptAll(batch_records.select(*key))
+    b = batch_records.select(*key).exceptAll(stream_records.select(*key))
+    assert s.count() == 0 and b.count() == 0, "stream and batch fact rows differ"
+    assert spark.read.parquet(os.path.join(out, "forensic_reports")).count() == 4
+    rejects = spark.read.parquet(os.path.join(out, "rejects"))
+    assert rejects.count() == 3

@@ -1,0 +1,135 @@
+"""Golden-output checks for the K1-K3/K5 sinks against the reference's
+exact projections (output.go:265-271, 341-346, 406-410, 866-904)."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+
+import pytest
+
+SAMPLES = "/root/reference/samples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SAMPLES), reason="reference sample corpus not available"
+)
+
+AGG_HEADERS = [
+    "report_id", "org_name", "org_email", "begin_date", "end_date",
+    "domain", "policy_adkim", "policy_aspf", "policy_p", "policy_sp", "policy_pct",
+    "source_ip", "source_country", "source_reverse_dns", "count",
+    "disposition", "dkim_result", "spf_result", "dmarc_aligned",
+    "header_from", "envelope_from", "dkim_domain", "dkim_selector", "spf_domain",
+]
+FORENSIC_HEADERS = [
+    "feedback_type", "user_agent", "version", "original_envelope_id",
+    "original_mail_from", "original_rcpt_to", "arrival_date", "subject",
+    "message_id", "authentication_results", "dkim_domain", "source_ip",
+    "source_country", "delivery_result", "auth_failure", "reported_domain",
+]
+TLS_HEADERS = [
+    "organization_name", "begin_date", "end_date", "contact_info", "report_id",
+    "policy_domain", "policy_type", "successful_session_count", "failed_session_count",
+    "failure_result_type", "failure_sending_mta_ip", "failure_receiving_ip",
+]
+
+
+@pytest.fixture(scope="module")
+def ingested(spark):
+    from parsedmarc_go_spark.sources.ingest import ingest
+
+    return ingest(spark, SAMPLES)
+
+
+def _read_csv(path_glob: str) -> list[dict]:
+    [part] = glob.glob(path_glob)
+    with open(part, newline="") as f:
+        return list(csv.DictReader(f))
+
+
+def test_aggregate_csv_golden(spark, ingested, tmp_path):
+    from parsedmarc_go_spark.sinks.writers import aggregate_csv_projection, write_csv
+
+    df = aggregate_csv_projection(ingested.aggregate_reports, ingested.aggregate_records)
+    assert df.columns == AGG_HEADERS
+    write_csv(df, str(tmp_path / "agg"), single_file=True)
+    rows = _read_csv(str(tmp_path / "agg" / "part-*.csv"))
+    golden = [r for r in rows if r["report_id"] == "example.com:1538463741"]
+    assert len(golden) == 1
+    g = golden[0]
+    assert g["org_email"] == "administrator@accurateplastics.com"
+    assert g["begin_date"] == "2018-10-01T17:07:12Z"
+    assert g["count"] == "1"
+    assert g["dkim_result"] == "fail" and g["spf_result"] == "fail"
+    assert g["dmarc_aligned"] == "false"
+    assert g["dkim_domain"] == "" and g["spf_domain"] == ""  # empty-domain results dropped
+    assert g["policy_sp"] == "reject" and g["policy_pct"] == "100"
+
+
+def test_forensic_csv_golden(spark, ingested, tmp_path):
+    from parsedmarc_go_spark.sinks.writers import forensic_csv_projection, write_csv
+
+    df = forensic_csv_projection(ingested.forensic_reports)
+    assert df.columns == FORENSIC_HEADERS
+    write_csv(df, str(tmp_path / "fr"), single_file=True)
+    rows = _read_csv(str(tmp_path / "fr" / "part-*.csv"))
+    assert len(rows) == 4
+    for r in rows:
+        assert r["feedback_type"] == "auth-failure"
+        assert r["auth_failure"]  # ';'-joined, defaults to 'dmarc'
+
+
+def test_smtp_tls_csv_golden(spark, ingested, tmp_path):
+    from parsedmarc_go_spark.sinks.writers import smtp_tls_csv_projection, write_csv
+
+    df = smtp_tls_csv_projection(ingested.smtp_tls_reports, ingested.smtp_tls_failures)
+    assert df.columns == TLS_HEADERS
+    write_csv(df, str(tmp_path / "tls"), single_file=True)
+    rows = _read_csv(str(tmp_path / "tls" / "part-*.csv"))
+    rfc = [r for r in rows if r["report_id"] == "5065427c-23d3-47ca-b6e0-946ea0e8c4be"]
+    assert len(rfc) == 3  # one row per failure detail
+    assert {r["failure_result_type"] for r in rfc} == {
+        "certificate-expired", "starttls-not-supported", "validation-failure",
+    }
+    assert all(r["successful_session_count"] == "5326" for r in rfc)
+    # policies without failure details emit a single row with empty failure cols
+    assert any(r["failure_result_type"] == "" for r in rows)
+
+
+def test_directory_writer_naming(spark, ingested, tmp_path):
+    from parsedmarc_go_spark.sinks.writers import write_directory
+
+    files = write_directory(
+        ingested.aggregate_reports.limit(50), str(tmp_path / "dir"), "aggregate"
+    )
+    assert files
+    for f in files:
+        base = os.path.basename(f)
+        assert base.startswith("aggregate_") and base.endswith(".json")
+        # {kind}_{yyyymmdd}_{HHmmss}_{id}.json
+        parts = base[len("aggregate_"):-len(".json")].split("_", 2)
+        assert len(parts[0]) == 8 and parts[0].isdigit()
+        assert len(parts[1]) == 6 and parts[1].isdigit()
+
+    forensic_files = write_directory(
+        ingested.forensic_reports, str(tmp_path / "dirf"), "forensic"
+    )
+    for f in forensic_files:
+        stem = os.path.basename(f)[len("forensic_"):-len(".json")]
+        fid = stem.split("_", 2)[2]
+        assert len(fid) == 16 and all(c in "0123456789abcdef" for c in fid)
+
+
+def test_kafka_message_shape(spark, ingested):
+    from parsedmarc_go_spark.sinks.writers import kafka_messages
+
+    msgs = kafka_messages(ingested.aggregate_reports, "aggregate").collect()
+    assert msgs
+    for m in msgs:
+        assert m.key and isinstance(m.value, str) and m.value.startswith("{")
+        assert m.headers[0].key == "report_type"
+
+    fmsgs = kafka_messages(ingested.forensic_reports, "forensic").collect()
+    for m in fmsgs:
+        assert "-" in m.key  # {message_id}-{unix_ts} (kafka.go:48-49)
