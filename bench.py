@@ -51,8 +51,15 @@ def main() -> None:
 
     from parsedmarc_go_spark.plans import QUERIES
 
-    # warm the JVM / parquet footers once, off the clock
-    QUERIES["a8_grouped_count"](spark, sf_dir).collect()
+    # warm-up, off the clock: run the full headline mix at the smallest
+    # SF so JVM JIT + janino codegen of every query's generated classes
+    # happens before timing (the 32-column minhash aggregate alone costs
+    # ~8 s of one-time class compilation)
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        QUERIES[name](spark, warm_dir).collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
