@@ -78,14 +78,21 @@ def geoip_enrich(
     shuffles). `geo_dim`: (start_ip, end_ip, country) as int64 bounds.
     Unmatched / malformed IPs get 'Unknown' (parser.go:1274-1277)."""
     fact = df.withColumn("__ip_long", ipv4_to_long(F.col(ip_col)))
-    dim = F.broadcast(geo_dim.select("start_ip", "end_ip", "country"))
+    # internal names so out_col may legally collide with a dim column
+    dim = F.broadcast(
+        geo_dim.select(
+            F.col("start_ip").alias("__geo_lo"),
+            F.col("end_ip").alias("__geo_hi"),
+            F.col("country").alias("__geo_country"),
+        )
+    )
     joined = fact.join(
         dim,
-        (F.col("__ip_long") >= dim["start_ip"]) & (F.col("__ip_long") <= dim["end_ip"]),
+        (F.col("__ip_long") >= dim["__geo_lo"]) & (F.col("__ip_long") <= dim["__geo_hi"]),
         "left",
     )
-    return joined.withColumn(out_col, F.coalesce(dim["country"], F.lit("Unknown"))).drop(
-        "__ip_long", "start_ip", "end_ip", "country"
+    return joined.withColumn(out_col, F.coalesce(F.col("__geo_country"), F.lit("Unknown"))).drop(
+        "__ip_long", "__geo_lo", "__geo_hi", "__geo_country"
     )
 
 

@@ -1,0 +1,149 @@
+"""Enrichment / window operators exposed to the correctness gate.
+
+The driver's synthetic tables carry no hostnames or IPs, so these
+queries synthesize them deterministically from existing columns
+(identically in the oracle SQL) — the point is to put P11 (base-domain
+CDN rules), F4 (IP validity), J3 (the GeoIP interval join), and §2.9's
+one window function (ReplacingMergeTree keep-latest) through the
+hash-compare gate, not to pretend the data is real.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parsedmarc_go_spark.functions.enrich import base_domain, ipv4_to_long
+from parsedmarc_go_spark.plans.registry import query
+from parsedmarc_go_spark.tables import load
+
+# deterministic fake hostname per document: cycles through plain,
+# deep-subdomain, and the CDN special cases of utils.go:116-145
+_HOST_EXPR = """
+    CASE mod(doc_id, 5)
+      WHEN 0 THEN concat('mail.', source, '.example.com')
+      WHEN 1 THEN concat('e', CAST(doc_id AS STRING), '.c.akamaiedge.net')
+      WHEN 2 THEN concat('d', CAST(doc_id AS STRING), 'x.cloudfront.net')
+      WHEN 3 THEN concat('deep.sub.host', CAST(doc_id AS STRING), '.example.org')
+      ELSE 'localhost'
+    END
+"""
+
+
+@query(
+    "p11_base_domain",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_HOST_EXPR} AS host FROM documents)
+    SELECT doc_id, host,
+           CASE WHEN host IS NULL OR host = '' THEN host
+                WHEN len(string_split(host, '.')) < 2 THEN host
+                WHEN len(string_split(host, '.')) >= 3
+                     AND string_split(host, '.')[-2] = 'akamaiedge'
+                  THEN array_to_string(string_split(host, '.')[-3:], '.')
+                WHEN len(string_split(host, '.')) >= 3
+                     AND array_to_string(string_split(host, '.')[-2:], '.')
+                         IN ('cloudfront.net', 'fastly.com', 'herokuapp.com')
+                  THEN array_to_string(string_split(host, '.')[-3:], '.')
+                ELSE array_to_string(string_split(host, '.')[-2:], '.')
+           END AS base_dom
+    FROM h
+    """,
+)
+def p11_base_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("host", F.expr(_HOST_EXPR))
+    return docs.select("doc_id", "host", base_domain(F.col("host")).alias("base_dom"))
+
+
+# deterministic fake IPv4/garbage per event (valid and invalid paths)
+_IP_EXPR = """
+    CASE mod(event_id, 4)
+      WHEN 0 THEN concat('10.', CAST(mod(user_id, 256) AS STRING), '.0.1')
+      WHEN 1 THEN concat('192.168.', CAST(mod(event_id, 256) AS STRING), '.25')
+      WHEN 2 THEN concat('300.1.1.', CAST(mod(event_id, 256) AS STRING))
+      ELSE 'not-an-ip'
+    END
+"""
+
+_IP_LONG_SQL = """
+    CASE WHEN len(string_split(ip, '.')) = 4
+              AND TRY_CAST(string_split(ip, '.')[1] AS BIGINT) BETWEEN 0 AND 255
+              AND TRY_CAST(string_split(ip, '.')[2] AS BIGINT) BETWEEN 0 AND 255
+              AND TRY_CAST(string_split(ip, '.')[3] AS BIGINT) BETWEEN 0 AND 255
+              AND TRY_CAST(string_split(ip, '.')[4] AS BIGINT) BETWEEN 0 AND 255
+         THEN TRY_CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+              + TRY_CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+              + TRY_CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+              + TRY_CAST(string_split(ip, '.')[4] AS BIGINT)
+         ELSE NULL END
+"""
+
+
+@query(
+    "f4_ip_validity",
+    oracle=f"""
+    WITH e AS (SELECT event_id, {_IP_EXPR} AS ip FROM events)
+    SELECT event_id, ip,
+           {_IP_LONG_SQL} AS ip_long,
+           ({_IP_LONG_SQL}) IS NOT NULL AS is_valid
+    FROM e
+    """,
+)
+def f4_ip_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — utils.go:148-150 IsValidIPAddress, via the int64 conversion
+    the GeoIP join uses (IPv4 subset; IPv6 returns NULL/invalid)."""
+    ev = load(spark, sf_dir, "events").withColumn("ip", F.expr(_IP_EXPR))
+    ip_long = ipv4_to_long(F.col("ip"))
+    return ev.select("event_id", "ip", ip_long.alias("ip_long"), ip_long.isNotNull().alias("is_valid"))
+
+
+@query(
+    "j3b_geoip_range_join",
+    oracle=f"""
+    WITH e AS (SELECT event_id, {_IP_EXPR} AS ip FROM events),
+    el AS (SELECT event_id, {_IP_LONG_SQL} AS ip_long FROM e),
+    geo(start_ip, end_ip, country) AS (
+      VALUES (CAST(167772160 AS BIGINT), CAST(184549375 AS BIGINT), 'US'),
+             (CAST(3232235520 AS BIGINT), CAST(3232301055 AS BIGINT), 'DE')
+    )
+    SELECT COALESCE(g.country, 'Unknown') AS country, COUNT(*) AS n_events
+    FROM el LEFT JOIN geo g ON el.ip_long >= g.start_ip AND el.ip_long <= g.end_ip
+    GROUP BY 1
+    """,
+)
+def j3b_geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/P9 — the actual GeoIP shape: IP string → int64 → broadcast
+    interval join against a prefix dim (10.0.0.0/8 → US,
+    192.168.0.0/16 → DE), misses → 'Unknown' (parser.go:1274-1277)."""
+    from parsedmarc_go_spark.functions.enrich import geoip_enrich
+
+    ev = load(spark, sf_dir, "events").withColumn("ip", F.expr(_IP_EXPR))
+    dim = spark.createDataFrame(
+        [(167772160, 184549375, "US"), (3232235520, 3232301055, "DE")],
+        "start_ip long, end_ip long, country string",
+    )
+    enriched = geoip_enrich(ev, dim, ip_col="ip", out_col="country")
+    return enriched.groupBy("country").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "w1_latest_by_key",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, ts, event_type, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def w1_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — the engine's one window function: ReplacingMergeTree
+    keep-latest semantics (docs/clickhouse.md:257-276), deterministic
+    tie-break on event_id."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
