@@ -669,3 +669,42 @@ def p16_contains_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
     )
     return docs.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n_docs"))
+
+
+# P13/P14/P15 — host / string / email normalization (utils.go:153-210):
+# lowercase+trim, trailing-dot strip, control-character sanitize. Inputs
+# are synthesized deterministically (injected control chars + padding)
+# so both dirty and clean paths are exercised.
+@query(
+    "p13_normalize_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             concat(source, '.Example.ORG.') AS host,
+             concat('  User', CAST(doc_id AS VARCHAR), '@', source, '.COM  ') AS email,
+             concat(chr(1), ' ', text, chr(31)) AS dirty
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(lower(host), '\\.$', '') AS host_norm,
+           lower(trim(email)) AS email_norm,
+           trim(regexp_replace(dirty, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS sanitized
+    FROM t
+    """,
+)
+def p13_normalize_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsedmarc_go_spark.functions.normalize import normalize_host, sanitize_string
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".Example.ORG.")).alias("host"),
+        F.concat(
+            F.lit("  User"), F.col("doc_id").cast("string"), F.lit("@"), F.col("source"), F.lit(".COM  ")
+        ).alias("email"),
+        F.concat(F.lit("\x01 "), F.col("text"), F.lit("\x1f")).alias("dirty"),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_host(F.col("host")).alias("host_norm"),
+        F.lower(F.trim(F.col("email"))).alias("email_norm"),
+        sanitize_string(F.col("dirty")).alias("sanitized"),
+    )
