@@ -25,10 +25,15 @@ HEADLINE = [
     "a9_distinct_exact",
     "a14_daily_summary",
     "j1_fact_dim_join",
+    "j2_enrichment_lookup",
     "j3_range_join",
+    "w1_latest_by_key",
+    "a13_weekly_volume",
     "p6_explode_tokens",
+    "p11_base_domain",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "text_quality_score",
 ]
