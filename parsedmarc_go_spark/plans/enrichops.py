@@ -147,3 +147,69 @@ def w1_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+# F5 — validation predicate suite (validator.go:191-254): email/domain
+# regexes, policy enum, report-id rules, over synthesized dirty inputs
+# (every branch exercised). Regex classes chosen to behave identically
+# under Java regex and RE2.
+@query(
+    "f5_validation_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE mod(doc_id, 3) WHEN 0 THEN concat('user@', source, '.com')
+                  WHEN 1 THEN concat('bad@@', source) ELSE '' END AS email,
+             CASE mod(doc_id, 3) WHEN 0 THEN concat(source, '.example.com')
+                  WHEN 1 THEN concat('-bad-.', source) ELSE 'nodots' END AS domain,
+             CASE mod(doc_id, 4) WHEN 0 THEN 'none' WHEN 1 THEN 'quarantine'
+                  WHEN 2 THEN 'reject' ELSE 'Invalid' END AS policy,
+             CASE mod(doc_id, 3) WHEN 0 THEN concat('rid-', CAST(doc_id AS VARCHAR))
+                  WHEN 1 THEN concat('bad;<script>', CAST(doc_id AS VARCHAR))
+                  ELSE repeat('x', 300) END AS report_id
+      FROM documents)
+    SELECT doc_id,
+           regexp_full_match(email, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') AS email_ok,
+           domain <> '' AND regexp_full_match(domain,
+             '([a-zA-Z0-9]([a-zA-Z0-9\\-]{0,61}[a-zA-Z0-9])?\\.)+[a-zA-Z]{2,}') AS domain_ok,
+           policy IN ('none', 'quarantine', 'reject') AS policy_ok,
+           report_id <> '' AND len(report_id) <= 255
+             AND NOT regexp_matches(report_id, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f<>"''`;]') AS report_id_ok
+    FROM t
+    """,
+)
+def f5_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parsedmarc_go_spark.functions.validation import (
+        is_valid_domain,
+        is_valid_email,
+        is_valid_policy,
+        is_valid_report_id,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE mod(doc_id, 3) WHEN 0 THEN concat('user@', source, '.com') "
+            "WHEN 1 THEN concat('bad@@', source) ELSE '' END"
+        ).alias("email"),
+        F.expr(
+            "CASE mod(doc_id, 3) WHEN 0 THEN concat(source, '.example.com') "
+            "WHEN 1 THEN concat('-bad-.', source) ELSE 'nodots' END"
+        ).alias("domain"),
+        F.expr(
+            "CASE mod(doc_id, 4) WHEN 0 THEN 'none' WHEN 1 THEN 'quarantine' "
+            "WHEN 2 THEN 'reject' ELSE 'Invalid' END"
+        ).alias("policy"),
+        F.expr(
+            "CASE mod(doc_id, 3) WHEN 0 THEN concat('rid-', CAST(doc_id AS STRING)) "
+            "WHEN 1 THEN concat('bad;<script>', CAST(doc_id AS STRING)) "
+            "ELSE repeat('x', 300) END"
+        ).alias("report_id"),
+    )
+    return docs.select(
+        "doc_id",
+        is_valid_email(F.col("email")).alias("email_ok"),
+        is_valid_domain(F.col("domain")).alias("domain_ok"),
+        is_valid_policy(F.col("policy")).alias("policy_ok"),
+        is_valid_report_id(F.col("report_id")).alias("report_id_ok"),
+    )
