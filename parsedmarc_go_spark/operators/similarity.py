@@ -153,3 +153,56 @@ def cosine_neardup_pairs(
         )
 
     return vectors.groupBy(block_col).applyInPandas(pairs, out_schema)
+
+
+def with_hyperplane_buckets(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    out: str = "hp_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector: sign bits of dot
+    products against `n_planes` pseudo-random hyperplanes. The planes
+    are derived from hashed (plane, dim) coordinates — deterministic
+    across runs/executors with no driver-side RNG state to ship. Two
+    vectors land in one bucket iff they agree on every sign; collision
+    probability is (1 - θ/π)^n_planes, the classic SimHash-for-cosine
+    bound."""
+    dim_expr = f"size({vec_col})"
+    # plane p, dim d weight ∈ [-1, 1): (xxhash64(p, d) mod 2001)/1000 - 1
+    bit = (
+        "CASE WHEN aggregate(zip_with({v}, sequence(0, {n} - 1), "
+        "(x, d) -> CAST(x AS DOUBLE) * (pmod(xxhash64({p}, d), 2001) / 1000.0 - 1.0)), "
+        "0D, (acc, x) -> acc + x) >= 0 THEN shiftleft(1, {p}) ELSE 0 END"
+    )
+    bucket = " + ".join(
+        bit.format(v=vec_col, n=dim_expr, p=p) for p in range(n_planes)
+    )
+    return vectors.withColumn(out, F.expr(bucket))
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: search only the query's hyperplane bucket.
+    The scale path when no natural IVF cells exist — with the corpus
+    written partitioned by bucket id, the probe is partition pruning.
+    Recall is tunable via n_planes (fewer planes → bigger buckets →
+    higher recall, more scan)."""
+    bucketed = with_hyperplane_buckets(vectors, n_planes, vec_col)
+    qb = with_hyperplane_buckets(query.select(F.col("q").alias(vec_col)), n_planes, vec_col)
+    q_with_bucket = qb.select(F.col(vec_col).alias("q"), F.col("hp_bucket").alias("q_bucket"))
+    pruned = bucketed.join(
+        F.broadcast(q_with_bucket), F.col("hp_bucket") == F.col("q_bucket"), "inner"
+    ).select(id_col, "label", F.col(vec_col), "q")
+    scored = pruned.select(
+        id_col,
+        "label",
+        F.round(cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "q"), 4).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

@@ -56,3 +56,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed ANN (rows-only: bucket membership
+    depends on Spark-side xxhash64 plane generation; recall vs brute
+    force is asserted in tests/test_dedup.py)."""
+    from parsedmarc_go_spark.operators.similarity import lsh_bucketed_topk, query_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, query_vector(emb, 0), k=10, n_planes=4)

@@ -105,3 +105,26 @@ def source_ip_summary(records: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("dmarc_aligned"), F.col("count")).otherwise(0)).alias("aligned_messages"),
         F.approx_count_distinct("header_from").alias("unique_domains"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+) -> None:
+    """Bucketed managed table for co-located joins: two tables bucketed
+    on the same key with the same bucket count join WITHOUT a shuffle
+    (both sides arrive pre-partitioned by bucket id). This is the
+    at-rest answer for the recurring records⋈reports join at 100 TB —
+    broadcast covers small parents; bucketing covers a parent table too
+    big to broadcast. Requires saveAsTable (bucket metadata lives in the
+    catalog, not in parquet)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)

@@ -60,3 +60,21 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall@10 too low: {recall} ({approx} vs {exact})"
     # the query vector itself lives in a probed cell → must be found
     assert approx[0] == 0
+
+
+def test_lsh_bucketed_ann_finds_self_and_overlaps(spark):
+    from parsedmarc_go_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        with_hyperplane_buckets,
+    )
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    q = query_vector(emb, 0)
+    got = [r.vec_id for r in lsh_bucketed_topk(emb, q, k=10, n_planes=4).collect()]
+    assert got, "query bucket empty"
+    assert got[0] == 0, "query vector must rank first in its own bucket"
+    # buckets are deterministic and partition the corpus
+    b1 = {r.vec_id: r.hp_bucket for r in with_hyperplane_buckets(emb, 4).collect()}
+    b2 = {r.vec_id: r.hp_bucket for r in with_hyperplane_buckets(emb, 4).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 16 for v in b1.values())

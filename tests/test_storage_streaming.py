@@ -88,3 +88,30 @@ def test_stream_matches_batch(spark, ingested, tmp_path):
     assert spark.read.parquet(os.path.join(out, "forensic_reports")).count() == 4
     rejects = spark.read.parquet(os.path.join(out, "rejects"))
     assert rejects.count() == 3
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located bucketed join: both sides bucketed on the join key →
+    SortMergeJoin with zero Exchange operators (the 100 TB fact⋈fact
+    path; broadcast covers small dims)."""
+    from parsedmarc_go_spark.storage import write_bucketed
+    from parsedmarc_go_spark.tables import load
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        li = load(spark, "/root/testdata/sf0.001", "lineitem")
+        orders = load(spark, "/root/testdata/sf0.001", "orders")
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8, ("l_orderkey",), str(tmp_path / "li"))
+        write_bucketed(orders, "b_orders", "o_orderkey", 8, ("o_orderkey",), str(tmp_path / "or"))
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        n = joined.count()
+        assert n == 6000  # every lineitem has its order
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
