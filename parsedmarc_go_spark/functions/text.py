@@ -85,3 +85,45 @@ def fingerprint16(col: Column) -> Column:
     """16-hex-char content fingerprint (sha256 prefix) — the same idiom
     the reference uses for forensic ids (output.go:872-875)."""
     return F.substring(F.sha2(col, 256), 1, 16)
+
+
+def winnowing_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every k-char gram of the normalized text, then keep the
+    minimum hash of each sliding window of `window` grams — the
+    classic plagiarism/near-dup fingerprint set whose size adapts to
+    document length while guaranteeing any shared substring of length
+    ≥ k + window - 1 yields a shared fingerprint.
+
+    Expression-level: posexplode positions → substring k-grams →
+    xxhash64 → per-document sliding-window MIN (window frame over
+    position) → distinct. All codegen'd; the only shuffle is the
+    per-document window partition. Returns (id, pos, fingerprint).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    grams = (
+        df.select(F.col(id_col).alias("doc"), norm.alias("t"))
+        .filter(F.length("t") >= k)
+        .select(
+            "doc",
+            F.posexplode(
+                F.expr(f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))")
+            ).alias("pos", "gram"),
+        )
+        .select("doc", "pos", F.xxhash64("gram").alias("h"))
+    )
+    w = W.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select("doc", "pos", F.min("h").over(w).alias("fingerprint"))
+        .select("doc", "fingerprint")
+        .distinct()
+    )

@@ -185,3 +185,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
+
+
+@query("doc_winnowing_fingerprints")
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (rows-only: xxhash64 grams
+    are not reproducible in DuckDB; tests assert parity against a pure-
+    Python winnowing reference)."""
+    from parsedmarc_go_spark.functions.text import winnowing_fingerprints
+
+    return winnowing_fingerprints(load(spark, sf_dir, "documents"))
