@@ -198,26 +198,30 @@ def minhash_lsh_pairs(
 
 def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, ±1 bit voting,
-    sign → bit. Bit votes are integer sums (order-independent), built
-    entirely from higher-order expressions."""
-    toks = (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"))
-        .select(id_col, F.xxhash64("tok").alias("h"))
+    sign → bit.
+
+    Bit votes are 64 conditional-sum AGGREGATES over the exploded token
+    hashes — whole-stage-codegen'd, one hash-aggregate pass. (A previous
+    formulation collected hashes per doc and evaluated nested
+    transform/aggregate lambdas; interpreted HOF evaluation made it
+    ~30× slower at bench SF.) The final hash assembles from the 64 vote
+    columns in one projection."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"),
+    ).select(id_col, F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
     )
-    hashes = toks.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
-    votes = (
-        "transform(sequence(0, 63), j -> "
-        "aggregate(hs, 0, (acc, h) -> acc + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END))"
+    simhash = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)" for j in range(64)
     )
-    simhash = (
-        f"aggregate(sequence(0, 63), 0L, "
-        f"(acc, j) -> acc + CASE WHEN element_at(votes, j + 1) > 0 THEN shiftleft(1L, j) ELSE 0L END)"
-    )
-    return (
-        hashes.withColumn("votes", F.expr(votes))
-        .withColumn("simhash", F.expr(simhash))
-        .drop("hs", "votes")
-    )
+    return votes.select(id_col, F.expr(simhash).alias("simhash"))
 
 
 def simhash_pairs(
