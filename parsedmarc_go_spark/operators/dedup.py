@@ -21,29 +21,6 @@ from pyspark.sql import functions as F
 from parsedmarc_go_spark.functions.text import normalized_text
 
 
-def with_shingles(
-    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
-) -> DataFrame:
-    """Distinct word n-gram shingles per document (lower-cased).
-
-    `sequence(a, b)` in Spark generates a *descending* range when a > b,
-    so short docs are guarded explicitly. Tokenization happens once into
-    a lateral `__toks` column, and each shingle is O(n) element_at
-    lookups rather than an O(len) slice() per position."""
-    parts = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
-    shingle_expr = (
-        f"CASE WHEN size(__toks) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size(__toks) - {n - 1}), "
-        f"i -> concat_ws(' ', {parts}))) "
-        f"ELSE array() END"
-    )
-    return (
-        df.withColumn("__toks", F.split(F.lower(F.col(text_col)), " "))
-        .withColumn(out, F.expr(shingle_expr))
-        .drop("__toks")
-    )
-
-
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup on the normalized-text fingerprint: one output row per
     distinct content, keeping the smallest id as the representative.
@@ -63,12 +40,12 @@ def _shingle_index(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> DataF
     extra per-doc aggregation or join — one less shuffle, and the index
     subtree is persisted by callers that consume it more than once.
 
-    Built with posexplode + window lead() rather than the
-    transform/sequence higher-order expression in `with_shingles`:
-    HOF lambdas evaluate interpreted (~45 µs/shingle measured — 13 s at
-    bench SF), while posexplode/lead/concat_ws stay inside whole-stage
-    codegen (~3× faster cold, ~15× warm). The window shuffle on doc
-    also supplies full parallelism regardless of input file layout."""
+    Built with posexplode + window lead() rather than a
+    transform/sequence higher-order expression: HOF lambdas evaluate
+    interpreted (~45 µs/shingle measured — 13 s at bench SF), while
+    posexplode/lead/concat_ws stay inside whole-stage codegen (~3×
+    faster cold, ~15× warm). The window shuffle on doc also supplies
+    full parallelism regardless of input file layout."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc").orderBy("pos")

@@ -206,3 +206,23 @@ def lsh_bucketed_topk(
         F.round(cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "q"), 4).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_neardup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs blocked by hyperplane LSH buckets — the
+    label-free variant for corpora with no natural cells. High-cosine
+    pairs agree on hyperplane signs with probability (1 - θ/π)^planes,
+    so near-duplicates nearly always share the bucket; the miss rate is
+    the usual LSH recall trade against the |bucket|² work bound."""
+    bucketed = with_hyperplane_buckets(vectors, n_planes, vec_col).withColumnRenamed(
+        "hp_bucket", "__block"
+    )
+    return cosine_neardup_pairs(
+        bucketed, threshold=threshold, block_col="__block", id_col=id_col, vec_col=vec_col
+    )

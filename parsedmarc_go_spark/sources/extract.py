@@ -96,6 +96,13 @@ def _decode_part(part) -> bytes:
             # message/* container parts (e.g. message/rfc822 sample,
             # message/feedback-report): serialize the inner message(s)
             payload = b"".join(p.as_bytes() for p in raw)
+            # a base64 CTE on the *container* (Netease) leaves the inner
+            # body undecoded in the serialized form — decode it here,
+            # like the reference's per-part base64 pass (parser.go:1528-1546)
+            if (part.get("Content-Transfer-Encoding", "") or "").strip().lower() == "base64":
+                decoded = _try_base64(payload)
+                if decoded is not None:
+                    payload = decoded
         elif isinstance(raw, str):
             payload = raw.encode("utf-8", "replace")
             # the email parser ignores Content-Transfer-Encoding on

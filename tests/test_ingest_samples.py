@@ -148,3 +148,30 @@ def test_smtp_tls_accept_matrix(result):
 def test_rejects_have_reasons(result):
     for r in result["rejects"].collect():
         assert r.error, f"reject without a reason: {r.path}"
+
+
+def test_forensic_golden_fields(result):
+    """Field-level goldens for all forensic samples (values read from
+    the samples' feedback-report blocks; the reference asserts only
+    accept/reject — we pin the content)."""
+    rows = {r.message_id: r for r in result["forensic"].collect()}
+
+    linkedin = rows["<BB.91.26019.C3EA7CC5@mail516.prod.linkedin.com>"]
+    assert linkedin.source_ip_address == "10.10.10.10"
+    assert linkedin.reported_domain == "example.com"
+    assert linkedin.delivery_result == "delivered"
+    assert str(linkedin.arrival_date) == "2019-04-30 02:09:00"
+
+    de = rows["<OF587285BA.CB01D107-ONC1258319.00334FCF@LocalDomain>"]
+    assert de.reported_domain == "domain.de"
+    assert de.delivery_result == "policy"
+    assert "dmarc=fail" in de.authentication_results
+
+    netease = rows["<5BADEAEC.AC2A83.17156@m12-184.163.com>"]
+    # the feedback block is base64 on a message/* container (the
+    # provider-quirk case, SURVEY §7 hard part 1)
+    assert netease.source_ip_address == "167.89.69.24"
+    assert netease.reported_domain == "cardinal.com"
+    assert netease.user_agent == "NtesDmarcReporter/1.0"
+    assert netease.original_envelope_id == "N8CowEApcUPo6q1bnXlMAA--.44392S3"
+    assert str(netease.arrival_date) == "2018-09-28 08:48:42"  # +0800 → UTC

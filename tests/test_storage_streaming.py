@@ -115,3 +115,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_compact_table(spark, ingested, tmp_path):
+    """Streaming micro-batches leave many small files; compaction
+    rewrites to the computed file count with identical content."""
+    import glob
+
+    from parsedmarc_go_spark.storage import compact_table
+
+    src = str(tmp_path / "frag")
+    # fragment: one file per tiny partition
+    ingested.aggregate_records.repartition(24).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 24
+    out = str(tmp_path / "compacted")
+    n = compact_table(spark, src, out, target_file_mb=256)
+    assert n == 1  # tiny table → single file
+    assert len(glob.glob(out + "/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == ingested.aggregate_records.count()
