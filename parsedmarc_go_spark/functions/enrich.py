@@ -72,27 +72,52 @@ def geoip_enrich(
     geo_dim: DataFrame,
     ip_col: str = "source_ip_address",
     out_col: str = "source_country",
+    bucket_bits: int = 16,
 ) -> DataFrame:
-    """P9/J3 — prefix-interval lookup as a broadcast range join
-    (BroadcastNestedLoopJoin; the dim is small, the fact side never
-    shuffles). `geo_dim`: (start_ip, end_ip, country) as int64 bounds.
-    Unmatched / malformed IPs get 'Unknown' (parser.go:1274-1277)."""
-    fact = df.withColumn("__ip_long", ipv4_to_long(F.col(ip_col)))
+    """P9/J3 — prefix-interval lookup as a bucketed broadcast HASH join
+    (never a nested-loop join). `geo_dim`: (start_ip, end_ip, country)
+    as int64 bounds. Unmatched / malformed IPs get 'Unknown'
+    (parser.go:1274-1277).
+
+    Scale shape: a naive broadcast range join is a
+    BroadcastNestedLoopJoin — O(|fact| × |dim|), a scale-killer against
+    the real GeoLite2 dim (~3M intervals). Instead each interval is
+    exploded to the /16 buckets it spans and the join becomes a
+    broadcast EQUI-join on `ip >> 16` with the range check as a residual
+    join predicate. Because real GeoIP intervals are disjoint, the
+    exploded dim is bounded by |intervals| + 2^bucket_bits rows total
+    (each bucket boundary adds at most one extra row per interval
+    crossing it) — ~3M + 65k rows, still broadcastable, and each fact
+    row probes a hash table instead of scanning the dim."""
+    shift = 32 - bucket_bits
+    fact = df.withColumn("__ip_long", ipv4_to_long(F.col(ip_col))).withColumn(
+        "__ip_bkt", F.shiftright(F.col("__ip_long"), shift)
+    )
     # internal names so out_col may legally collide with a dim column
     dim = F.broadcast(
         geo_dim.select(
             F.col("start_ip").alias("__geo_lo"),
             F.col("end_ip").alias("__geo_hi"),
             F.col("country").alias("__geo_country"),
+        ).withColumn(
+            "__ip_bkt",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.col("__geo_lo"), shift),
+                    F.shiftright(F.col("__geo_hi"), shift),
+                )
+            ),
         )
     )
     joined = fact.join(
         dim,
-        (F.col("__ip_long") >= dim["__geo_lo"]) & (F.col("__ip_long") <= dim["__geo_hi"]),
+        (fact["__ip_bkt"] == dim["__ip_bkt"])
+        & (F.col("__ip_long") >= dim["__geo_lo"])
+        & (F.col("__ip_long") <= dim["__geo_hi"]),
         "left",
     )
     return joined.withColumn(out_col, F.coalesce(F.col("__geo_country"), F.lit("Unknown"))).drop(
-        "__ip_long", "__geo_lo", "__geo_hi", "__geo_country"
+        "__ip_long", "__ip_bkt", "__geo_lo", "__geo_hi", "__geo_country"
     )
 
 

@@ -21,15 +21,75 @@ from pyspark.sql import functions as F
 from parsedmarc_go_spark.functions.text import normalized_text
 
 
-def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact dedup on the normalized-text fingerprint: one output row per
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, keep_text: bool = True
+) -> DataFrame:
+    """Exact dedup on the normalized-text content: one output row per
     distinct content, keeping the smallest id as the representative.
-    Single hash-aggregate with map-side partial agg; the group key is the
-    (short) normalized text, so the shuffle payload stays bounded."""
+
+    The group/shuffle KEY is the 32-byte sha256 of the normalized text —
+    never the text itself, which for an LLM corpus is KB–MB per doc. A
+    single hash-aggregate with map-side partial agg: duplicates collapse
+    before the exchange, and hash/compare cost on the reduce side is a
+    fixed-width digest regardless of document size.
+
+    With keep_text=True (default, the gate contract) the representative
+    norm_text rides along as a first() aggregate value; at 100 TB pass
+    keep_text=False and the exchange carries nothing but digests+ids."""
+    norm = df.select(F.col(id_col), normalized_text(text_col).alias("norm_text")).withColumn(
+        "__fp", F.sha2(F.col("norm_text"), 256)
+    )
+    aggs = [F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count")]
+    if keep_text:
+        return (
+            norm.groupBy("__fp")
+            .agg(F.first("norm_text").alias("norm_text"), *aggs)
+            .select("norm_text", "keep_id", "dup_count")
+        )
     return (
-        df.select(F.col(id_col), normalized_text(text_col).alias("norm_text"))
-        .groupBy("norm_text")
-        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        norm.drop("norm_text")
+        .groupBy("__fp")
+        .agg(*aggs)
+        .select(F.col("__fp").alias("fingerprint"), "keep_id", "dup_count")
+    )
+
+
+def _shingle_stream(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> DataFrame:
+    """(doc, shingle) stream, duplicates RETAINED — the cheap producer
+    for consumers like MinHash where min() over duplicates equals min()
+    over the distinct set, so no dedup shuffle is spent.
+
+    Shingles are formed WITHOUT any shuffle: `arrays_zip` over `slice`d
+    views of the token array gives the sliding n-gram directly, and all
+    of split/slice/arrays_zip/explode/concat_ws stay inside whole-stage
+    codegen. (Two prior formulations were measured and rejected:
+    transform/sequence HOF lambdas evaluate interpreted — ~45 µs/shingle,
+    13 s at bench SF — and a posexplode + window-lead() pipeline pays a
+    full token-level exchange just to line up neighbors.)
+
+    If the input arrives in fewer partitions than the cluster has slots
+    (the single-parquet-file case at test SF), the RAW doc rows are
+    hash-repartitioned by doc first — shuffling raw text once is far
+    cheaper than shuffling exploded tokens, and hash-partitioning by doc
+    lets a following groupBy(doc) reuse the partitioning with no further
+    exchange. A 100 TB corpus already lands in thousands of file splits,
+    so the repartition is skipped there."""
+    d = docs.select(F.col(id_col).alias("doc"), F.lower(F.col("text")).alias("lt"))
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        # repartition the RAW text (before split/explode) so the serial
+        # single-file scan stage only reads + shuffles compact strings
+        d = d.repartition(F.col("doc"))
+    d = d.select("doc", F.split("lt", " ").alias("toks"))
+    m = F.size("toks") - (shingle_df_n - 1)
+    zipped = F.arrays_zip(*[F.slice("toks", 1 + j, m) for j in range(shingle_df_n)])
+    return (
+        d.filter(m > 0)
+        .select("doc", F.explode(zipped).alias("z"))
+        .select(
+            "doc",
+            F.concat_ws(" ", *[F.col(f"z.{j}") for j in range(shingle_df_n)]).alias("shingle"),
+        )
     )
 
 
@@ -38,56 +98,39 @@ def _shingle_index(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> DataF
 
     n_shingles rides along with every row so downstream Jaccard needs no
     extra per-doc aggregation or join — one less shuffle, and the index
-    subtree is persisted by callers that consume it more than once.
-
-    Built with posexplode + window lead() rather than a
-    transform/sequence higher-order expression: HOF lambdas evaluate
-    interpreted (~45 µs/shingle measured — 13 s at bench SF), while
-    posexplode/lead/concat_ws stay inside whole-stage codegen (~3×
-    faster cold, ~15× warm). The window shuffle on doc also supplies
-    full parallelism regardless of input file layout."""
+    subtree is persisted by callers that consume it more than once."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("doc").orderBy("pos")
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
-    )
-    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, shingle_df_n)]
-    sh = (
-        toks.select("doc", "tok", *leads)
-        .filter(F.col(f"t{shingle_df_n - 1}").isNotNull())
-        .select(
-            "doc",
-            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, shingle_df_n)]).alias("shingle"),
-        )
-        .distinct()
-    )
+    sh = _shingle_stream(docs, id_col, shingle_df_n).distinct()
     return sh.withColumn("n_shingles", F.count("*").over(Window.partitionBy("doc")))
 
 
-def _pairs_with_jaccard(index: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for doc pairs sharing shingles. If `candidates`
-    (doc_a, doc_b) is given, only those pairs are scored (LSH verify
-    step); otherwise all co-shingled pairs are scored (exact mode).
+def _candidate_index(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> DataFrame:
+    """Same (doc, n_shingles, shingle) contract as _shingle_index but
+    built with ONE exchange: collect_set per doc (dedup + count in a
+    single hash aggregate), then explode. collect_set buffers a whole
+    doc's shingle set in the aggregation buffer, so this variant is for
+    SMALL doc subsets (LSH candidate verify); the full-corpus exact path
+    keeps the spill-safe distinct + window formulation."""
+    stream = _shingle_stream(docs, id_col, shingle_df_n)
+    return stream.groupBy("doc").agg(F.collect_set("shingle").alias("shs")).select(
+        "doc", F.size("shs").alias("n_shingles"), F.explode("shs").alias("shingle")
+    )
+
+
+def _pairs_with_jaccard(index: DataFrame) -> DataFrame:
+    """Exact Jaccard for all doc pairs sharing shingles (exact mode —
+    the Σ freq(shingle)² cost is the caller's documented tradeoff).
     One shuffle join on shingle + one hash aggregate — n_a/n_b are
     constants per doc carried by the index rows."""
     a = index.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = index.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle")
-    if candidates is not None:
-        # verify mode: restrict BEFORE the shingle join — candidate sets
-        # are tiny relative to the all-pairs space, so the expensive
-        # inverted-index self-join shrinks to |candidates| × |doc shingles|
-        a = a.join(candidates.select("doc_a").distinct(), "doc_a")
-        b = b.join(candidates.select("doc_b").distinct(), "doc_b")
     shared = (
         a.join(b, ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"), F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
     )
-    if candidates is not None:
-        shared = shared.join(candidates, ["doc_a", "doc_b"], "inner")
     return shared.select(
         "doc_a",
         "doc_b",
@@ -98,6 +141,47 @@ def _pairs_with_jaccard(index: DataFrame, candidates: DataFrame | None = None) -
             F.col("shared").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
         ).alias("jaccard"),
+    )
+
+
+def _verify_pairs_single_scan(index: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs, scanning the (already
+    candidate-filtered) index exactly ONCE: group by shingle, collect
+    the (doc, n_shingles) posting list, and explode it against itself to
+    enumerate co-shingled pairs. Equivalent to the two-sided self-join
+    in _pairs_with_jaccard, but with one index scan and no join
+    exchange — the right shape when the index is small (verify mode).
+    The candidate filter is a broadcast semi-style inner join applied
+    BEFORE the pair aggregation so only candidate pairs shuffle."""
+    postings = index.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc", "n_shingles")).alias("ds")
+    )
+    pair_hits = (
+        postings.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
+        )
+        .join(F.broadcast(candidates), ["doc_a", "doc_b"], "inner")
+    )
+    return (
+        pair_hits.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"), F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -128,19 +212,26 @@ def minhash_lsh_pairs(
     keeping bucket collisions (and thus the join fan-out) sparse.
     """
     rows = num_hashes // bands
-    # the index feeds three consumers (minhash agg + both sides of the
-    # verify join); those are INDEPENDENT stages of one job and would
-    # race to compute the subtree before the cache fills, so persist AND
-    # materialize eagerly — the scan+shingle explode then runs once
-    index = _shingle_index(docs, id_col, n).persist()
-    index.count()
+    # The shingle stream is computed exactly ONCE, inside the single
+    # pipeline that produces the (doc, band, sig) buckets — it is never
+    # persisted, deduplicated, or counted: min() over duplicate shingles
+    # equals min() over the distinct set, so the distinct + n_shingles
+    # shuffles that exact Jaccard needs are skipped entirely here. At
+    # 100 TB the inverted index is within a small factor of the corpus
+    # itself; caching it is a memory/disk cliff, while the bucket frame
+    # is |docs| × bands rows of three fixed-width columns. Only the tiny
+    # frames (buckets, candidate pairs, candidate-doc verify index) are
+    # persisted + eagerly materialized, because each feeds multiple
+    # independent stages of one job that would otherwise race to
+    # recompute the subtree before the cache fills.
+    stream = _shingle_stream(docs, id_col, n)
     # K independent salted xxhash64 permutations. (A cheaper affine /
     # double-hashing family was measured here and rejected: its
     # permutations correlate — the same shingle tends to win adjacent k
     # — which collapses r=2 bands toward r=1 and bloats the bucket join.
     # The K hash evaluations are <1 s at bench SF; the join is what
     # matters.)
-    mins = index.groupBy("doc").agg(
+    mins = stream.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.lit(f"mh{k}"), F.col("shingle"))).alias(f"mh_{k}")
             for k in range(num_hashes)
@@ -158,6 +249,10 @@ def minhash_lsh_pairs(
     buckets = mins.select("doc", F.explode(band_structs).alias("bs")).select(
         "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    # bucket self-join: both sides are the same canonical subplan, so
+    # Spark computes the (band, sig) exchange ONCE and reuses it
+    # (ReusedExchange / AQE stage reuse) — the shingle+minhash pipeline
+    # runs exactly once, inside this single job, with no persist
     left = buckets.select(F.col("doc").alias("doc_a"), "band", "sig")
     right = buckets.select(F.col("doc").alias("doc_b"), "band", "sig")
     candidates = (
@@ -165,12 +260,20 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        # feeds three consumers in the verify join — persist + eager
-        # materialization for the same stage-race reason as the index
+        # feeds the verify filter + the final inner join — tiny; persist
+        # + materialize eagerly so those stages read the cache
         .persist()
     )
     candidates.count()
-    return _pairs_with_jaccard(index, candidates).filter(F.col("jaccard") >= threshold)
+    # Verify with exact Jaccard over an index rebuilt ONLY for candidate
+    # docs — candidate sets are tiny relative to the corpus, so this
+    # re-shingling pass is orders of magnitude cheaper than caching the
+    # full inverted index for the verify join to read.
+    cand_docs = (
+        candidates.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
+    )
+    vindex = _candidate_index(docs.join(F.broadcast(cand_docs), id_col), id_col, n)
+    return _verify_pairs_single_scan(vindex, candidates).filter(F.col("jaccard") >= threshold)
 
 
 def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -201,19 +304,41 @@ def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return votes.select(id_col, F.expr(simhash).alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame,
+def _band_slices(bands: int) -> list[tuple[int, int]]:
+    """Partition the 64 simhash bits into `bands` contiguous slices of
+    near-equal width ((shift, width) per band). Uneven widths are fine —
+    pigeonhole only needs the slices to be disjoint and cover all bits."""
+    base, extra = divmod(64, bands)
+    slices, shift = [], 0
+    for b in range(bands):
+        width = base + (1 if b < extra else 0)
+        slices.append((shift, width))
+        shift += width
+    return slices
+
+
+def simhash_banded_pairs(
+    sh: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     max_hamming: int = 6,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit bands (a pair within
-    Hamming ≤ bands-1 of 64 bits must agree on ≥1 of 4 bands — pigeonhole
-    guarantees recall for distance < bands), then verify with
-    bit_count(xor)."""
-    width = 64 // bands
-    sh = with_simhash(docs, id_col, text_col)
+    """Banded blocking + exact Hamming verify over a precomputed
+    (id, simhash) frame.
+
+    Recall guarantee: a pair at Hamming distance d differs in d bit
+    positions, which can touch at most d of the bands — so with
+    bands >= max_hamming + 1 (the default) pigeonhole guarantees the
+    pair agrees exactly on at least one band and is generated as a
+    candidate. bands <= max_hamming would silently miss pairs at
+    distance bands..max_hamming and is rejected."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} breaks the recall guarantee for max_hamming={max_hamming}: "
+            f"need bands >= max_hamming + 1 (pigeonhole)"
+        )
     banded = sh.select(
         F.col(id_col).alias("doc"),
         F.col("simhash"),
@@ -222,9 +347,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("val"),
+                        F.expr(f"(simhash >> {shift}) & {(1 << width) - 1}").alias("val"),
                     )
-                    for b in range(bands)
+                    for b, (shift, width) in enumerate(_band_slices(bands))
                 ]
             )
         ).alias("bv"),
@@ -237,4 +362,19 @@ def simhash_pairs(
         .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bands: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on bands (bands defaults to
+    max_hamming + 1 so pigeonhole guarantees full recall at the declared
+    distance), then verify with bit_count(xor)."""
+    return simhash_banded_pairs(
+        with_simhash(docs, id_col, text_col), id_col, max_hamming=max_hamming, bands=bands
     )
