@@ -54,15 +54,24 @@ _MAX_RANGE_SECONDS = 48 * 3600  # parser.go:1174-1176 (tolerates up to 48 h)
 
 def aggregate_validity(fb: Column) -> Column:
     """F1/F2 accept predicate for a parsed <feedback> struct: XML decoded,
-    both dates epoch-parseable, and end-begin ≤ 48 h."""
+    both dates epoch-parseable, end-begin ≤ 48 h, and every record's
+    <count> — when present — integer-parseable. The reference fails
+    xml.Unmarshal outright on a non-integer count (Go `Count int`,
+    parser.go struct decode), rejecting the whole report; silently
+    coalescing it to 0 would undercount instead of quarantining."""
     begin = fb["report_metadata"]["date_range"]["begin"].try_cast("long")
     end = fb["report_metadata"]["date_range"]["end"].try_cast("long")
+    bad_count = F.exists(
+        F.coalesce(fb["record"], F.array()),
+        lambda r: r["row"]["count"].isNotNull() & r["row"]["count"].try_cast("int").isNull(),
+    )
     return (
         fb["_corrupt_record"].isNull()
         & fb["report_metadata"].isNotNull()
         & begin.isNotNull()
         & end.isNotNull()
         & ((end - begin) <= F.lit(_MAX_RANGE_SECONDS))
+        & ~bad_count
     )
 
 

@@ -140,7 +140,11 @@ def cosine_neardup_pairs(
         X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
-        C = np.round((X / norms[:, None]) @ (X / norms[:, None]).T, 4)
+        raw = (X / norms[:, None]) @ (X / norms[:, None]).T
+        # round half AWAY FROM ZERO (the F.round / DuckDB ROUND rule) —
+        # np.round is bankers' rounding, which can flip the >= threshold
+        # decision vs the declared oracle on exact 4-decimal halves
+        C = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = C[ia, ib] >= threshold
         return pd.DataFrame(

@@ -61,10 +61,13 @@ def send_reports(df: DataFrame, kind: str, config: SMTPConfig | None) -> None:
 
     def send_partition(rows) -> None:
         import smtplib
+        import ssl
 
         with smtplib.SMTP(conf.host, conf.port, timeout=30) as server:
             if conf.use_tls:
-                server.starttls()
+                # verified TLS: smtplib's default context skips cert
+                # validation; the reference's net/smtp.SendMail verifies
+                server.starttls(context=ssl.create_default_context())
             if conf.username:
                 server.login(conf.username, conf.password or "")
             for row in rows:

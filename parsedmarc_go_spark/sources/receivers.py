@@ -141,17 +141,62 @@ def fetch_imap_once(
     with imaplib.IMAP4_SSL(host) as conn:
         conn.login(username, password)
         conn.select(mailbox)
-        _, data = conn.search(None, "ALL")
+        # UNSEEN, not ALL: processed mail is always marked (archived /
+        # deleted / \Seen below), so repeated polls never re-land the
+        # same message — the reference likewise always archives or
+        # deletes what it processed (client.go:363-390)
+        _, data = conn.search(None, "UNSEEN")
         for num in data[0].split():
             _, msg_data = conn.fetch(num, "(RFC822)")
             raw = msg_data[0][1]
             msg = email.message_from_bytes(raw)
             names = [p.get_filename() or "" for p in msg.walk()]
             if not imap_candidate_filter(str(msg.get("Subject", "")), names):
+                # fetch already set \Seen — non-candidates are simply
+                # not revisited on the next poll
                 continue
             landed.append(_land(landing_dir, "imap", raw, ext="eml"))
             if archive_mailbox:
                 conn.copy(num, archive_mailbox)
                 conn.store(num, "+FLAGS", "\\Deleted")
+            else:
+                # processed-but-kept: mark explicitly so idempotence does
+                # not rely on the implicit fetch side effect
+                conn.store(num, "+FLAGS", "\\Seen")
         conn.expunge()
     return landed
+
+
+def watch_imap(
+    host: str,
+    username: str,
+    password: str,
+    landing_dir: str,
+    mailbox: str = "INBOX",
+    archive_mailbox: str | None = "Archive",
+    check_interval: float = 300.0,
+    stop_event: "threading.Event | None" = None,
+    max_polls: int | None = None,
+) -> int:
+    """Continuous poll loop (client.go:397-409 Watch): fetch_imap_once
+    every `check_interval` seconds until `stop_event` is set (or
+    `max_polls` cycles, for tests). Network errors are logged and the
+    loop continues — one bad poll must not kill the daemon. Returns the
+    total number of landed files."""
+    import logging
+
+    ev = stop_event or threading.Event()
+    total = 0
+    polls = 0
+    while not ev.is_set():
+        try:
+            total += len(
+                fetch_imap_once(host, username, password, landing_dir, mailbox, archive_mailbox)
+            )
+        except OSError as exc:  # connection/auth/protocol failures
+            logging.getLogger(__name__).warning("imap poll failed: %s", exc)
+        polls += 1
+        if max_polls is not None and polls >= max_polls:
+            break
+        ev.wait(check_interval)
+    return total

@@ -7,9 +7,18 @@ both ultimately produce raw report payloads one at a time. The Spark
 shape: an external fetcher (IMAP/HTTP receiver — mailbox protocol does
 not belong in the engine) lands raw files in `landing_dir`; this stream
 picks them up, runs the *same* batch transforms via foreachBatch, and
-appends the five Parquet tables. Checkpointed file source ⇒ each file
-processed exactly once; `maxFilesPerTrigger` is the backpressure knob
-(the analogue of the reference's rate limiter, server.go:239-270).
+writes the five Parquet tables. `maxFilesPerTrigger` is the
+backpressure knob (the analogue of the reference's rate limiter,
+server.go:239-270).
+
+End-to-end exactly-once: the checkpointed file source replays a failed
+micro-batch with the SAME batch_id, and every table write is an
+idempotent dynamic-partition OVERWRITE of that batch's own
+`__batch_id=N` partition — a crash after some of the five writes
+re-runs the batch and replaces exactly what it wrote before, never
+appending duplicates. (Plain `append` here would silently degrade to
+at-least-once across the five non-atomic writes.) Readers drop the
+bookkeeping column via `read_stream_table`.
 
 Batch/stream parity is structural: foreachBatch calls the identical
 parse functions the batch path uses, so tests assert table equality.
@@ -32,6 +41,63 @@ from parsedmarc_go_spark.sources.ingest import (
 
 BINARY_FILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
 
+STREAM_TABLES = (
+    "aggregate_reports",
+    "aggregate_records",
+    "forensic_reports",
+    "smtp_tls_reports",
+    "smtp_tls_failures",
+    "rejects",
+)
+
+
+def make_batch_processor(out_dir: str):
+    """foreachBatch body, factored out so idempotence is directly
+    testable: calling it twice with the same batch_id (the
+    crash-and-replay case) must leave every table unchanged."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        extracted = extract_reports(batch).cache()
+        prev_overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            agg_reports, agg_records, agg_bad = parse_aggregate(extracted)
+            forensic = parse_forensic(extracted)
+            tls_reports, tls_failures, tls_bad = parse_smtp_tls(extracted)
+            hard = extracted.filter(F.col("kind") == "error").select(
+                "path", F.lit("unknown").alias("kind"), "error"
+            )
+            outputs = {
+                "aggregate_reports": agg_reports,
+                "aggregate_records": agg_records,
+                "forensic_reports": forensic,
+                "smtp_tls_reports": tls_reports,
+                "smtp_tls_failures": tls_failures,
+                "rejects": hard.unionByName(agg_bad).unionByName(tls_bad),
+            }
+            # idempotent commit: dynamic partition overwrite scoped to
+            # THIS batch's __batch_id partition — a replay of batch N
+            # replaces batch N's files and touches nothing else
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            for name, df in outputs.items():
+                (
+                    df.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("__batch_id")
+                    .parquet(os.path.join(out_dir, name))
+                )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)
+            extracted.unpersist()
+
+    return process_batch
+
+
+def read_stream_table(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    """Read one of the daemon's output tables, dropping the __batch_id
+    bookkeeping partition column."""
+    return spark.read.parquet(os.path.join(out_dir, name)).drop("__batch_id")
+
 
 def stream_ingest(
     spark: SparkSession,
@@ -53,29 +119,7 @@ def stream_ingest(
         .select("path", "length", "content")
     )
 
-    def process_batch(batch: DataFrame, batch_id: int) -> None:
-        extracted = extract_reports(batch).cache()
-        try:
-            agg_reports, agg_records, agg_bad = parse_aggregate(extracted)
-            forensic = parse_forensic(extracted)
-            tls_reports, tls_failures, tls_bad = parse_smtp_tls(extracted)
-            hard = extracted.filter(F.col("kind") == "error").select(
-                "path", F.lit("unknown").alias("kind"), "error"
-            )
-            outputs = {
-                "aggregate_reports": agg_reports,
-                "aggregate_records": agg_records,
-                "forensic_reports": forensic,
-                "smtp_tls_reports": tls_reports,
-                "smtp_tls_failures": tls_failures,
-                "rejects": hard.unionByName(agg_bad).unionByName(tls_bad),
-            }
-            for name, df in outputs.items():
-                df.write.mode("append").parquet(os.path.join(out_dir, name))
-        finally:
-            extracted.unpersist()
-
-    writer = files.writeStream.foreachBatch(process_batch).option(
+    writer = files.writeStream.foreachBatch(make_batch_processor(out_dir)).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -78,16 +78,52 @@ def test_stream_matches_batch(spark, ingested, tmp_path):
     )
     q.awaitTermination(120)
 
-    stream_records = spark.read.parquet(os.path.join(out, "aggregate_records"))
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+
+    stream_records = read_stream_table(spark, out, "aggregate_records")
     batch_records = ingested.aggregate_records
     assert stream_records.count() == batch_records.count()
+    assert "__batch_id" not in stream_records.columns
     key = ["report_id", "source_ip_address", "header_from", "count"]
     s = stream_records.select(*key).exceptAll(batch_records.select(*key))
     b = batch_records.select(*key).exceptAll(stream_records.select(*key))
     assert s.count() == 0 and b.count() == 0, "stream and batch fact rows differ"
-    assert spark.read.parquet(os.path.join(out, "forensic_reports")).count() == 4
-    rejects = spark.read.parquet(os.path.join(out, "rejects"))
+    assert read_stream_table(spark, out, "forensic_reports").count() == 4
+    rejects = read_stream_table(spark, out, "rejects")
     assert rejects.count() == 3
+
+
+def test_stream_batch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r1: a crash between foreachBatch's five writes replays the
+    whole batch on restart — re-running the SAME batch_id must replace
+    its own output, not append duplicates."""
+    from parsedmarc_go_spark.streaming.daemon import make_batch_processor, read_stream_table
+
+    batch = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(os.path.join(SAMPLES, "aggregate"))
+        .select("path", "length", "content")
+    )
+    out = str(tmp_path / "out")
+    proc = make_batch_processor(out)
+    proc(batch, 0)
+    first = {
+        t: read_stream_table(spark, out, t).count()
+        for t in ("aggregate_reports", "aggregate_records", "rejects")
+    }
+    assert first["aggregate_records"] > 0
+    proc(batch, 0)  # crash-replay of the same micro-batch
+    second = {
+        t: read_stream_table(spark, out, t).count()
+        for t in ("aggregate_reports", "aggregate_records", "rejects")
+    }
+    assert second == first, f"replay duplicated rows: {first} -> {second}"
+    proc(batch, 1)  # a NEW batch id appends
+    assert (
+        read_stream_table(spark, out, "aggregate_records").count()
+        == 2 * first["aggregate_records"]
+    )
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):

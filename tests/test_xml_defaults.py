@@ -81,3 +81,38 @@ def test_record_defaults(parsed):
     assert rec.dkim_results == ["none"]
     assert rec.spf_scopes == ["mfrom"]
     assert rec.spf_results == ["none"]
+
+
+BAD_COUNT = MINIMAL.replace(b"<count>3</count>", b"<count>abc</count>")
+EMPTY_COUNT = MINIMAL.replace(b"<count>3</count>", b"<count></count>")
+NO_COUNT = MINIMAL.replace(b"<count>3</count>", b"")
+
+
+def test_non_integer_count_rejects_report(spark, tmp_path):
+    """ADVICE r1: the reference fails xml.Unmarshal on a non-integer
+    <count> and rejects the whole report; it must land in the rejects
+    quarantine, not be kept with count=0."""
+    from parsedmarc_go_spark.sources.ingest import ingest
+
+    d = tmp_path / "badcount"
+    d.mkdir()
+    (d / "bad.xml").write_bytes(BAD_COUNT)
+    (d / "empty.xml").write_bytes(EMPTY_COUNT)
+    res = ingest(spark, str(d))
+    assert res.aggregate_reports.count() == 0
+    assert res.aggregate_records.count() == 0
+    assert res.rejects.count() == 2
+
+
+def test_missing_count_defaults_to_zero(spark, tmp_path):
+    """A MISSING <count> element is Go's zero value (no unmarshal error)
+    — the report stays accepted with count=0."""
+    from parsedmarc_go_spark.sources.ingest import ingest
+
+    d = tmp_path / "nocount"
+    d.mkdir()
+    (d / "no.xml").write_bytes(NO_COUNT)
+    res = ingest(spark, str(d))
+    [rec] = res.aggregate_records.collect()
+    assert rec["count"] == 0  # rec.count is Row.count(), not the column
+    assert res.rejects.count() == 0
