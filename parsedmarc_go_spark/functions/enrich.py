@@ -73,6 +73,7 @@ def geoip_enrich(
     ip_col: str = "source_ip_address",
     out_col: str = "source_country",
     bucket_bits: int = 16,
+    extra_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """P9/J3 — prefix-interval lookup as a bucketed broadcast HASH join
     (never a nested-loop join). `geo_dim`: (start_ip, end_ip, country)
@@ -88,8 +89,14 @@ def geoip_enrich(
     exploded dim is bounded by |intervals| + 2^bucket_bits rows total
     (each bucket boundary adds at most one extra row per interval
     crossing it) — ~3M + 65k rows, still broadcastable, and each fact
-    row probes a hash table instead of scanning the dim."""
+    row probes a hash table instead of scanning the dim.
+
+    `extra_cols` maps further dim columns to output names (e.g.
+    {"city": "source_city", "isp": "source_isp"} against a dim built by
+    enrichdims.geo_dim_from_mmdb — the city/ISP fields the reference
+    reads at utils.go:58-68); misses fill ''."""
     shift = 32 - bucket_bits
+    extra_cols = extra_cols or {}
     fact = df.withColumn("__ip_long", ipv4_to_long(F.col(ip_col))).withColumn(
         "__ip_bkt", F.shiftright(F.col("__ip_long"), shift)
     )
@@ -99,6 +106,7 @@ def geoip_enrich(
             F.col("start_ip").alias("__geo_lo"),
             F.col("end_ip").alias("__geo_hi"),
             F.col("country").alias("__geo_country"),
+            *[F.col(src).alias(f"__geo_x_{src}") for src in extra_cols],
         ).withColumn(
             "__ip_bkt",
             F.explode(
@@ -116,8 +124,36 @@ def geoip_enrich(
         & (F.col("__ip_long") <= dim["__geo_hi"]),
         "left",
     )
-    return joined.withColumn(out_col, F.coalesce(F.col("__geo_country"), F.lit("Unknown"))).drop(
-        "__ip_long", "__ip_bkt", "__geo_lo", "__geo_hi", "__geo_country"
+    out = joined.withColumn(out_col, F.coalesce(F.col("__geo_country"), F.lit("Unknown")))
+    for src, dst in extra_cols.items():
+        out = out.withColumn(dst, F.coalesce(F.col(f"__geo_x_{src}"), F.lit("")))
+    return out.drop(
+        "__ip_long",
+        "__ip_bkt",
+        "__geo_lo",
+        "__geo_hi",
+        "__geo_country",
+        *[f"__geo_x_{src}" for src in extra_cols],
+    )
+
+
+def apply_reverse_dns(
+    df: DataFrame,
+    rdns_dim: DataFrame,
+    ip_col: str = "source_ip_address",
+    out_col: str = "source_reverse_dns",
+) -> DataFrame:
+    """P10 consumption side: attach PTR hostnames from a previously
+    landed (ip, hostname) dim (built by enrichdims.resolve_ptr_batch
+    when online; empty when offline — rows then keep '' exactly like
+    parser.go:1289-1296's offline default). Broadcast left join; the
+    dim is distinct-by-ip."""
+    dim = F.broadcast(
+        rdns_dim.select(F.col("ip").alias("__rdns_ip"), F.col("hostname").alias("__rdns_host"))
+    )
+    joined = df.join(dim, df[ip_col] == dim["__rdns_ip"], "left")
+    return joined.withColumn(out_col, F.coalesce(F.col("__rdns_host"), F.lit(""))).drop(
+        "__rdns_ip", "__rdns_host"
     )
 
 

@@ -17,5 +17,9 @@ def spark():
         app_name="parsedmarc-go-spark-tests",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus) * 2,
+        # local mode runs all executor threads inside the driver JVM;
+        # the 1g default heap is tight for 8 concurrent tasks touching
+        # the 2,286-record sample + broadcast dims
+        extra_confs={"spark.driver.memory": "6g"},
     )
     yield s
