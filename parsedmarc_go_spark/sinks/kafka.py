@@ -1,0 +1,84 @@
+"""K5 — Kafka producer sink (reference: internal/kafka/kafka.go:33-198).
+
+`sinks.writers.kafka_messages` builds the exact message shape (key,
+JSON value, report_type header). This module owns the EXECUTED send:
+`.write.format("kafka")` with the connector options the reference's
+sarama config maps to (brokers, SASL, TLS). The spark-sql-kafka
+connector jar is environment-provided (it is not bundled with a stock
+PySpark install); `kafka_available()` detects it so callers and tests
+degrade to a clean skip instead of a ClassNotFound stack — the same
+pattern as the reference's env-guarded clickhouse_test.go.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parsedmarc_go_spark.sinks.writers import kafka_messages
+
+KAFKA_PROVIDER_CLASS = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(KAFKA_PROVIDER_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def kafka_writer(
+    df: DataFrame,
+    kind: str,
+    bootstrap_servers: str,
+    topic: str,
+    username: str | None = None,
+    password: str | None = None,
+    ssl: bool = False,
+):
+    """Configured DataFrameWriter for the kafka sink — returned
+    unexecuted so tests can inspect options; `.save()` produces.
+    Option mapping mirrors kafka.go's sarama config (hosts, SASL
+    PLAIN, TLS)."""
+    msgs = kafka_messages(df, kind)
+    writer = (
+        msgs.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("includeHeaders", "true")
+    )
+    if username:
+        protocol = "SASL_SSL" if ssl else "SASL_PLAINTEXT"
+        jaas = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule required "
+            f'username="{username}" password="{password or ""}";'
+        )
+        writer = (
+            writer.option("kafka.security.protocol", protocol)
+            .option("kafka.sasl.mechanism", "PLAIN")
+            .option("kafka.sasl.jaas.config", jaas)
+        )
+    elif ssl:
+        writer = writer.option("kafka.security.protocol", "SSL")
+    return writer
+
+
+def send_kafka(
+    df: DataFrame,
+    kind: str,
+    bootstrap_servers: str,
+    topic: str,
+    username: str | None = None,
+    password: str | None = None,
+    ssl: bool = False,
+) -> None:
+    """Execute the produce (kafka.go SendAggregateReport et al.). Raises
+    RuntimeError with a clear message when the connector jar is absent."""
+    spark = df.sparkSession
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 via spark.jars.packages"
+        )
+    kafka_writer(df, kind, bootstrap_servers, topic, username, password, ssl).save()

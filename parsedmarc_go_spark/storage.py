@@ -147,9 +147,17 @@ def compact_table(
     import math
 
     df = spark.read.parquet(path)
-    total_bytes = sum(
-        f.stat().st_size for f in __import__("pathlib").Path(path).rglob("*.parquet")
-    )
+    # size via the Hadoop FileSystem API, so this maintenance job works
+    # on S3/HDFS/anything Spark can read — never the local-only pathlib
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total_bytes = 0
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total_bytes += status.getLen()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     writer = df.repartition(n_files).write.mode("overwrite")
     if partition_cols:
