@@ -4,13 +4,19 @@ stages.
 
 The Spark-side architecture here is the real deliverable — schema,
 partition-preserving batch iteration, UDF signatures, and batch shapes
-are production-grade. The codec step itself is STUBBED: the decode
-libraries (PIL/ffmpeg/soundfile) are not in this container, so
-`decode_fn=None` uses a deterministic fake decoder (content-hash-seeded
-dimensions/features) and a real decoder plugs in via the `decode_fn`
-parameter without touching any Spark plumbing. Passing
-`decode_fn=NotImplemented` raises NotImplementedError eagerly — the
-explicit "codec not available" path.
+are production-grade. The codec story is split by modality:
+
+- IMAGES decode for REAL: `decode_image_header` is a pure-Python
+  struct-level parser for PNG/BMP/GIF/JPEG headers (width/height from
+  actual bytes — no native deps), and is the default `decode_fn` path
+  for kind == "image".
+- AUDIO/VIDEO remain stubbed: the codecs (ffmpeg/soundfile) are not in
+  this container, so the default path raises NotImplementedError per
+  item (isolated into the `error` column), and a real decoder plugs in
+  via `decode_fn` without touching any Spark plumbing. `fake_decode`
+  (deterministic, content-hash-seeded) stays available for pipeline
+  tests. Passing `decode_fn=NotImplemented` raises eagerly — the
+  explicit "codec not available" path.
 
 At 100 TB: binary payloads ride parquet/binaryFile row groups;
 `mapInPandas` streams Arrow batches so one task never materializes more
@@ -74,6 +80,63 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
+fake_decode = _fake_decode  # public alias: the deterministic pipeline-test decoder
+
+
+def decode_image_header(payload: bytes) -> dict:
+    """REAL image decode (width/height) by struct-level header parse —
+    PNG, BMP, GIF, JPEG. Pure Python, no codec libraries. Raises
+    ValueError on unknown/truncated formats (per-item isolation routes
+    that to the `error` column)."""
+    import struct as _struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("png: first chunk is not IHDR")
+        width, height = _struct.unpack(">II", payload[16:24])
+    elif len(payload) >= 26 and payload[:2] == b"BM":
+        width, height = _struct.unpack("<ii", payload[18:26])
+        height = abs(height)  # negative = top-down DIB
+    elif len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height = _struct.unpack("<HH", payload[6:10])
+    elif len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        width = height = None
+        while pos + 9 < len(payload):
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = _struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            # SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height, width = _struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                break
+            pos += 2 + seg_len
+        if width is None:
+            raise ValueError("jpeg: no SOF marker found")
+    else:
+        raise ValueError("unknown image format (not PNG/BMP/GIF/JPEG)")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid image dimensions {width}x{height}")
+    return {"width": int(width), "height": int(height), "n_frames": 1, "duration_ms": 0}
+
+
+def default_decode(payload: bytes, kind: str) -> dict:
+    """The honest default: real header decode for images; explicit
+    NotImplementedError for audio/video (ffmpeg/soundfile absent) —
+    per-item isolation turns that into `error` rows, never fabricated
+    dimensions."""
+    if kind == "image":
+        return decode_image_header(payload)
+    raise NotImplementedError(
+        f"{kind} codecs (ffmpeg/soundfile) are not available; pass decode_fn="
+    )
+
+
 def decode_media(
     media: DataFrame,
     decode_fn: Callable[[bytes, str], dict] | None = None,
@@ -82,10 +145,10 @@ def decode_media(
     batches in, Arrow batches out; partitioning preserved, no shuffle)."""
     if decode_fn is NotImplemented:
         raise NotImplementedError(
-            "media codecs (PIL/ffmpeg/soundfile) are not available in this "
+            "audio/video codecs (ffmpeg/soundfile) are not available in this "
             "environment; pass decode_fn= to plug a real decoder in"
         )
-    fn = decode_fn or _fake_decode
+    fn = decode_fn or default_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

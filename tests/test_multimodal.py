@@ -1,7 +1,11 @@
-"""Multimodal plumbing: schema, mapInPandas batch shape, deterministic
-fake decode, per-item error isolation, frame sampling, resize plan."""
+"""Multimodal plumbing: REAL image header decode (PNG/BMP/GIF/JPEG) as
+the default path, deterministic fake decoder for pipeline tests,
+mapInPandas batch shape, per-item error isolation, frame sampling,
+resize plan."""
 
 from __future__ import annotations
+
+import struct
 
 import pytest
 from pyspark.sql import functions as F
@@ -9,10 +13,34 @@ from pyspark.sql import functions as F
 from parsedmarc_go_spark.operators.multimodal import (
     FEATURE_DIM,
     MEDIA_SCHEMA,
+    decode_image_header,
     decode_media,
+    fake_decode,
     frame_sample,
     resize_plan,
 )
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    )
+
+
+def bmp_bytes(width: int, height: int) -> bytes:
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", width, height) + b"\x00" * 8
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00" * 4
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", height, width)
+    sof0 += b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
 @pytest.fixture(scope="module")
@@ -27,9 +55,58 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_deterministic(spark, media):
-    a = {r.media_id: (r.width, r.height, tuple(r.feature)) for r in decode_media(media).collect()}
-    b = {r.media_id: (r.width, r.height, tuple(r.feature)) for r in decode_media(media).collect()}
+def test_decode_image_header_real_formats():
+    assert decode_image_header(png_bytes(640, 480)) == {
+        "width": 640, "height": 480, "n_frames": 1, "duration_ms": 0,
+    }
+    assert decode_image_header(bmp_bytes(13, 37))["width"] == 13
+    # top-down BMP: negative height normalizes
+    assert decode_image_header(bmp_bytes(13, -37))["height"] == 37
+    assert decode_image_header(gif_bytes(320, 200)) == {
+        "width": 320, "height": 200, "n_frames": 1, "duration_ms": 0,
+    }
+    j = decode_image_header(jpeg_bytes(1920, 1080))
+    assert (j["width"], j["height"]) == (1920, 1080)
+    with pytest.raises(ValueError, match="unknown image format"):
+        decode_image_header(b"not an image at all")
+    with pytest.raises(ValueError):
+        decode_image_header(b"\x89PNG\r\n\x1a\n truncated")
+
+
+def test_default_decode_real_images_in_pipeline(spark):
+    """VERDICT r1 #9 'done' bar: an actual PNG header decoded through
+    the Spark pipeline (default decode_fn), with the audio/video stub
+    surfacing as explicit NotImplementedError error rows."""
+    rows = [
+        (1, "image", "image/png", png_bytes(800, 600), None),
+        (2, "image", "image/gif", gif_bytes(64, 64), None),
+        (3, "image", "image/jpeg", jpeg_bytes(1024, 768), None),
+        (4, "image", "image/bmp", bmp_bytes(32, 16), None),
+        (5, "image", "image/png", b"corrupt bytes", None),
+        (6, "video", "video/mp4", b"\x00\x00\x00 ftyp", None),
+        (7, "audio", "audio/wav", b"RIFF", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert (got[1].width, got[1].height) == (800, 600)
+    assert (got[2].width, got[2].height) == (64, 64)
+    assert (got[3].width, got[3].height) == (1024, 768)
+    assert (got[4].width, got[4].height) == (32, 16)
+    assert got[1].n_frames == 1 and got[1].error is None
+    assert got[5].width is None and "unknown image format" in got[5].error
+    assert "codecs" in got[6].error and got[6].width is None
+    assert "codecs" in got[7].error
+
+
+def test_decode_deterministic_fake(spark, media):
+    a = {
+        r.media_id: (r.width, r.height, tuple(r.feature))
+        for r in decode_media(media, decode_fn=fake_decode).collect()
+    }
+    b = {
+        r.media_id: (r.width, r.height, tuple(r.feature))
+        for r in decode_media(media, decode_fn=fake_decode).collect()
+    }
     assert a == b
     assert len(a) == 5
     for _, (w, h, feat) in a.items():
@@ -43,9 +120,7 @@ def test_decode_error_isolation(spark, media):
     def flaky(payload: bytes, kind: str) -> dict:
         if kind == "audio":
             raise ValueError("codec exploded")
-        from parsedmarc_go_spark.operators.multimodal import _fake_decode
-
-        return _fake_decode(payload, kind)
+        return fake_decode(payload, kind)
 
     rows = {r.media_id: r for r in decode_media(media, decode_fn=flaky).collect()}
     assert rows[4].error == "codec exploded" and rows[4].width is None
@@ -58,7 +133,7 @@ def test_decode_stub_raises(spark, media):
 
 
 def test_frame_sample(spark, media):
-    decoded = decode_media(media)
+    decoded = decode_media(media, decode_fn=fake_decode)
     frames = frame_sample(decoded, every_n=10).collect()
     n_frames = {r.media_id: r.n_frames for r in decoded.collect()}[3]
     expected = len(range(0, n_frames, 10))
@@ -68,7 +143,10 @@ def test_frame_sample(spark, media):
 
 
 def test_resize_plan(spark, media):
-    plans = {r.media_id: r for r in resize_plan(decode_media(media), max_side=256).collect()}
+    plans = {
+        r.media_id: r
+        for r in resize_plan(decode_media(media, decode_fn=fake_decode), max_side=256).collect()
+    }
     for r in plans.values():
         assert max(r.target_width, r.target_height) <= 256
         # aspect ratio preserved within rounding
