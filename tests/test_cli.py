@@ -36,7 +36,9 @@ def test_flag_surface_matches_reference():
     assert (ns.input, ns.output, ns.format, ns.config) == ("a", "b", "csv", "c")
 
 
-def test_invalid_format_fails(tmp_path, capsys):
+def test_invalid_format_fails(spark, tmp_path, capsys):
+    # `spark` fixture first: the CLI's getOrCreate must reuse the tuned
+    # test session, not create a default-heap one for the whole suite
     d = tmp_path / "in"
     d.mkdir()
     (d / "x.xml").write_bytes(b"<feedback></feedback>")
@@ -73,7 +75,7 @@ def test_one_shot_csv_matches_k2_projection(spark, tmp_path, capsys):
 
 
 @needs_samples
-def test_one_shot_json_stdout(capsys, tmp_path):
+def test_one_shot_json_stdout(spark, capsys, tmp_path):
     rc = main(
         [
             "-input", os.path.join(SAMPLES, "forensic"),
