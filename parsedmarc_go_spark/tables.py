@@ -40,7 +40,18 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# (session id, sf_dir, table) → DataFrame. spark.read.parquet lists
+# files + reads footers on the DRIVER every call (~70 ms/table); the
+# relation is immutable for a given path, so memoize it — repeated
+# queries over the same tables then skip the re-listing entirely.
+_scan_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _scan_cache.get(key)
+    if cached is not None:
+        return cached
     _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
@@ -49,4 +60,5 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # as DuckDB's ns→µs conversion). `div` keeps int64 precision —
         # `/` would round-trip through double and lose low bits.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _scan_cache[key] = df
     return df
