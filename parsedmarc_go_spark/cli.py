@@ -149,11 +149,13 @@ def run_daemon(
     streaming query dies."""
     import threading
 
+    from parsedmarc_go_spark.functions.enrich import build_enrichment
     from parsedmarc_go_spark.sources.receivers import ReportHTTPReceiver, watch_imap
     from parsedmarc_go_spark.streaming.daemon import stream_ingest
 
     eng = cfg.engine
     os.makedirs(eng.landing_dir, exist_ok=True)
+    enrichment = build_enrichment(spark, cfg.parser)
     receiver = None
     if cfg.http.enabled:
         receiver = ReportHTTPReceiver(
@@ -184,6 +186,7 @@ def run_daemon(
         trigger_seconds=eng.trigger_seconds,
         max_files_per_trigger=eng.max_files_per_trigger,
         available_now=available_now,
+        enrichment=enrichment,
     )
     try:
         if await_seconds is None:

@@ -19,7 +19,9 @@ tables:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -180,3 +182,61 @@ def classify_sender(
         .withColumn("source_type", F.coalesce(F.col("__type"), F.lit("Unknown")))
         .drop("__brd", "__name", "__type")
     )
+
+
+@dataclass
+class EnrichmentContext:
+    """The dims + flags one daemon/CLI run enriches with, built once
+    from config.parser (config.go:24-37 ParserConfig) and applied to
+    every batch. All dims are small broadcastable DataFrames."""
+
+    geo_dim: DataFrame | None = None
+    dns_map: DataFrame | None = None
+    nameservers: list[str] = field(default_factory=list)
+    dns_timeout: float = 2.0
+    offline: bool = True
+
+
+def build_enrichment(spark: SparkSession, parser_cfg) -> EnrichmentContext | None:
+    """config.parser → EnrichmentContext (parser.go:1272-1299 wiring:
+    GeoIP when ip_db_path is set, the sender map always — vendored
+    default or reverse_dns_map_path — live PTR only when not offline).
+    Returns None when enrichment is fully disabled."""
+    from parsedmarc_go_spark.functions.enrichdims import geo_dim_from_mmdb, load_dns_map
+
+    geo = None
+    if parser_cfg.ip_db_path:
+        geo = geo_dim_from_mmdb(spark, parser_cfg.ip_db_path)
+    dns_map = load_dns_map(spark, parser_cfg.reverse_dns_map_path or None)
+    return EnrichmentContext(
+        geo_dim=geo,
+        dns_map=dns_map,
+        nameservers=list(parser_cfg.nameservers or []),
+        dns_timeout=float(parser_cfg.dns_timeout or 2),
+        offline=bool(parser_cfg.offline),
+    )
+
+
+def enrich_records(
+    df: DataFrame, ctx: EnrichmentContext, ip_col: str = "source_ip_address"
+) -> DataFrame:
+    """Apply the configured enrichments to a flat table that carries the
+    source_* columns (aggregate records / forensic reports). Column
+    order is preserved — every enrichment replaces an existing offline
+    default in place (parser.go:1274-1296)."""
+    out = df
+    if ctx.geo_dim is not None:
+        out = geoip_enrich(out, ctx.geo_dim, ip_col=ip_col)
+    if not ctx.offline and ctx.nameservers:
+        from parsedmarc_go_spark.functions.enrichdims import resolve_ptr_batch
+
+        rdns = resolve_ptr_batch(
+            out.select(F.col(ip_col).alias("ip")),
+            ctx.nameservers,
+            timeout=ctx.dns_timeout,
+            offline=False,
+        )
+        out = apply_reverse_dns(out, rdns, ip_col=ip_col)
+    if ctx.dns_map is not None:
+        out = classify_sender(out, ctx.dns_map)
+    return out

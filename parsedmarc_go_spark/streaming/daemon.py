@@ -51,12 +51,20 @@ STREAM_TABLES = (
 )
 
 
-def make_batch_processor(out_dir: str):
+def make_batch_processor(out_dir: str, enrichment=None):
     """foreachBatch body, factored out so idempotence is directly
     testable: calling it twice with the same batch_id (the
-    crash-and-replay case) must leave every table unchanged."""
+    crash-and-replay case) must leave every table unchanged.
+
+    `enrichment` is an optional functions.enrich.EnrichmentContext —
+    when given, aggregate records and forensic reports get GeoIP /
+    reverse-DNS / sender classification applied in-batch, replacing the
+    offline defaults exactly where the reference enriches per record
+    (parser.go:1272-1299)."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        from parsedmarc_go_spark.functions.enrich import enrich_records
+
         spark = batch.sparkSession
         extracted = extract_reports(batch).cache()
         prev_overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -64,6 +72,9 @@ def make_batch_processor(out_dir: str):
             agg_reports, agg_records, agg_bad = parse_aggregate(extracted)
             forensic = parse_forensic(extracted)
             tls_reports, tls_failures, tls_bad = parse_smtp_tls(extracted)
+            if enrichment is not None:
+                agg_records = enrich_records(agg_records, enrichment)
+                forensic = enrich_records(forensic, enrichment)
             hard = extracted.filter(F.col("kind") == "error").select(
                 "path", F.lit("unknown").alias("kind"), "error"
             )
@@ -107,6 +118,7 @@ def stream_ingest(
     trigger_seconds: int | None = 300,
     max_files_per_trigger: int = 1000,
     available_now: bool = False,
+    enrichment=None,
 ) -> StreamingQuery:
     """readStream(binaryFile) → extraction/parse DAG → foreachBatch
     appending the five flat Parquet tables + rejects quarantine."""
@@ -119,7 +131,7 @@ def stream_ingest(
         .select("path", "length", "content")
     )
 
-    writer = files.writeStream.foreachBatch(make_batch_processor(out_dir)).option(
+    writer = files.writeStream.foreachBatch(make_batch_processor(out_dir, enrichment)).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

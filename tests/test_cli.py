@@ -99,11 +99,18 @@ def test_daemon_boots_from_config_file(spark, tmp_path):
 
     from parsedmarc_go_spark.streaming.daemon import STREAM_TABLES, read_stream_table
 
+    from tests.test_enrichdims import _build_mmdb
+
     landing = tmp_path / "landing"
     landing.mkdir()
+    mmdb = tmp_path / "tiny.mmdb"
+    mmdb.write_bytes(_build_mmdb())
     cfg_file = tmp_path / "config.yaml"
     cfg_file.write_text(
         f"""
+parser:
+  offline: true
+  ip_db_path: {mmdb}
 engine:
   landing_dir: {landing}
   output_dir: {tmp_path / 'warehouse'}
@@ -140,3 +147,14 @@ http:
     assert counts["smtp_tls_reports"] == 4
     assert counts["smtp_tls_failures"] == 7
     assert counts["rejects"] >= 1
+    # config-driven enrichment ran in-stream: the tiny mmdb covers all
+    # of IPv4 (two /1 networks), so every record with a valid source IP
+    # got a real country instead of the offline 'Unknown' default
+    rec = read_stream_table(spark, out, "aggregate_records")
+    countries = {r.source_country for r in rec.collect()}
+    assert countries <= {"United States", "Germany", "Unknown"}
+    assert countries & {"United States", "Germany"}, countries
+    # sender classification ran with the vendored map (reverse_dns is ''
+    # offline, so all rows classify Unknown — but the columns went
+    # through the join, proving the wiring)
+    assert {r.source_type for r in rec.collect()} == {"Unknown"}
