@@ -276,6 +276,56 @@ def minhash_lsh_pairs(
     return _verify_pairs_single_scan(vindex, candidates).filter(F.col("jaccard") >= threshold)
 
 
+def neardup_clusters(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, cluster_id),
+    cluster_id = smallest doc id in the component (the canonical
+    "representative document" a dedup pipeline keeps).
+
+    Iterative min-label propagation: each round every doc takes the
+    minimum label among itself and its neighbors; fixpoint after
+    O(component diameter) rounds — near-dup graphs are dense blobs with
+    tiny diameters, so this converges in a handful of rounds even at
+    corpus scale. Each round is one join + one hash aggregate; labels
+    are persisted per round and the monotone sum of labels is the
+    convergence check (min-label only decreases). Only docs appearing
+    in at least one pair are emitted — singletons are their own cluster
+    trivially and would bloat output |corpus|-fold.
+
+    Lineage control: every round's labels are localCheckpoint()ed —
+    persist alone keeps the logical plan, which doubles per round and
+    blows up planning after ~10 iterations (the standard iterative-
+    algorithm trap). On a real cluster prefer
+    spark.sparkContext.setCheckpointDir + .checkpoint() for executor-
+    failure tolerance; local mode has no such failure domain."""
+    edges = pairs.select("doc_a", "doc_b").localCheckpoint()
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iterations):
+        prop = sym.join(labels, sym["doc_b"] == labels["doc"]).select(
+            F.col("doc_a").alias("doc"), "cluster_id"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        cur_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64, ±1 bit voting,
     sign → bit.

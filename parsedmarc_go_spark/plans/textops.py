@@ -195,3 +195,116 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsedmarc_go_spark.functions.text import winnowing_fingerprints
 
     return winnowing_fingerprints(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline additions (round 2): chunking, TF-IDF, cluster
+# components — each with a full DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24  # 8-token overlap
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start FROM d)
+    SELECT doc_id,
+           CAST(start / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + {_CHUNK_SIZE}], ' ') AS chunk_text,
+           len(toks[start + 1 : start + {_CHUNK_SIZE}]) AS n_chunk_tokens
+    FROM s
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with overlap (size 32, stride 24) — the
+    standard LLM-pretraining chunker, as pure sequence/explode/slice
+    column expressions (no shuffle: chunk rows inherit the scan
+    partitioning)."""
+    docs = load(spark, sf_dir, "documents").withColumn("toks", F.split(F.lower("text"), " "))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .filter(F.col("start") < F.size("toks"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("toks", F.col("start") + 1, _CHUNK_SIZE), " ").alias(
+                "chunk_text"
+            ),
+            F.size(F.slice("toks", F.col("start") + 1, _CHUNK_SIZE)).alias("n_chunk_tokens"),
+        )
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             ROUND(tf.tf * (LN((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.token ASC) AS rn
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tf, df, tfidf FROM scored WHERE rn <= 5
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document. Two hash aggregates (term
+    frequency per doc, document frequency per term — the df side is a
+    small dim, broadcast back), smoothed idf = ln((N+1)/(df+1)) + 1,
+    per-doc top-k via row_number with a total-order tie-break (tf desc,
+    token asc) so selection is engine-independent."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE.format(thr=0.6)}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT doc, cluster_id FROM lbl
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (threshold 0.6), cluster id = smallest member. The
+    DuckDB oracle computes the same components via a recursive-CTE
+    transitive closure; Spark uses iterative min-label propagation
+    (operators.dedup.neardup_clusters) — O(diameter) joins."""
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters
+
+    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.6)
+    return neardup_clusters(pairs)

@@ -148,3 +148,26 @@ def test_exact_dedup_fingerprint_only_mode(spark):
     assert slim.columns == ["fingerprint", "keep_id", "dup_count"]
     got = {r.keep_id: r.dup_count for r in slim.collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_neardup_clusters_planted_chain(spark):
+    """Chain a-b-c plus pair d-e: components {a,b,c} and {d,e}, labeled
+    by their smallest member — transitively, not just per-pair."""
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters
+
+    n = 12  # diameter > a couple of rounds: 0-1-2-...-12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
