@@ -308,3 +308,76 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.6)
     return neardup_clusters(pairs)
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE.format(thr=0.6)}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    lbl AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+    q AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
+             CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) AS nd,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP_IN}))) AS DOUBLE) AS sh
+      FROM documents),
+    scored AS (
+      SELECT q.doc_id,
+             COALESCE(lbl.cluster_id, q.doc_id) AS cluster_id,
+             0.4 * LEAST(nt / 80.0, 1.0) + 0.4 * (nd / nt) + 0.2 * (1.0 - sh / nt) AS quality
+      FROM q LEFT JOIN lbl ON q.doc_id = lbl.doc),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM scored)
+    SELECT cluster_id, doc_id AS keep_doc, ROUND(quality, 4) AS quality, n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step a training pipeline actually runs: near-
+    dup clusters (connected components over the Jaccard pair graph) ×
+    quality scores → keep the highest-quality member per cluster
+    (singletons keep themselves). One extra broadcast join + one window
+    over the component labels; ordering carries a doc_id tie-break so
+    the kept representative is engine-independent."""
+    from pyspark.sql import Window
+
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    clusters = neardup_clusters(pairs)
+    q = (
+        docs.withColumn("toks", F.split(F.lower("text"), " "))
+        .withColumn("nt", token_count("text"))
+        .withColumn("nd", distinct_token_count("toks"))
+        .withColumn("sh", stopword_hits("toks"))
+        .select("doc_id", quality_score("nt", "nd", "sh").alias("quality"))
+    )
+    scored = q.join(F.broadcast(clusters), q["doc_id"] == clusters["doc"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = scored.withColumn("n_members", F.count("*").over(w)).withColumn(
+        "rn",
+        F.row_number().over(w.orderBy(F.desc("quality"), F.asc("doc_id"))),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc"),
+        F.round("quality", 4).alias("quality"),
+        "n_members",
+    )
