@@ -11,4 +11,19 @@ from parsedmarc_go_spark.plans import eventops as _eventops  # noqa: E402,F401
 from parsedmarc_go_spark.plans import textops as _textops  # noqa: E402,F401
 from parsedmarc_go_spark.plans import vectorops as _vectorops  # noqa: E402,F401
 
+# The driver hash-checks only the FIRST 50 registered queries, so
+# oracle-bearing queries must never sit behind rows-only ones: reorder
+# in place (preserving per-group registration order) so every query
+# with an oracle precedes every query without one, regardless of module
+# import order. In-place so existing imports of QUERIES keep working.
+_ordered = [n for n in QUERIES if n in ORACLES] + [n for n in QUERIES if n not in ORACLES]
+_snapshot = dict(QUERIES)
+QUERIES.clear()
+QUERIES.update({n: _snapshot[n] for n in _ordered})
+if len(ORACLES) > 50:  # hard budget: slots 51+ are never hash-checked
+    raise RuntimeError(
+        f"{len(ORACLES)} oracle-bearing queries exceed the driver's 50-slot "
+        "check window; retire or merge a redundant gate before adding more"
+    )
+
 __all__ = ["QUERIES", "ORACLES"]

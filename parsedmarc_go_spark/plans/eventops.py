@@ -72,7 +72,15 @@ def j4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E1 — gap-based sessionization: a session breaks after >4 h of user
 # inactivity. lag → boundary flag → running sum = session number, then
 # one aggregate per (user, session). Identical SQL runs on both engines.
+#
+# Determinism: events.ts carries sub-second precision, so every epoch
+# comparison/subtraction is done in WHOLE MICROSECONDS on both engines
+# (Spark unix_micros / DuckDB epoch_us) — second-floored unix_timestamp
+# differs by ±1 from fractional epoch() subtraction. The oracle's window
+# SUM is cast to BIGINT because DuckDB returns HUGEINT (→ float64 in
+# pandas) which the driver's type-aware hash distinguishes from bigint.
 _SESSION_GAP_SEC = 4 * 3600
+_SESSION_GAP_US = _SESSION_GAP_SEC * 1_000_000
 
 @query(
     "e1_sessionize",
@@ -80,19 +88,19 @@ _SESSION_GAP_SEC = 4 * 3600
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(LAG(ts) OVER w) > {_SESSION_GAP_SEC}
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, event_id,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS sess_no
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
       FROM flagged)
     SELECT user_id, sess_no,
            COUNT(*) AS n_events,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
-           CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS BIGINT) AS duration_sec
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_sec
     FROM numbered GROUP BY user_id, sess_no
     """,
 )
@@ -103,7 +111,7 @@ def e1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_sess",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > _SESSION_GAP_SEC),
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > _SESSION_GAP_US),
             1,
         ).otherwise(0),
     )
@@ -113,7 +121,9 @@ def e1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numbered.groupBy("user_id", "sess_no").agg(
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
-        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_sec"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)
+        ).alias("duration_sec"),
     )
 
 
