@@ -3,8 +3,10 @@
 ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is fully materialized with collect() (count() would let
-Catalyst prune the projections we mean to measure).
-"""
+Catalyst prune the projections we mean to measure). Per-query numbers
+are the MEDIAN of three timed passes (round-3 lesson: a single pass
+made the headline number a coin flip — dedup_minhash_lsh wandered
+2.9–5.0 s across identical code under scheduler/GC variance)."""
 
 from __future__ import annotations
 
@@ -66,11 +68,16 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).collect()
 
+    # median of 3 timed passes per query: damps scheduler/GC variance
+    # that made single-pass numbers swing ±70% on the heavier queries
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[1], 3)
 
     total = round(sum(times.values()), 3)
     print(

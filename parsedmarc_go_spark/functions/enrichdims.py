@@ -222,22 +222,67 @@ def _geo_fields(record: dict) -> tuple[str, str, str]:
     return country, city, isp
 
 
-def geo_dim_from_mmdb(spark: SparkSession, mmdb_path: str) -> DataFrame:
+_GEO_DIM_SCHEMA = "start_ip long, end_ip long, country string, city string, isp string"
+
+
+def geo_dim_from_mmdb(
+    spark: SparkSession,
+    mmdb_path: str,
+    batch_rows: int = 100_000,
+    dim_path: str | None = None,
+) -> DataFrame:
     """MMDB → (start_ip, end_ip, country, city, isp) interval dim for
     geoip_enrich. The tree walk runs on the driver (an mmdb is a single
-    local artifact of ~60 MB; the OUTPUT is the distributed object) —
-    the resulting ~3M-row dim is created as a DataFrame and should be
-    persisted as a Parquet dim table for reuse."""
-    db = MMDBFile(mmdb_path)
-    rows = []
-    for prefix, plen, record in db.iter_ipv4_leaves():
-        start = prefix
-        end = prefix | ((1 << (32 - plen)) - 1)
-        country, city, isp = _geo_fields(record)
-        rows.append((start, end, country, city, isp))
-    return spark.createDataFrame(
-        rows, "start_ip long, end_ip long, country string, city string, isp string"
+    local artifact of ~60 MB), but the ~3M leaves are STREAMED to
+    parquet in ``batch_rows``-sized pyarrow batches — driver memory
+    stays bounded by one batch instead of holding the whole interval
+    list as Python objects (round-3 finding). The returned DataFrame is
+    a plain parquet scan of the written dim table, so it partitions,
+    prunes, and broadcasts like any other dim; pass ``dim_path`` to
+    keep the table for reuse across jobs (default: a temp dir)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if dim_path:
+        os.makedirs(dim_path, exist_ok=True)
+        out_dir = dim_path
+    else:
+        out_dir = tempfile.mkdtemp(prefix="mmdb_geo_dim_")
+    arrow_schema = pa.schema(
+        [
+            ("start_ip", pa.int64()),
+            ("end_ip", pa.int64()),
+            ("country", pa.string()),
+            ("city", pa.string()),
+            ("isp", pa.string()),
+        ]
     )
+    db = MMDBFile(mmdb_path)
+    cols: list[list] = [[], [], [], [], []]
+    part = 0
+
+    def _flush() -> None:
+        nonlocal part
+        table = pa.table(dict(zip(arrow_schema.names, cols)), schema=arrow_schema)
+        pq.write_table(table, f"{out_dir}/part-{part:05d}.parquet")
+        part += 1
+        for c in cols:
+            c.clear()
+
+    for prefix, plen, record in db.iter_ipv4_leaves():
+        country, city, isp = _geo_fields(record)
+        cols[0].append(prefix)
+        cols[1].append(prefix | ((1 << (32 - plen)) - 1))
+        cols[2].append(country)
+        cols[3].append(city)
+        cols[4].append(isp)
+        if len(cols[0]) >= batch_rows:
+            _flush()
+    if cols[0] or part == 0:  # final partial batch; empty tree → one empty file
+        _flush()
+    return spark.read.schema(_GEO_DIM_SCHEMA).parquet(out_dir)
 
 
 def geo_dim_from_csv(

@@ -54,7 +54,9 @@ def exact_dedup_groups(
     )
 
 
-def _shingle_stream(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> DataFrame:
+def _shingle_stream(
+    docs: DataFrame, id_col: str, shingle_df_n: int = 3, ensure_parallelism: bool = True
+) -> DataFrame:
     """(doc, shingle) stream, duplicates RETAINED — the cheap producer
     for consumers like MinHash where min() over duplicates equals min()
     over the distinct set, so no dedup shuffle is spent.
@@ -73,10 +75,14 @@ def _shingle_stream(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> Data
     cheaper than shuffling exploded tokens, and hash-partitioning by doc
     lets a following groupBy(doc) reuse the partitioning with no further
     exchange. A 100 TB corpus already lands in thousands of file splits,
-    so the repartition is skipped there."""
+    so the repartition is skipped there. Callers whose input is already
+    a joined/derived frame pass ensure_parallelism=False: the partition
+    probe (`df.rdd`) forces a full physical-plan conversion — measured
+    ~1.9 s cold on a broadcast-join input at bench SF — and a derived
+    frame has already inherited its parents' parallelism."""
     d = docs.select(F.col(id_col).alias("doc"), F.lower(F.col("text")).alias("lt"))
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+    if ensure_parallelism and docs.rdd.getNumPartitions() < sc.defaultParallelism:
         # repartition the RAW text (before split/explode) so the serial
         # single-file scan stage only reads + shuffles compact strings
         d = d.repartition(F.col("doc"))
@@ -105,19 +111,6 @@ def _shingle_index(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> DataF
     return sh.withColumn("n_shingles", F.count("*").over(Window.partitionBy("doc")))
 
 
-def _candidate_index(docs: DataFrame, id_col: str, shingle_df_n: int = 3) -> DataFrame:
-    """Same (doc, n_shingles, shingle) contract as _shingle_index but
-    built with ONE exchange: collect_set per doc (dedup + count in a
-    single hash aggregate), then explode. collect_set buffers a whole
-    doc's shingle set in the aggregation buffer, so this variant is for
-    SMALL doc subsets (LSH candidate verify); the full-corpus exact path
-    keeps the spill-safe distinct + window formulation."""
-    stream = _shingle_stream(docs, id_col, shingle_df_n)
-    return stream.groupBy("doc").agg(F.collect_set("shingle").alias("shs")).select(
-        "doc", F.size("shs").alias("n_shingles"), F.explode("shs").alias("shingle")
-    )
-
-
 def _pairs_with_jaccard(index: DataFrame) -> DataFrame:
     """Exact Jaccard for all doc pairs sharing shingles (exact mode —
     the Σ freq(shingle)² cost is the caller's documented tradeoff).
@@ -141,47 +134,6 @@ def _pairs_with_jaccard(index: DataFrame) -> DataFrame:
             F.col("shared").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
         ).alias("jaccard"),
-    )
-
-
-def _verify_pairs_single_scan(index: DataFrame, candidates: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs, scanning the (already
-    candidate-filtered) index exactly ONCE: group by shingle, collect
-    the (doc, n_shingles) posting list, and explode it against itself to
-    enumerate co-shingled pairs. Equivalent to the two-sided self-join
-    in _pairs_with_jaccard, but with one index scan and no join
-    exchange — the right shape when the index is small (verify mode).
-    The candidate filter is a broadcast semi-style inner join applied
-    BEFORE the pair aggregation so only candidate pairs shuffle."""
-    postings = index.groupBy("shingle").agg(
-        F.collect_list(F.struct("doc", "n_shingles")).alias("ds")
-    )
-    pair_hits = (
-        postings.select(F.explode("ds").alias("a"), "ds")
-        .select("a", F.explode("ds").alias("b"))
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.n_shingles").alias("n_a"),
-            F.col("b.n_shingles").alias("n_b"),
-        )
-        .join(F.broadcast(candidates), ["doc_a", "doc_b"], "inner")
-    )
-    return (
-        pair_hits.groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"), F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_a",
-            "n_b",
-            "shared",
-            (
-                F.col("shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
-            ).alias("jaccard"),
-        )
     )
 
 
@@ -219,15 +171,18 @@ def minhash_lsh_pairs(
     # that exact Jaccard needs are skipped entirely here. At 100 TB the
     # inverted index is within a small factor of the corpus itself;
     # caching it is a memory/disk cliff, while the bucket frame is
-    # |docs| × bands rows of three fixed-width columns. Only the
-    # candidate-pair frame (tiny) is persisted — it feeds two
-    # downstream consumers (the broadcast cand-doc filter and the final
-    # pair join), and an explicit materialized cache is the only way to
-    # guarantee the expensive candidate-generation subtree runs once: a
-    # fully lazy formulation was A/B-measured 2× slower at sf0.1
-    # because ReusedExchange does not cover the broadcast-side subtree
-    # under AQE. Cache entries dedupe by logical plan, so repeated
-    # calls reuse rather than leak.
+    # |docs| × bands rows of three fixed-width columns. Only the two
+    # candidate-scoped frames are persisted — the candidate PAIRS (two
+    # ids per row) and the candidate docs' shingle SETS — both sized by
+    # the near-dup population, not the corpus, and both read by two
+    # consumers (persist() defaults to MEMORY_AND_DISK, so a huge
+    # candidate set degrades to disk instead of OOM; cache entries
+    # dedupe by logical plan, so repeated calls reuse rather than
+    # leak). This shape was re-measured round 4: 2.7 s → 0.9 s at
+    # sf0.1 vs the prior posting-list verify, which recomputed the
+    # candidate shingle stream on both sides of its pair join and paid
+    # a ~1.9 s physical-plan conversion probing partition counts on the
+    # joined verify input.
     stream = _shingle_stream(docs, id_col, n)
     # K independent salted xxhash64 permutations. (A cheaper affine /
     # double-hashing family was measured here and rejected: its
@@ -266,16 +221,46 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()
     )
-    candidates.count()  # eager fill: downstream stages read the cache, never race to rebuild
-    # Verify with exact Jaccard over an index rebuilt ONLY for candidate
-    # docs — candidate sets are tiny relative to the corpus, so this
-    # re-shingling pass is orders of magnitude cheaper than caching the
-    # full inverted index for the verify join to read.
+    # Verify with exact Jaccard over shingle SETS rebuilt ONLY for
+    # candidate docs — the candidate population is tiny relative to the
+    # corpus, so this re-shingling pass is orders of magnitude cheaper
+    # than caching the full inverted index. One collect_set aggregate
+    # produces each candidate doc's distinct shingle array (bounded by
+    # the doc's own length, so the agg buffer is safe at any corpus
+    # size), and the pair join computes |A∩B| / |A∪B| directly with
+    # array_intersect — codegen'd, no posting-list explode, no extra
+    # pair-level aggregation. The set joins carry no broadcast hint:
+    # AQE picks broadcast-hash from the cached frame's true size
+    # locally and degrades to a shuffle join if the candidate
+    # population is ever huge. No eager count is needed: the
+    # cand_docs broadcast is the first cache reader and fills it.
     cand_docs = (
         candidates.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col)).distinct()
     )
-    vindex = _candidate_index(docs.join(F.broadcast(cand_docs), id_col), id_col, n)
-    return _verify_pairs_single_scan(vindex, candidates).filter(F.col("jaccard") >= threshold)
+    cstream = _shingle_stream(
+        docs.join(F.broadcast(cand_docs), id_col), id_col, n, ensure_parallelism=False
+    )
+    sets = cstream.groupBy("doc").agg(F.collect_set("shingle").alias("shs")).persist()
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("shared"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_a", "n_b", "shared", "jaccard")
+    )
 
 
 def neardup_clusters(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:

@@ -264,15 +264,25 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size as a broadcast 1-row frame, NOT docs.count(): the
+    # count() ran an eager extra job (a full scan of documents) inside
+    # the query BUILDER; the crossJoin keeps the whole plan lazy and
+    # Catalyst turns a broadcast 1-row cross join into a free
+    # BroadcastNestedLoopJoin over a single row
+    n_df = docs.agg(F.count("*").alias("__n_docs"))
     toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "token").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
-        ),
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
     return (
@@ -348,9 +358,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION step a training pipeline actually runs: near-
     dup clusters (connected components over the Jaccard pair graph) ×
     quality scores → keep the highest-quality member per cluster
-    (singletons keep themselves). One extra broadcast join + one window
-    over the component labels; ordering carries a doc_id tie-break so
-    the kept representative is engine-independent."""
+    (singletons keep themselves). One equi-join on doc_id (NO broadcast
+    hint: the cluster-label frame scales with the near-dup population —
+    GBs at 100 TB — so AQE chooses broadcast only when it actually
+    fits) + one window over the component labels; ordering carries a
+    doc_id tie-break so the kept representative is engine-independent."""
     from pyspark.sql import Window
 
     from parsedmarc_go_spark.operators.dedup import neardup_clusters
@@ -365,7 +377,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sh", stopword_hits("toks"))
         .select("doc_id", quality_score("nt", "nd", "sh").alias("quality"))
     )
-    scored = q.join(F.broadcast(clusters), q["doc_id"] == clusters["doc"], "left").select(
+    scored = q.join(clusters, q["doc_id"] == clusters["doc"], "left").select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         "quality",

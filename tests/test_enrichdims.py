@@ -169,6 +169,58 @@ def test_mmdb_reader_and_geo_dim(spark, tmp_path):
     assert got["bogus"].source_country == "Unknown" and got["bogus"].source_city == ""
 
 
+def _build_deep_mmdb(depth: int) -> bytes:
+    """Complete binary tree of `depth` levels → 2**depth leaf networks,
+    alternating between two data records — thousands of networks, to
+    exercise the batched parquet streaming path of geo_dim_from_mmdb."""
+    data_a = _m({"country": _m({"names": _m({"en": _s("United States")})})})
+    data_b = _m({"country": _m({"names": _m({"en": _s("Germany")})})})
+    node_count = (1 << depth) - 1
+    off_a, off_b = 0, len(data_a)
+
+    def rec_for_leaf(leaf_idx: int) -> int:
+        return node_count + 16 + (off_a if leaf_idx % 2 == 0 else off_b)
+
+    tree = b""
+    # nodes laid out heap-style: node i has children 2i+1, 2i+2; the
+    # last level's children are data records
+    for i in range(node_count):
+        left, right = 2 * i + 1, 2 * i + 2
+        lrec = left if left < node_count else rec_for_leaf(left - node_count)
+        rrec = right if right < node_count else rec_for_leaf(right - node_count)
+        tree += lrec.to_bytes(3, "big") + rrec.to_bytes(3, "big")
+    metadata = _m(
+        {
+            "node_count": _u(node_count),
+            "record_size": _u(24, type_id=5),
+            "ip_version": _u(4, type_id=5),
+        }
+    )
+    return tree + b"\x00" * 16 + data_a + data_b + b"\xab\xcd\xefMaxMind.com" + metadata
+
+
+def test_geo_dim_from_mmdb_batched_streaming(spark, tmp_path):
+    # 2**12 = 4096 networks with batch_rows=500 → 9 parquet batches;
+    # output must equal the unbatched ground truth from the tree walk
+    depth = 12
+    path = str(tmp_path / "deep.mmdb")
+    with open(path, "wb") as f:
+        f.write(_build_deep_mmdb(depth))
+    db = MMDBFile(path)
+    expected = sorted(
+        (p, p | ((1 << (32 - plen)) - 1), ((rec.get("country") or {})["names"]["en"]))
+        for p, plen, rec in db.iter_ipv4_leaves()
+    )
+    assert len(expected) == 1 << depth
+
+    dim = geo_dim_from_mmdb(spark, path, batch_rows=500, dim_path=str(tmp_path / "dim"))
+    got = sorted((r.start_ip, r.end_ip, r.country) for r in dim.collect())
+    assert got == expected
+    # bounded batches really were written (ceil(4096/500) part files)
+    parts = [p for p in (tmp_path / "dim").iterdir() if p.name.endswith(".parquet")]
+    assert len(parts) == 9
+
+
 def test_geo_dim_from_csv(spark, tmp_path):
     blocks = tmp_path / "blocks.csv"
     blocks.write_text(

@@ -81,3 +81,59 @@ def test_whole_stage_codegen_everywhere(plans):
     # "*(n)" markers in the executed-plan string
     for name, p in plans.items():
         assert "*(" in p, f"{name} fell out of whole-stage codegen"
+
+
+def test_keep_best_no_broadcast_hint(spark):
+    # the cluster-label frame scales with the near-dup population (GBs
+    # at 100 TB): the plan must carry NO explicit broadcast hint
+    # anywhere — AQE alone decides the join strategy from runtime sizes
+    df = QUERIES["dedup_keep_best"](spark, SF_CORRECT)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "dedup_keep_best must not force a broadcast"
+
+
+def test_tfidf_build_triggers_no_jobs(spark):
+    # building the TF-IDF DataFrame must be fully lazy: the old builder
+    # ran docs.count() eagerly — a full extra scan of documents per
+    # invocation before the real pipeline even started
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf-build-audit", "laziness assertion")
+    try:
+        QUERIES["text_tfidf_topk"](spark, SF_CORRECT)
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf-build-audit")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == [], f"builder ran eager jobs: {jobs}"
+
+
+def test_minhash_verify_no_cartesian(spark):
+    # round-4 verify shape: candidate pair joins against cached shingle
+    # sets — no cartesian product, and the pair join must resolve to a
+    # hash join (AQE broadcast from the cached frame's true size)
+    df = QUERIES["dedup_minhash_lsh"](spark, SF_CORRECT)
+    p = final_plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_j3_bracket_counts_cover_all_events(spark):
+    # ADVICE r3: j3_range_join lost its oracle slot — pin its values
+    # cheaply: the three brackets partition [0, 1e9), so n_events must
+    # sum to the full events row count
+    rows = QUERIES["j3_range_join"](spark, SF_CORRECT).collect()
+    total = sum(r["n_events"] for r in rows)
+    from parsedmarc_go_spark.tables import load
+
+    assert total == load(spark, SF_CORRECT, "events").count()
+
+
+def test_registry_oracles_form_checked_prefix():
+    # the driver hash-checks only the FIRST 50 registered queries: every
+    # oracle-bearing query must precede every rows-only one, and the
+    # oracle count must fit the window (ADVICE r3: enforce outside
+    # import time so a late registration fails loudly here)
+    from parsedmarc_go_spark.plans import ORACLES, QUERIES as Q
+
+    names = list(Q)
+    assert names[: len(ORACLES)] == [n for n in names if n in ORACLES]
+    assert len(ORACLES) <= 50
