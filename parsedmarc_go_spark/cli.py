@@ -51,6 +51,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _session_confs(cfg) -> dict[str, str]:
+    """Config-derived session confs: with the kafka sink enabled, the
+    connector jar coordinate is handed to the session builder
+    (spark.jars.packages) so the executed produce path is live — a
+    no-op when an earlier session already exists, and the
+    kafka_available() guard still skips cleanly if the coordinate
+    cannot resolve (offline)."""
+    confs: dict[str, str] = {}
+    if cfg.kafka.enabled:
+        from parsedmarc_go_spark.sinks.kafka import kafka_package
+
+        confs["spark.jars.packages"] = kafka_package()
+    return confs
+
+
 def _get_session(cfg) -> SparkSession:
     from parsedmarc_go_spark.session import get_spark
 
@@ -58,6 +73,7 @@ def _get_session(cfg) -> SparkSession:
         app_name="parsedmarc-go-spark-cli",
         master=cfg.engine.master or "local[*]",
         shuffle_partitions=cfg.engine.shuffle_partitions or None,
+        extra_confs=_session_confs(cfg),
     )
 
 

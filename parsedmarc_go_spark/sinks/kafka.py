@@ -19,6 +19,17 @@ from parsedmarc_go_spark.sinks.writers import kafka_messages
 KAFKA_PROVIDER_CLASS = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
 
 
+def kafka_package() -> str:
+    """Maven coordinate of the spark-sql-kafka connector matching this
+    PySpark build — wired into ``spark.jars.packages`` at session build
+    when ``cfg.kafka.enabled`` (cli._session_confs), so the produce path
+    (kafka.go:33-198) executes wherever the coordinate resolves; the
+    kafka_available() guard still degrades to a clean skip offline."""
+    import pyspark
+
+    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+
+
 def kafka_available(spark: SparkSession) -> bool:
     """True when the spark-sql-kafka connector is on the classpath."""
     try:

@@ -9,8 +9,12 @@ parsing with exactly-once semantics (SURVEY §3.2/§3.3 "Spark shape").
 
 - `ReportHTTPReceiver`: stdlib HTTP server; POST/PUT bodies →
   `{landing_dir}/http_{utc-ts}_{sha16}.bin` after the reference's
-  content-type whitelist (server.go:424-444) and size cap. Rate
-  limiting/auth belong to the fronting proxy at scale.
+  content-type whitelist (server.go:424-444) and size cap. Per-client-IP
+  token-bucket rate limiting (server.go:239-309: rate_limit/min with
+  rate_burst capacity, 429 + retry_after on exhaustion; <=0 disables)
+  and live `GET /metrics` + `GET /health` endpoints
+  (server.go:85-91) are built in; production still fronts many of
+  these behind an LB.
 - `imap_candidate_filter`: the DMARC-mail predicate of
   client.go:174-232 (subject keywords / attachment types), factored
   pure so it is testable without a mailbox; `fetch_imap_once` applies
@@ -22,11 +26,15 @@ from __future__ import annotations
 import hashlib
 import os
 import threading
+import time
 import uuid
+from collections import Counter
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 MAX_UPLOAD = 50 * 1024 * 1024  # config.go:219 http.max_upload_size
+RATE_LIMIT = 60  # config.go:217 http.rate_limit (requests/minute)
+RATE_BURST = 10  # config.go:218 http.rate_burst
 
 # server.go:424-444 content-type whitelist
 ACCEPTED_CONTENT_TYPES = (
@@ -60,36 +68,158 @@ def _land(landing_dir: str, prefix: str, payload: bytes, ext: str = "bin") -> st
     return path
 
 
+class _TokenBucket:
+    """server.go:294-309 semantics (golang.org/x/time/rate): refill at
+    rate_limit/60 tokens per second up to `burst` capacity; each request
+    spends one token. Monotonic clock; callers hold the registry lock."""
+
+    __slots__ = ("rate", "burst", "tokens", "last")
+
+    def __init__(self, rate_per_sec: float, burst: int):
+        self.rate = rate_per_sec
+        self.burst = float(burst)
+        self.tokens = float(burst)
+        self.last = time.monotonic()
+
+    def allow(self) -> bool:
+        now = time.monotonic()
+        self.tokens = min(self.burst, self.tokens + (now - self.last) * self.rate)
+        self.last = now
+        if self.tokens >= 1.0:
+            self.tokens -= 1.0
+            return True
+        return False
+
+
+def _endpoint_label(path: str) -> str:
+    # server.go getEndpointLabel buckets
+    if path.startswith("/dmarc/report"):
+        return "dmarc_report"
+    if path.startswith("/health"):
+        return "health"
+    if path.startswith("/metrics"):
+        return "metrics"
+    return "root" if path == "/" else "other"
+
+
 class ReportHTTPReceiver:
     """POST /dmarc/report → landing-zone file. Start/stop for tests and
-    small deployments; production fronts many of these behind an LB."""
+    small deployments; production fronts many of these behind an LB.
 
-    def __init__(self, landing_dir: str, host: str = "127.0.0.1", port: int = 0):
+    `metrics_textfile` bridges engine-side metrics into the scrape
+    surface: the streaming daemon (or any batch job) renders its
+    DataFrame-derived counters with metrics.to_prometheus_textfile, and
+    GET /metrics serves that file's contents alongside the receiver's
+    own in-process HTTP counters — one endpoint, both layers, like the
+    reference's shared Prometheus registry (server.go:85-91)."""
+
+    def __init__(
+        self,
+        landing_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        rate_limit: int = RATE_LIMIT,
+        rate_burst: int = RATE_BURST,
+        metrics_textfile: str | None = None,
+    ):
         os.makedirs(landing_dir, exist_ok=True)
         landing = landing_dir
+        limiters: dict[str, _TokenBucket] = {}
+        limiter_lock = threading.Lock()
+        counters: Counter[tuple[str, str, str]] = Counter()  # (method, endpoint, status)
+        received = {"reports": 0, "bytes": 0}
+        stats_lock = threading.Lock()
+        self._counters, self._stats_lock = counters, stats_lock
 
         class Handler(BaseHTTPRequestHandler):
+            def _count(self, status: int) -> None:
+                with stats_lock:
+                    counters[(self.command, _endpoint_label(self.path), str(status))] += 1
+
+            def _allow(self) -> bool:
+                if rate_limit <= 0:
+                    return True
+                with limiter_lock:
+                    bucket = limiters.get(self.client_address[0])
+                    if bucket is None:
+                        bucket = _TokenBucket(rate_limit / 60.0, rate_burst)
+                        limiters[self.client_address[0]] = bucket
+                    return bucket.allow()
+
+            def _json(self, status: int, body: bytes) -> None:
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                self._count(status)
+
             def _handle(self) -> None:
+                if not self._allow():
+                    # server.go:249-257: 429 + retry_after, logged per IP
+                    self._json(429, b'{"error":"Rate limit exceeded","retry_after":"60s"}')
+                    return
                 if self.path not in ("/dmarc/report", "/dmarc/report/"):
                     self.send_error(404)
+                    self._count(404)
                     return
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
                 if ctype not in ACCEPTED_CONTENT_TYPES:
                     self.send_error(415, f"unsupported content type {ctype!r}")
+                    self._count(415)
                     return
                 length = int(self.headers.get("Content-Length") or 0)
                 if length <= 0:
                     self.send_error(400, "empty body")
+                    self._count(400)
                     return
                 if length > MAX_UPLOAD:
                     self.send_error(413, "body exceeds 50 MB limit")
+                    self._count(413)
                     return
                 body = self.rfile.read(length)
                 _land(landing, "http", body)
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(b'{"status":"accepted"}')
+                with stats_lock:
+                    received["reports"] += 1
+                    received["bytes"] += len(body)
+                self._json(200, b'{"status":"accepted"}')
+
+            def do_GET(self) -> None:
+                if not self._allow():
+                    self._json(429, b'{"error":"Rate limit exceeded","retry_after":"60s"}')
+                    return
+                if self.path.startswith("/health"):
+                    self._json(200, b'{"status":"ok"}')
+                    return
+                if self.path.startswith("/metrics"):
+                    lines: list[str] = [
+                        "# TYPE parsedmarc_http_requests_total counter"
+                    ]
+                    with stats_lock:
+                        for (method, endpoint, status), n in sorted(counters.items()):
+                            lines.append(
+                                "parsedmarc_http_requests_total"
+                                f'{{method="{method}",endpoint="{endpoint}",status="{status}"}} {n}'
+                            )
+                        lines.append("# TYPE parsedmarc_http_reports_received_total counter")
+                        lines.append(
+                            f"parsedmarc_http_reports_received_total {received['reports']}"
+                        )
+                        lines.append("# TYPE parsedmarc_http_reports_received_bytes counter")
+                        lines.append(
+                            f"parsedmarc_http_reports_received_bytes {received['bytes']}"
+                        )
+                    if metrics_textfile and os.path.exists(metrics_textfile):
+                        with open(metrics_textfile, encoding="utf-8") as f:
+                            lines.append(f.read().rstrip("\n"))
+                    payload = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    self._count(200)
+                    return
+                self.send_error(404)
+                self._count(404)
 
             do_POST = _handle
             do_PUT = _handle

@@ -43,6 +43,25 @@ def jpeg_bytes(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def wav_bytes(
+    sample_rate: int = 16000,
+    channels: int = 1,
+    bits: int = 16,
+    n_samples: int = 16000,
+    extra_chunk: bool = False,
+) -> bytes:
+    """Header-only WAV: real fmt/data chunks, data bytes omitted (the
+    declared size is authoritative, like a truncated sample)."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    chunks = (b"LIST" + struct.pack("<I", 4) + b"INFO" if extra_chunk else b"") + fmt
+    body = b"WAVE" + chunks + b"data" + struct.pack("<I", n_samples * block_align)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
@@ -84,7 +103,8 @@ def test_default_decode_real_images_in_pipeline(spark):
         (4, "image", "image/bmp", bmp_bytes(32, 16), None),
         (5, "image", "image/png", b"corrupt bytes", None),
         (6, "video", "video/mp4", b"\x00\x00\x00 ftyp", None),
-        (7, "audio", "audio/wav", b"RIFF", None),
+        (7, "audio", "audio/wav", wav_bytes(sample_rate=8000, n_samples=4000), None),
+        (8, "audio", "audio/mpeg", b"ID3 not a wav", None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r for r in decode_media(media).collect()}
@@ -95,7 +115,26 @@ def test_default_decode_real_images_in_pipeline(spark):
     assert got[1].n_frames == 1 and got[1].error is None
     assert got[5].width is None and "unknown image format" in got[5].error
     assert "codecs" in got[6].error and got[6].width is None
-    assert "codecs" in got[7].error
+    # WAV decodes for real: 4000 sample frames at 8 kHz = 500 ms
+    assert got[7].error is None
+    assert (got[7].n_frames, got[7].duration_ms) == (4000, 500)
+    assert "unknown audio format" in got[8].error
+
+
+def test_decode_wav_header_unit():
+    from parsedmarc_go_spark.operators.multimodal import decode_wav_header
+
+    # 16000 mono 16-bit frames at 16 kHz = exactly 1 s
+    d = decode_wav_header(wav_bytes())
+    assert (d["n_frames"], d["duration_ms"]) == (16000, 1000)
+    # stereo halves the frame count for the same byte size; chunk walk
+    # skips a LIST chunk before fmt
+    d = decode_wav_header(wav_bytes(channels=2, n_samples=8000, extra_chunk=True))
+    assert (d["n_frames"], d["duration_ms"]) == (8000, 500)
+    with pytest.raises(ValueError, match="not RIFF/WAVE"):
+        decode_wav_header(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_wav_header(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
 
 
 def test_decode_deterministic_fake(spark, media):

@@ -61,6 +61,65 @@ def test_http_receiver_to_stream(spark, tmp_path):
     assert res.rejects.count() == 0
 
 
+def test_http_rate_limit_429(tmp_path):
+    # server.go:239-309: per-client-IP token bucket — burst spends
+    # instantly, then 429 with retry_after until tokens refill
+    rx = ReportHTTPReceiver(str(tmp_path / "land"), rate_limit=60, rate_burst=3)
+    rx.start()
+    url = f"http://127.0.0.1:{rx.port}/dmarc/report"
+    codes = [_post(url, b"<x/>", "application/xml") for _ in range(5)]
+    rx.stop()
+    assert codes[:3] == [200, 200, 200]
+    assert codes[3] == 429 and codes[4] == 429
+
+
+def test_http_rate_limit_disabled(tmp_path):
+    # rate_limit <= 0 disables limiting entirely (server.go:241-244)
+    rx = ReportHTTPReceiver(str(tmp_path / "land"), rate_limit=0, rate_burst=1)
+    rx.start()
+    url = f"http://127.0.0.1:{rx.port}/dmarc/report"
+    codes = [_post(url, b"<x/>", "application/xml") for _ in range(12)]
+    rx.stop()
+    assert codes == [200] * 12
+
+
+def _get(url: str) -> tuple[int, str]:
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, ""
+
+
+def test_http_metrics_and_health_endpoints(spark, tmp_path):
+    # engine-side counters rendered with metrics.to_prometheus_textfile
+    # must surface on the receiver's live GET /metrics (server.go:85-91)
+    from parsedmarc_go_spark.metrics import to_prometheus_textfile
+
+    textfile = str(tmp_path / "engine.prom")
+    engine_metrics = spark.createDataFrame(
+        [("parsedmarc_parser_reports_total", 'type="aggregate",source="file"', 7.0)],
+        "name string, labels string, value double",
+    )
+    to_prometheus_textfile([engine_metrics], textfile)
+
+    rx = ReportHTTPReceiver(str(tmp_path / "land"), metrics_textfile=textfile)
+    rx.start()
+    base = f"http://127.0.0.1:{rx.port}"
+    assert _get(f"{base}/health") == (200, '{"status":"ok"}')
+    assert _post(f"{base}/dmarc/report", b"<x/>", "application/xml") == 200
+    assert _post(f"{base}/dmarc/report", b"x", "text/csv") == 415
+    status, body = _get(f"{base}/metrics")
+    rx.stop()
+    assert status == 200
+    # receiver-side counters
+    assert "parsedmarc_http_reports_received_total 1" in body
+    assert 'parsedmarc_http_requests_total{method="POST",endpoint="dmarc_report",status="200"} 1' in body
+    assert 'parsedmarc_http_requests_total{method="POST",endpoint="dmarc_report",status="415"} 1' in body
+    # engine-side (metrics.py) counters bridged through the textfile
+    assert 'parsedmarc_parser_reports_total{type="aggregate",source="file"} 7' in body
+
+
 def test_imap_candidate_filter():
     assert imap_candidate_filter("Report Domain: example.com Submitter: google.com", [])
     assert imap_candidate_filter("DMARC Aggregate Report", [])
