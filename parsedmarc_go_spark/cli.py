@@ -171,11 +171,21 @@ def run_daemon(
 
     eng = cfg.engine
     os.makedirs(eng.landing_dir, exist_ok=True)
+    os.makedirs(eng.output_dir, exist_ok=True)
     enrichment = build_enrichment(spark, cfg.parser)
+    # cumulative ingest counters land here per micro-batch; the HTTP
+    # receiver bridges the file into its live GET /metrics output
+    metrics_path = os.path.join(eng.output_dir, "metrics.prom")
     receiver = None
     if cfg.http.enabled:
         receiver = ReportHTTPReceiver(
-            eng.landing_dir, host=cfg.http.host, port=cfg.http.port
+            eng.landing_dir,
+            host=cfg.http.host,
+            port=cfg.http.port,
+            rate_limit=cfg.http.rate_limit,
+            rate_burst=cfg.http.rate_burst,
+            max_upload=cfg.http.max_upload_size,
+            metrics_textfile=metrics_path,
         )
         receiver.start()
     stop = threading.Event()
@@ -203,6 +213,7 @@ def run_daemon(
         max_files_per_trigger=eng.max_files_per_trigger,
         available_now=available_now,
         enrichment=enrichment,
+        metrics_path=metrics_path,
     )
     try:
         if await_seconds is None:

@@ -137,6 +137,41 @@ def query_progress_metrics(spark: SparkSession, progress: dict | None) -> DataFr
     return _rows_df(spark, rows)
 
 
+def escape_label_value(value: str) -> str:
+    """Prometheus exposition-format label escaping (backslash, quote,
+    newline) — reject reasons are free-form parser errors."""
+    return value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def render_prometheus_text(totals: dict[tuple[str, str], float]) -> str:
+    """{(metric_name, label_string): value} → exposition-format text.
+    The no-Spark renderer for process-local counters (the streaming
+    daemon's cumulative per-batch totals)."""
+    lines: list[str] = []
+    seen: set[str] = set()
+    for (name, labels), value in sorted(totals.items()):
+        if name not in seen:
+            seen.add(name)
+            kind = "histogram" if name.endswith("_bucket") else "counter"
+            lines.append(f"# TYPE {name} {kind}")
+        label_part = "{" + labels + "}" if labels else ""
+        v = int(value) if float(value).is_integer() else value
+        lines.append(f"{name}{label_part} {v}")
+    return "\n".join(lines) + "\n"
+
+
+def write_metrics_textfile(totals: dict[tuple[str, str], float], path: str) -> None:
+    """Atomically publish counter totals where a scraper (or the HTTP
+    receiver's /metrics bridge) reads them — tmp + rename so a
+    concurrent reader never sees a torn file."""
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(render_prometheus_text(totals))
+    os.replace(tmp, path)
+
+
 def to_prometheus_textfile(metric_dfs: Iterable[DataFrame], path: str) -> None:
     """Render metric rows in the Prometheus textfile-collector format
     (the file a node-exporter picks up — the scrape-less equivalent of

@@ -120,6 +120,7 @@ class ReportHTTPReceiver:
         port: int = 0,
         rate_limit: int = RATE_LIMIT,
         rate_burst: int = RATE_BURST,
+        max_upload: int = MAX_UPLOAD,
         metrics_textfile: str | None = None,
     ):
         os.makedirs(landing_dir, exist_ok=True)
@@ -172,8 +173,8 @@ class ReportHTTPReceiver:
                     self.send_error(400, "empty body")
                     self._count(400)
                     return
-                if length > MAX_UPLOAD:
-                    self.send_error(413, "body exceeds 50 MB limit")
+                if length > max_upload:
+                    self.send_error(413, f"body exceeds {max_upload} byte limit")
                     self._count(413)
                     return
                 body = self.rfile.read(length)

@@ -51,7 +51,7 @@ STREAM_TABLES = (
 )
 
 
-def make_batch_processor(out_dir: str, enrichment=None):
+def make_batch_processor(out_dir: str, enrichment=None, metrics_path: str | None = None):
     """foreachBatch body, factored out so idempotence is directly
     testable: calling it twice with the same batch_id (the
     crash-and-replay case) must leave every table unchanged.
@@ -60,7 +60,16 @@ def make_batch_processor(out_dir: str, enrichment=None):
     when given, aggregate records and forensic reports get GeoIP /
     reverse-DNS / sender classification applied in-batch, replacing the
     offline defaults exactly where the reference enriches per record
-    (parser.go:1272-1299)."""
+    (parser.go:1272-1299).
+
+    `metrics_path`: when set, cumulative reports/failures counters are
+    published there (atomic textfile) after every batch — the file the
+    HTTP receiver's GET /metrics bridges into its scrape output, which
+    mirrors the reference's shared Prometheus registry
+    (metrics.go:24-179). Counters are process-local and monotone within
+    a daemon run, exactly like the reference's in-process counters."""
+
+    totals: dict[tuple[str, str], float] = {}
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         from parsedmarc_go_spark.functions.enrich import enrich_records
@@ -97,6 +106,32 @@ def make_batch_processor(out_dir: str, enrichment=None):
                     .partitionBy("__batch_id")
                     .parquet(os.path.join(out_dir, name))
                 )
+            if metrics_path:
+                from parsedmarc_go_spark.metrics import (
+                    escape_label_value,
+                    write_metrics_textfile,
+                )
+
+                # counts re-derive from the cached `extracted` frame, so
+                # these are cheap follow-up jobs, not a second file scan
+                for family, df in (
+                    ("aggregate", agg_reports),
+                    ("forensic", forensic),
+                    ("smtp_tls", tls_reports),
+                ):
+                    key = (
+                        "parsedmarc_parser_reports_total",
+                        f'type="{family}",source="stream"',
+                    )
+                    totals[key] = totals.get(key, 0.0) + df.count()
+                for r in outputs["rejects"].groupBy("kind", "error").count().collect():
+                    key = (
+                        "parsedmarc_parser_failures_total",
+                        f'type="{r["kind"]}",source="stream",'
+                        f'reason="{escape_label_value(r["error"] or "")}"',
+                    )
+                    totals[key] = totals.get(key, 0.0) + r["count"]
+                write_metrics_textfile(totals, metrics_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)
             extracted.unpersist()
@@ -119,6 +154,7 @@ def stream_ingest(
     max_files_per_trigger: int = 1000,
     available_now: bool = False,
     enrichment=None,
+    metrics_path: str | None = None,
 ) -> StreamingQuery:
     """readStream(binaryFile) → extraction/parse DAG → foreachBatch
     appending the five flat Parquet tables + rejects quarantine."""
@@ -131,9 +167,9 @@ def stream_ingest(
         .select("path", "length", "content")
     )
 
-    writer = files.writeStream.foreachBatch(make_batch_processor(out_dir, enrichment)).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    writer = files.writeStream.foreachBatch(
+        make_batch_processor(out_dir, enrichment, metrics_path)
+    ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     elif trigger_seconds:

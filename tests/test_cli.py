@@ -140,6 +140,9 @@ http:
     rc = run_daemon(spark, cfg, available_now=True)
     assert rc == 0
     out = str(tmp_path / "warehouse")
+    # the metrics bridge published cumulative ingest counters
+    mtext = open(os.path.join(out, "metrics.prom")).read()
+    assert 'parsedmarc_parser_reports_total{type="aggregate",source="stream"}' in mtext
     counts = {t: read_stream_table(spark, out, t).count() for t in STREAM_TABLES}
     assert counts["aggregate_reports"] >= 1
     assert counts["aggregate_records"] >= 1

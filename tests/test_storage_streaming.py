@@ -126,6 +126,37 @@ def test_stream_batch_replay_is_idempotent(spark, tmp_path):
     )
 
 
+def test_batch_processor_publishes_cumulative_metrics(spark, tmp_path):
+    """The daemon's per-batch counters are cumulative (like the
+    reference's in-process Prometheus counters, metrics.go:24-179) and
+    published atomically for the receiver's /metrics bridge."""
+    from parsedmarc_go_spark.streaming.daemon import make_batch_processor
+
+    batch = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(os.path.join(SAMPLES, "aggregate"))
+        .select("path", "length", "content")
+    )
+    mpath = str(tmp_path / "metrics.prom")
+    proc = make_batch_processor(str(tmp_path / "out"), metrics_path=mpath)
+    proc(batch, 0)
+    text1 = open(mpath).read()
+    assert "# TYPE parsedmarc_parser_reports_total counter" in text1
+    import re
+
+    def agg_count(text: str) -> int:
+        m = re.search(
+            r'parsedmarc_parser_reports_total\{type="aggregate",source="stream"\} (\d+)', text
+        )
+        return int(m.group(1))
+
+    n1 = agg_count(text1)
+    assert n1 > 0
+    proc(batch, 1)
+    assert agg_count(open(mpath).read()) == 2 * n1  # cumulative, not last-batch
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Co-located bucketed join: both sides bucketed on the join key →
     SortMergeJoin with zero Exchange operators (the 100 TB fact⋈fact
