@@ -225,6 +225,14 @@ def _geo_fields(record: dict) -> tuple[str, str, str]:
 _GEO_DIM_SCHEMA = "start_ip long, end_ip long, country string, city string, isp string"
 
 
+def _driver_fs_shared(master: str, dim_path: str | None) -> bool:
+    """True when a pyarrow write to the driver's local filesystem will be
+    readable by every executor: local[*] master AND a plain local path
+    (no object-store URI)."""
+    local_path = dim_path is None or "://" not in dim_path or dim_path.startswith("file:")
+    return master.startswith("local") and local_path
+
+
 def geo_dim_from_mmdb(
     spark: SparkSession,
     mmdb_path: str,
@@ -233,55 +241,82 @@ def geo_dim_from_mmdb(
 ) -> DataFrame:
     """MMDB → (start_ip, end_ip, country, city, isp) interval dim for
     geoip_enrich. The tree walk runs on the driver (an mmdb is a single
-    local artifact of ~60 MB), but the ~3M leaves are STREAMED to
-    parquet in ``batch_rows``-sized pyarrow batches — driver memory
-    stays bounded by one batch instead of holding the whole interval
-    list as Python objects (round-3 finding). The returned DataFrame is
-    a plain parquet scan of the written dim table, so it partitions,
-    prunes, and broadcasts like any other dim; pass ``dim_path`` to
-    keep the table for reuse across jobs (default: a temp dir)."""
+    local artifact of ~60 MB), but the ~3M leaves are STREAMED out in
+    ``batch_rows``-sized batches — driver memory stays bounded by one
+    batch instead of holding the whole interval list as Python objects
+    (round-3 finding). The returned DataFrame is a plain parquet scan
+    of the written dim table, so it partitions, prunes, and broadcasts
+    like any other dim; pass ``dim_path`` to keep the table for reuse
+    across jobs (default: a temp dir, local master only).
+
+    Cluster safety (round-4 advice): the fast pyarrow-to-local-disk
+    path is only valid when executors share the driver's filesystem —
+    i.e. a local[*] master with a plain local ``dim_path``. On any
+    other master, or for object-store URIs (s3://…), the batches are
+    routed through ``spark.createDataFrame`` and written BY SPARK, so
+    the dim lands wherever executors can actually read it; that mode
+    requires an explicit cluster-visible ``dim_path``."""
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    master = spark.conf.get("spark.master", "local")
+    driver_fs_shared = _driver_fs_shared(master, dim_path)
 
-    if dim_path:
-        os.makedirs(dim_path, exist_ok=True)
-        out_dir = dim_path
-    else:
-        out_dir = tempfile.mkdtemp(prefix="mmdb_geo_dim_")
-    arrow_schema = pa.schema(
-        [
-            ("start_ip", pa.int64()),
-            ("end_ip", pa.int64()),
-            ("country", pa.string()),
-            ("city", pa.string()),
-            ("isp", pa.string()),
-        ]
-    )
     db = MMDBFile(mmdb_path)
-    cols: list[list] = [[], [], [], [], []]
-    part = 0
 
-    def _flush() -> None:
-        nonlocal part
-        table = pa.table(dict(zip(arrow_schema.names, cols)), schema=arrow_schema)
-        pq.write_table(table, f"{out_dir}/part-{part:05d}.parquet")
-        part += 1
-        for c in cols:
-            c.clear()
+    def _batches():
+        cols: list[list] = [[], [], [], [], []]
+        for prefix, plen, record in db.iter_ipv4_leaves():
+            country, city, isp = _geo_fields(record)
+            cols[0].append(prefix)
+            cols[1].append(prefix | ((1 << (32 - plen)) - 1))
+            cols[2].append(country)
+            cols[3].append(city)
+            cols[4].append(isp)
+            if len(cols[0]) >= batch_rows:
+                yield cols
+                cols = [[], [], [], [], []]
+        yield cols  # final partial (possibly empty) batch
 
-    for prefix, plen, record in db.iter_ipv4_leaves():
-        country, city, isp = _geo_fields(record)
-        cols[0].append(prefix)
-        cols[1].append(prefix | ((1 << (32 - plen)) - 1))
-        cols[2].append(country)
-        cols[3].append(city)
-        cols[4].append(isp)
-        if len(cols[0]) >= batch_rows:
-            _flush()
-    if cols[0] or part == 0:  # final partial batch; empty tree → one empty file
-        _flush()
+    if driver_fs_shared:
+        # fast path: zero Spark jobs at build; parquet written with pyarrow
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if dim_path:
+            os.makedirs(dim_path, exist_ok=True)
+            out_dir = dim_path
+        else:
+            out_dir = tempfile.mkdtemp(prefix="mmdb_geo_dim_")
+        arrow_schema = pa.schema(
+            [
+                ("start_ip", pa.int64()),
+                ("end_ip", pa.int64()),
+                ("country", pa.string()),
+                ("city", pa.string()),
+                ("isp", pa.string()),
+            ]
+        )
+        for part, cols in enumerate(_batches()):
+            if cols[0] or part == 0:  # always write ≥1 file (empty tree → empty dim)
+                table = pa.table(
+                    dict(zip(arrow_schema.names, cols)), schema=arrow_schema
+                )
+                pq.write_table(table, f"{out_dir}/part-{part:05d}.parquet")
+    else:
+        if not dim_path:
+            raise ValueError(
+                "geo_dim_from_mmdb on a non-local master needs an explicit "
+                "cluster-visible dim_path (shared filesystem or object store); "
+                "the driver-local temp-dir default would be unreadable by executors"
+            )
+        out_dir = dim_path
+        for i, cols in enumerate(_batches()):
+            rows = list(zip(*cols)) if cols[0] else []
+            (
+                spark.createDataFrame(rows, _GEO_DIM_SCHEMA)
+                .write.mode("overwrite" if i == 0 else "append")
+                .parquet(out_dir)
+            )
     return spark.read.schema(_GEO_DIM_SCHEMA).parquet(out_dir)
 
 

@@ -150,10 +150,14 @@ def render_prometheus_text(totals: dict[tuple[str, str], float]) -> str:
     lines: list[str] = []
     seen: set[str] = set()
     for (name, labels), value in sorted(totals.items()):
-        if name not in seen:
-            seen.add(name)
+        # TYPE must be declared on the BASE metric name: histogram series
+        # are exposed as <base>_bucket{le=...}/_sum/_count but typed as
+        # `# TYPE <base> histogram` (round-4 advice).
+        base = name[: -len("_bucket")] if name.endswith("_bucket") else name
+        if base not in seen:
+            seen.add(base)
             kind = "histogram" if name.endswith("_bucket") else "counter"
-            lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"# TYPE {base} {kind}")
         label_part = "{" + labels + "}" if labels else ""
         v = int(value) if float(value).is_integer() else value
         lines.append(f"{name}{label_part} {v}")

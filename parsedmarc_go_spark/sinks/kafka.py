@@ -24,10 +24,14 @@ def kafka_package() -> str:
     PySpark build — wired into ``spark.jars.packages`` at session build
     when ``cfg.kafka.enabled`` (cli._session_confs), so the produce path
     (kafka.go:33-198) executes wherever the coordinate resolves; the
-    kafka_available() guard still degrades to a clean skip offline."""
+    kafka_available() guard still degrades to a clean skip offline.
+    Scala suffix tracks the PySpark major (3.x ships Scala 2.12 builds,
+    4.x ships 2.13 — round-4 advice)."""
     import pyspark
 
-    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+    major = int(pyspark.__version__.split(".")[0])
+    scala = "2.13" if major >= 4 else "2.12"
+    return f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{pyspark.__version__}"
 
 
 def kafka_available(spark: SparkSession) -> bool:

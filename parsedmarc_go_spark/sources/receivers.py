@@ -31,6 +31,7 @@ import uuid
 from collections import Counter
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlsplit
 
 MAX_UPLOAD = 50 * 1024 * 1024  # config.go:219 http.max_upload_size
 RATE_LIMIT = 60  # config.go:217 http.rate_limit (requests/minute)
@@ -159,7 +160,9 @@ class ReportHTTPReceiver:
                     # server.go:249-257: 429 + retry_after, logged per IP
                     self._json(429, b'{"error":"Rate limit exceeded","retry_after":"60s"}')
                     return
-                if self.path not in ("/dmarc/report", "/dmarc/report/"):
+                # gin routes on the path with the query string excluded
+                # (server.go router); stdlib self.path keeps it — strip.
+                if urlsplit(self.path).path not in ("/dmarc/report", "/dmarc/report/"):
                     self.send_error(404)
                     self._count(404)
                     return

@@ -67,9 +67,13 @@ def make_batch_processor(out_dir: str, enrichment=None, metrics_path: str | None
     HTTP receiver's GET /metrics bridges into its scrape output, which
     mirrors the reference's shared Prometheus registry
     (metrics.go:24-179). Counters are process-local and monotone within
-    a daemon run, exactly like the reference's in-process counters."""
+    a daemon run, exactly like the reference's in-process counters. Each
+    batch's contribution is keyed by batch_id, so the crash-and-replay
+    case the table writes are designed for is idempotent in the
+    counters too: re-running batch N overwrites N's contribution
+    instead of double-counting (round-4 advice)."""
 
-    totals: dict[tuple[str, str], float] = {}
+    batch_contribs: dict[int, dict[tuple[str, str], float]] = {}
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         from parsedmarc_go_spark.functions.enrich import enrich_records
@@ -114,6 +118,7 @@ def make_batch_processor(out_dir: str, enrichment=None, metrics_path: str | None
 
                 # counts re-derive from the cached `extracted` frame, so
                 # these are cheap follow-up jobs, not a second file scan
+                contrib: dict[tuple[str, str], float] = {}
                 for family, df in (
                     ("aggregate", agg_reports),
                     ("forensic", forensic),
@@ -123,14 +128,19 @@ def make_batch_processor(out_dir: str, enrichment=None, metrics_path: str | None
                         "parsedmarc_parser_reports_total",
                         f'type="{family}",source="stream"',
                     )
-                    totals[key] = totals.get(key, 0.0) + df.count()
+                    contrib[key] = contrib.get(key, 0.0) + df.count()
                 for r in outputs["rejects"].groupBy("kind", "error").count().collect():
                     key = (
                         "parsedmarc_parser_failures_total",
                         f'type="{r["kind"]}",source="stream",'
                         f'reason="{escape_label_value(r["error"] or "")}"',
                     )
-                    totals[key] = totals.get(key, 0.0) + r["count"]
+                    contrib[key] = contrib.get(key, 0.0) + r["count"]
+                batch_contribs[batch_id] = contrib  # replay-safe overwrite
+                totals: dict[tuple[str, str], float] = {}
+                for c in batch_contribs.values():
+                    for key, v in c.items():
+                        totals[key] = totals.get(key, 0.0) + v
                 write_metrics_textfile(totals, metrics_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode)

@@ -221,6 +221,46 @@ def test_geo_dim_from_mmdb_batched_streaming(spark, tmp_path):
     assert len(parts) == 9
 
 
+def test_geo_dim_driver_fs_shared_predicate():
+    # round-4 advice: pyarrow local writes are only executor-readable on
+    # a local master with a plain local dim_path
+    from parsedmarc_go_spark.functions.enrichdims import _driver_fs_shared
+
+    assert _driver_fs_shared("local[32]", None)
+    assert _driver_fs_shared("local[*]", "/tmp/dim")
+    assert _driver_fs_shared("local", "file:/tmp/dim")
+    assert not _driver_fs_shared("local[4]", "s3://bucket/dim")
+    assert not _driver_fs_shared("spark://host:7077", "/shared/dim")
+    assert not _driver_fs_shared("yarn", None)
+
+
+def test_geo_dim_from_mmdb_cluster_mode_spark_writes(spark, tmp_path, monkeypatch):
+    # force the non-local branch: batches must route through
+    # spark.createDataFrame + Spark writes, and an absent dim_path must
+    # fail fast instead of producing an executor-unreadable temp dir
+    import parsedmarc_go_spark.functions.enrichdims as ed
+
+    depth = 10
+    path = str(tmp_path / "deep.mmdb")
+    with open(path, "wb") as f:
+        f.write(_build_deep_mmdb(depth))
+    monkeypatch.setattr(ed, "_driver_fs_shared", lambda master, dim_path: False)
+
+    with pytest.raises(ValueError, match="cluster-visible dim_path"):
+        geo_dim_from_mmdb(spark, path)
+
+    dim = geo_dim_from_mmdb(
+        spark, path, batch_rows=300, dim_path=str(tmp_path / "dim_cluster")
+    )
+    db = MMDBFile(path)
+    expected = sorted(
+        (p, p | ((1 << (32 - plen)) - 1), ((rec.get("country") or {})["names"]["en"]))
+        for p, plen, rec in db.iter_ipv4_leaves()
+    )
+    got = sorted((r.start_ip, r.end_ip, r.country) for r in dim.collect())
+    assert got == expected
+
+
 def test_geo_dim_from_csv(spark, tmp_path):
     blocks = tmp_path / "blocks.csv"
     blocks.write_text(

@@ -105,6 +105,24 @@ def test_prometheus_textfile_render(spark, res, tmp_path):
     assert "# EOF" in text
 
 
+def test_render_prometheus_text_histogram_type_on_base_name():
+    # exposition format requires `# TYPE <base> histogram` — never on the
+    # _bucket series name (round-4 advice)
+    from parsedmarc_go_spark.metrics import render_prometheus_text
+
+    text = render_prometheus_text(
+        {
+            ("x_seconds_bucket", 'le="1"'): 2.0,
+            ("x_seconds_bucket", 'le="+Inf"'): 3.0,
+            ("y_total", ""): 1.0,
+        }
+    )
+    assert "# TYPE x_seconds histogram" in text
+    assert "# TYPE x_seconds_bucket" not in text
+    assert "# TYPE y_total counter" in text
+    assert 'x_seconds_bucket{le="1"} 2' in text
+
+
 def test_query_progress_metrics(spark):
     progress = {"durationMs": {"triggerExecution": 1500, "addBatch": 900}, "numInputRows": 7}
     rows = query_progress_metrics(spark, progress).collect()

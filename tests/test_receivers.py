@@ -61,6 +61,17 @@ def test_http_receiver_to_stream(spark, tmp_path):
     assert res.rejects.count() == 0
 
 
+def test_http_path_match_ignores_query_string(tmp_path):
+    # gin matches the route path with the query string excluded; the
+    # stdlib handler must strip it before comparing (round-4 advice)
+    rx = ReportHTTPReceiver(str(tmp_path / "land"))
+    rx.start()
+    base = f"http://127.0.0.1:{rx.port}"
+    assert _post(f"{base}/dmarc/report?src=test", b"<x/>", "application/xml") == 200
+    assert _post(f"{base}/other?src=test", b"<x/>", "application/xml") == 404
+    rx.stop()
+
+
 def test_http_rate_limit_429(tmp_path):
     # server.go:239-309: per-client-IP token bucket — burst spends
     # instantly, then 429 with retry_after until tokens refill

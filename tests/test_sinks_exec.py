@@ -95,6 +95,17 @@ def test_kafka_jar_wired_when_enabled():
     )
 
 
+def test_kafka_package_scala_suffix_tracks_pyspark_major(monkeypatch):
+    # PySpark 3.x ships Scala 2.12 builds; 4.x ships 2.13 (round-4 advice)
+    import pyspark
+
+    from parsedmarc_go_spark.sinks.kafka import kafka_package
+
+    assert kafka_package().endswith(f"_2.13:{pyspark.__version__}")
+    monkeypatch.setattr(pyspark, "__version__", "3.5.1")
+    assert kafka_package() == "org.apache.spark:spark-sql-kafka-0-10_2.12:3.5.1"
+
+
 def test_kafka_send_executes_or_skips(spark):
     """Runs the real produce when the connector jar is provided (e.g.
     via spark.jars.packages), skips cleanly otherwise — mirroring the
