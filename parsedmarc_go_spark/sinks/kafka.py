@@ -87,13 +87,31 @@ def send_kafka(
     username: str | None = None,
     password: str | None = None,
     ssl: bool = False,
+    allow_stdlib_fallback: bool = True,
 ) -> None:
-    """Execute the produce (kafka.go SendAggregateReport et al.). Raises
-    RuntimeError with a clear message when the connector jar is absent."""
+    """Execute the produce (kafka.go SendAggregateReport et al.).
+
+    Connector present → `.write.format("kafka")`. Connector absent →
+    the stdlib wire-protocol producer (sinks/kafka_wire.py), still
+    distributed via foreachPartition — so the produce path executes even
+    where the Maven coordinate can't resolve. The fallback is plaintext
+    only; SASL/TLS configs require the connector and raise a clear error
+    rather than silently downgrading security."""
     spark = df.sparkSession
-    if not kafka_available(spark):
+    if kafka_available(spark):
+        kafka_writer(df, kind, bootstrap_servers, topic, username, password, ssl).save()
+        return
+    if not allow_stdlib_fallback:
         raise RuntimeError(
             "spark-sql-kafka connector not on the classpath; add "
-            "org.apache.spark:spark-sql-kafka-0-10_2.13 via spark.jars.packages"
+            f"{kafka_package()} via spark.jars.packages"
         )
-    kafka_writer(df, kind, bootstrap_servers, topic, username, password, ssl).save()
+    if username or ssl:
+        raise RuntimeError(
+            "SASL/TLS produce requires the spark-sql-kafka connector; the "
+            "stdlib fallback is plaintext-only — add "
+            f"{kafka_package()} via spark.jars.packages"
+        )
+    from parsedmarc_go_spark.sinks.kafka_wire import send_kafka_stdlib
+
+    send_kafka_stdlib(df, kind, bootstrap_servers, topic)

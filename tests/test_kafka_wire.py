@@ -1,0 +1,133 @@
+"""K5 executed produce without a broker install: the stdlib wire
+producer (sinks/kafka_wire.py) against the in-process protocol stub
+(kafka_broker_stub.py), over real sockets, distributed via
+foreachPartition — closing the one SURVEY §2 component that previously
+skipped (round-4 verdict task 1)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from parsedmarc_go_spark.sinks.kafka import send_kafka
+from parsedmarc_go_spark.sinks.kafka_wire import (
+    crc32c,
+    encode_record_batch,
+    sarama_partition,
+    send_kafka_stdlib,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+from kafka_broker_stub import KafkaBrokerStub, decode_record_batch
+
+
+def test_crc32c_check_value():
+    # the standard CRC-32C check vector
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_zigzag_roundtrip():
+    for n in (0, 1, -1, 63, -64, 300, -300, 2**31, -(2**31), 12345678901):
+        buf = zigzag_encode(n)
+        got, pos = zigzag_decode(buf, 0)
+        assert (got, pos) == (n, len(buf))
+
+
+def test_record_batch_roundtrip_through_independent_decoder():
+    records = [
+        (b"k1", b"v1", [("report_type", b"aggregate")]),
+        (None, b"v2", []),
+        (b"k3", None, [("h", None), ("h2", b"x")]),
+    ]
+    batch = encode_record_batch(records, base_timestamp_ms=1_700_000_000_000)
+    assert decode_record_batch(batch) == records
+
+
+def test_record_batch_crc_detects_corruption():
+    batch = bytearray(encode_record_batch([(b"k", b"v", [])], 0))
+    batch[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="crc"):
+        decode_record_batch(bytes(batch))
+
+
+def test_sarama_partition_range_and_wrap():
+    for key in (b"rpt-1", b"example.com", b"", b"\xff" * 8):
+        for n in (1, 3, 7):
+            assert 0 <= sarama_partition(key, n) < n
+    # determinism (the property replays rely on)
+    assert sarama_partition(b"rpt-1", 3) == sarama_partition(b"rpt-1", 3)
+
+
+def test_stdlib_produce_executes_end_to_end(spark):
+    """The executed produce: 12 aggregate messages through
+    foreachPartition → wire protocol → stub broker with 3 partitions.
+    Asserts content, report_type header, and sarama partition routing."""
+    stub = KafkaBrokerStub(num_partitions=3).start()
+    try:
+        df = spark.createDataFrame(
+            [(f"rpt-{i}", f"dom{i}.example", "org") for i in range(12)],
+            "report_id string, domain string, org_name string",
+        ).repartition(4)
+        send_kafka_stdlib(df, "aggregate", f"127.0.0.1:{stub.port}", "dmarc.aggregate")
+        assert stub.errors == []
+        got = [(k, v, h) for part in stub.received.values() for (k, v, h) in part]
+        assert len(got) == 12
+        for key, value, headers in got:
+            body = json.loads(value)
+            assert key.decode() == body["report_id"]
+            assert headers == [("report_type", b"aggregate")]
+        # routing matches the sarama default hash partitioner
+        for part, records in stub.received.items():
+            for key, _v, _h in records:
+                assert sarama_partition(key, 3) == part
+    finally:
+        stub.stop()
+
+
+def test_send_kafka_falls_back_when_connector_absent(spark):
+    """send_kafka must execute (connector if present, wire fallback
+    otherwise) — the produce path never skips."""
+    stub = KafkaBrokerStub(num_partitions=1).start()
+    try:
+        df = spark.createDataFrame([("rpt-1", "d", "o")],
+                                   "report_id string, domain string, org_name string")
+        from parsedmarc_go_spark.sinks.kafka import kafka_available
+
+        if kafka_available(spark):
+            pytest.skip("connector present; fallback unreachable (covered by connector path)")
+        send_kafka(df, "aggregate", f"127.0.0.1:{stub.port}", "dmarc.aggregate")
+        assert stub.errors == []
+        assert sum(len(v) for v in stub.received.values()) == 1
+    finally:
+        stub.stop()
+
+
+def test_send_kafka_fallback_refuses_sasl(spark):
+    df = spark.createDataFrame([("r",)], "report_id string")
+    from parsedmarc_go_spark.sinks.kafka import kafka_available
+
+    if kafka_available(spark):
+        pytest.skip("connector present; SASL goes through the connector")
+    with pytest.raises(RuntimeError, match="plaintext-only"):
+        send_kafka(df, "aggregate", "b:9092", "t", username="u", password="p")
+
+
+def test_batching_splits_large_partitions(spark):
+    # 30 rows, batch_size=7 → multiple RecordBatch frames, all delivered
+    stub = KafkaBrokerStub(num_partitions=1).start()
+    try:
+        df = spark.createDataFrame(
+            [(f"rpt-{i}", "d", "o") for i in range(30)],
+            "report_id string, domain string, org_name string",
+        ).coalesce(1)
+        send_kafka_stdlib(df, "aggregate", f"127.0.0.1:{stub.port}",
+                          "dmarc.aggregate", batch_size=7)
+        assert stub.errors == []
+        assert len(stub.received[0]) == 30
+        keys = sorted(k.decode() for k, _v, _h in stub.received[0])
+        assert keys == sorted(f"rpt-{i}" for i in range(30))
+    finally:
+        stub.stop()

@@ -106,16 +106,20 @@ def test_kafka_package_scala_suffix_tracks_pyspark_major(monkeypatch):
     assert kafka_package() == "org.apache.spark:spark-sql-kafka-0-10_2.12:3.5.1"
 
 
-def test_kafka_send_executes_or_skips(spark):
-    """Runs the real produce when the connector jar is provided (e.g.
-    via spark.jars.packages), skips cleanly otherwise — mirroring the
-    reference's env-guarded integration tests."""
+def test_kafka_send_connector_required_is_clear_error(spark):
+    """allow_stdlib_fallback=False restores the strict behavior: a
+    missing connector is a clear error, never a silent no-op. (The
+    executed produce itself — connector or wire fallback — is covered in
+    test_kafka_wire.py with an in-process broker stub, so this path no
+    longer skips anywhere.)"""
     df = spark.createDataFrame([("rpt-1",)], "report_id string")
-    if not kafka_available(spark):
-        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
-            send_kafka(df, "aggregate", "localhost:9092", "dmarc.aggregate")
-        pytest.skip("kafka connector jar not present; error path verified")
-    send_kafka(df, "aggregate", os.environ.get("KAFKA_BROKERS", "localhost:9092"), "dmarc.aggregate")
+    if kafka_available(spark):
+        send_kafka(df, "aggregate",
+                   os.environ.get("KAFKA_BROKERS", "localhost:9092"), "dmarc.aggregate")
+        return
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        send_kafka(df, "aggregate", "localhost:9092", "dmarc.aggregate",
+                   allow_stdlib_fallback=False)
 
 
 @pytest.mark.skipif(not os.path.isdir(SAMPLES), reason="reference samples absent")
