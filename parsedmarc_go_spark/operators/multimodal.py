@@ -13,13 +13,14 @@ are production-grade. The codec story is split by modality:
 - AUDIO decodes WAV/RIFF for REAL: `decode_wav_header` struct-parses
   the fmt/data chunks (sample rate, channels, sample frames, duration)
   with no codec libraries; compressed audio raises per item.
-- VIDEO remains stubbed: the codecs (ffmpeg) are not in this
-  container, so the default path raises NotImplementedError per item
-  (isolated into the `error` column), and a real decoder plugs in via
-  `decode_fn` without touching any Spark plumbing. `fake_decode`
-  (deterministic, content-hash-seeded) stays available for pipeline
-  tests. Passing `decode_fn=NotImplemented` raises eagerly — the
-  explicit "codec not available" path.
+- VIDEO decodes MP4/ISO-BMFF for REAL: `decode_mp4_header` walks the
+  box tree (moov/mvhd for duration, the video trak's tkhd for
+  width/height, stbl/stsz for frame count) with no codec libraries.
+  Full pixel/sample decode (ffmpeg) still plugs in via `decode_fn`
+  without touching any Spark plumbing. `fake_decode` (deterministic,
+  content-hash-seeded) stays available for pipeline tests. Passing
+  `decode_fn=NotImplemented` raises eagerly — the explicit "codec not
+  available" path.
 
 At 100 TB: binary payloads ride parquet/binaryFile row groups;
 `mapInPandas` streams Arrow batches so one task never materializes more
@@ -165,18 +166,124 @@ def decode_wav_header(payload: bytes) -> dict:
     }
 
 
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Walk ISO-BMFF boxes in buf[start:end] → (type, body_start,
+    body_end). Handles 64-bit largesize (size==1) and to-end boxes
+    (size==0); raises on sizes that don't fit the container."""
+    import struct as _struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, btype = _struct.unpack(">I4s", buf[pos : pos + 8])
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize box")
+            (size,) = _struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(f"mp4: box {btype!r} size {size} exceeds container")
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+_TOP_LEVEL_BOXES = {
+    b"ftyp", b"styp", b"moov", b"moof", b"mdat", b"free", b"skip",
+    b"wide", b"pdin", b"sidx", b"meta", b"uuid",
+}
+
+
+def decode_mp4_header(payload: bytes) -> dict:
+    """REAL video decode for MP4/ISO-BMFF by pure-stdlib box walk —
+    the same depth as decode_wav_header: duration from moov/mvhd
+    (duration/timescale), width/height from the video trak's tkhd
+    (16.16 fixed point), frame count from its stbl/stsz sample_count.
+    A trak is "video" when its mdia/hdlr handler_type is 'vide'.
+    Raises ValueError on non-BMFF payloads or a missing moov (e.g. a
+    bare fragment), which per-item isolation routes to `error`."""
+    import struct as _struct
+
+    if len(payload) < 8:
+        raise ValueError("unknown video format (too short for ISO-BMFF)")
+    first_type = payload[4:8]
+    if first_type not in _TOP_LEVEL_BOXES:
+        raise ValueError("unknown video format (not ISO-BMFF/MP4)")
+
+    timescale = duration = None
+    width = height = n_frames = None
+
+    for btype, s, e in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for t2, s2, e2 in _iter_boxes(payload, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                version = payload[s2]
+                if version == 1:  # 64-bit creation/modification/duration
+                    (timescale,) = _struct.unpack(">I", payload[s2 + 20 : s2 + 24])
+                    (duration,) = _struct.unpack(">Q", payload[s2 + 24 : s2 + 32])
+                else:
+                    timescale, duration = _struct.unpack(
+                        ">II", payload[s2 + 12 : s2 + 20]
+                    )
+            elif t2 == b"trak":
+                tk_w = tk_h = samples = None
+                is_video = False
+                for t3, s3, e3 in _iter_boxes(payload, s2, e2):
+                    if t3 == b"tkhd":
+                        version = payload[s3]
+                        # through duration: v0 = 4+4+4+4+4+4, v1 widens the
+                        # three time fields to 64-bit
+                        off = s3 + (36 if version == 1 else 24)
+                        off += 8 + 2 + 2 + 2 + 2 + 36  # reserved..matrix
+                        if off + 8 <= e3:
+                            w, h = _struct.unpack(">II", payload[off : off + 8])
+                            tk_w, tk_h = w >> 16, h >> 16  # 16.16 fixed point
+                    elif t3 == b"mdia":
+                        for t4, s4, e4 in _iter_boxes(payload, s3, e3):
+                            if t4 == b"hdlr" and e4 - s4 >= 12:
+                                is_video = payload[s4 + 8 : s4 + 12] == b"vide"
+                            elif t4 == b"minf":
+                                for t5, s5, e5 in _iter_boxes(payload, s4, e4):
+                                    if t5 != b"stbl":
+                                        continue
+                                    for t6, s6, e6 in _iter_boxes(payload, s5, e5):
+                                        if t6 == b"stsz" and e6 - s6 >= 12:
+                                            (samples,) = _struct.unpack(
+                                                ">I", payload[s6 + 8 : s6 + 12]
+                                            )
+                if is_video:
+                    width = width if width is not None else tk_w
+                    height = height if height is not None else tk_h
+                    n_frames = n_frames if n_frames is not None else samples
+    if timescale is None:
+        raise ValueError("mp4: no moov/mvhd box (fragment or truncated file)")
+    out = {
+        "duration_ms": int(duration * 1000 // timescale) if timescale else None,
+    }
+    if width:
+        out["width"] = int(width)
+    if height:
+        out["height"] = int(height)
+    if n_frames is not None:
+        out["n_frames"] = int(n_frames)
+    return out
+
+
 def default_decode(payload: bytes, kind: str) -> dict:
-    """The honest default: real header decode for images (PNG/BMP/GIF/
-    JPEG) and audio (WAV/RIFF); explicit NotImplementedError for video
-    (ffmpeg absent) — per-item isolation turns that into `error` rows,
-    never fabricated dimensions."""
+    """The honest default: real header decode for all three modalities —
+    images (PNG/BMP/GIF/JPEG), audio (WAV/RIFF), video (MP4/ISO-BMFF).
+    Unknown formats raise ValueError per item (isolated into `error`),
+    never fabricated dimensions; full pixel/sample decode still plugs in
+    via decode_fn when real codec libraries are present."""
     if kind == "image":
         return decode_image_header(payload)
     if kind == "audio":
         return decode_wav_header(payload)
-    raise NotImplementedError(
-        f"{kind} codecs (ffmpeg) are not available; pass decode_fn="
-    )
+    if kind == "video":
+        return decode_mp4_header(payload)
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def decode_media(

@@ -62,6 +62,52 @@ def wav_bytes(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def mp4_bytes(
+    width: int = 640,
+    height: int = 360,
+    n_frames: int = 150,
+    timescale: int = 1000,
+    duration: int = 5400,
+    mvhd_v1: bool = False,
+) -> bytes:
+    """Structurally real ISO-BMFF: ftyp + moov(mvhd, trak(tkhd,
+    mdia(hdlr, minf(stbl(stsz))))) + mdat — every box full-length."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2avc1mp41")
+    if mvhd_v1:
+        mvhd_body = (
+            b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+            + struct.pack(">IQ", timescale, duration)
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2)
+        )
+    else:
+        mvhd_body = (
+            b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2)
+        )
+    tkhd_body = (
+        b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0) + struct.pack(">I", 1)
+        + b"\x00" * 4 + struct.pack(">I", duration) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    hdlr = _box(b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00" + struct.pack(">II", 0, n_frames)
+                + b"\x00" * (4 * n_frames))
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd_body) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd_body) + trak)
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
@@ -93,9 +139,9 @@ def test_decode_image_header_real_formats():
 
 
 def test_default_decode_real_images_in_pipeline(spark):
-    """VERDICT r1 #9 'done' bar: an actual PNG header decoded through
-    the Spark pipeline (default decode_fn), with the audio/video stub
-    surfacing as explicit NotImplementedError error rows."""
+    """VERDICT r1 #9 'done' bar: actual PNG/WAV/MP4 headers decoded
+    through the Spark pipeline (default decode_fn), with malformed
+    payloads of every modality surfacing as explicit error rows."""
     rows = [
         (1, "image", "image/png", png_bytes(800, 600), None),
         (2, "image", "image/gif", gif_bytes(64, 64), None),
@@ -105,6 +151,7 @@ def test_default_decode_real_images_in_pipeline(spark):
         (6, "video", "video/mp4", b"\x00\x00\x00 ftyp", None),
         (7, "audio", "audio/wav", wav_bytes(sample_rate=8000, n_samples=4000), None),
         (8, "audio", "audio/mpeg", b"ID3 not a wav", None),
+        (9, "video", "video/mp4", mp4_bytes(1280, 720, n_frames=240, duration=8000), None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r for r in decode_media(media).collect()}
@@ -114,11 +161,16 @@ def test_default_decode_real_images_in_pipeline(spark):
     assert (got[4].width, got[4].height) == (32, 16)
     assert got[1].n_frames == 1 and got[1].error is None
     assert got[5].width is None and "unknown image format" in got[5].error
-    assert "codecs" in got[6].error and got[6].width is None
+    # a bare ftyp whose declared size overruns the payload is an error row
+    assert got[6].error is not None and got[6].width is None
     # WAV decodes for real: 4000 sample frames at 8 kHz = 500 ms
     assert got[7].error is None
     assert (got[7].n_frames, got[7].duration_ms) == (4000, 500)
     assert "unknown audio format" in got[8].error
+    # MP4 decodes for real: tkhd dimensions, stsz frames, mvhd duration
+    assert got[9].error is None
+    assert (got[9].width, got[9].height) == (1280, 720)
+    assert (got[9].n_frames, got[9].duration_ms) == (240, 8000)
 
 
 def test_decode_wav_header_unit():
@@ -135,6 +187,24 @@ def test_decode_wav_header_unit():
         decode_wav_header(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError, match="missing fmt or data"):
         decode_wav_header(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_decode_mp4_header_unit():
+    from parsedmarc_go_spark.operators.multimodal import decode_mp4_header
+
+    d = decode_mp4_header(mp4_bytes(640, 360, n_frames=150, timescale=1000, duration=5400))
+    assert (d["width"], d["height"]) == (640, 360)
+    assert (d["n_frames"], d["duration_ms"]) == (150, 5400)
+    # mvhd version 1 (64-bit times): 90 s at a 90 kHz timescale
+    d = decode_mp4_header(mp4_bytes(timescale=90000, duration=8_100_000, mvhd_v1=True))
+    assert d["duration_ms"] == 90_000
+    with pytest.raises(ValueError, match="not ISO-BMFF"):
+        decode_mp4_header(b"RIFF this is not an mp4 at all....")
+    with pytest.raises(ValueError, match="no moov"):
+        # ftyp + mdat only — a fragment with no movie header
+        decode_mp4_header(_box(b"ftyp", b"isom") + _box(b"mdat", b"\x00" * 8))
+    with pytest.raises(ValueError, match="exceeds container"):
+        decode_mp4_header(b"\x00\x00\x00\x20ftyp")  # declared 32, actual 8
 
 
 def test_decode_deterministic_fake(spark, media):
