@@ -171,8 +171,16 @@ def write_directory(
 ) -> list[str]:
     """K3 — one file per report named
     `{kind}_{yyyymmdd_HHMMSS}_{id}.{fmt}` (output.go:866-904); forensic
-    id = hex(sha256(message_id))[:16]. Driver-side materialization by
-    design: this sink exists for human-sized outputs."""
+    id = hex(sha256(message_id))[:16].
+
+    Files are written EXECUTOR-side via mapPartitions (round-4 verdict
+    task 3): no report row ever serializes through the driver — the
+    driver receives only the written file NAMES, from the same single
+    job that wrote them (a second names-only job would disagree with
+    the write job under non-deterministic plans like limit/sample).
+    `out_dir` must therefore be visible to executors — a shared
+    filesystem on a real cluster (the reference writes one node's
+    local dir, output.go:518; local mode is equivalent)."""
     os.makedirs(out_dir, exist_ok=True)
     ts_col = {"aggregate": "begin_date", "forensic": "arrival_date", "smtp_tls": "begin_date"}[kind]
     if kind == "forensic":
@@ -187,15 +195,23 @@ def write_directory(
             "_", F.lit(kind), F.date_format(ts_col, "yyyyMMdd_HHmmss"), id_col
         ),
     )
-    written: list[str] = []
-    for row in named.toLocalIterator():
-        d = row.asDict(recursive=True)
-        fname = d.pop("__fname") + f".{fmt}"
-        fpath = os.path.join(out_dir, fname)
-        with open(fpath, "w", encoding="utf-8") as f:
-            json.dump(d, f, indent=2, default=str)
-        written.append(fpath)
-    return written
+
+    def _write_partition(rows):
+        import json as _json
+        import os as _os
+
+        _os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            d = row.asDict(recursive=True)
+            fname = d.pop("__fname") + f".{fmt}"
+            with open(_os.path.join(out_dir, fname), "w", encoding="utf-8") as f:
+                _json.dump(d, f, indent=2, default=str)
+            yield fname
+
+    return [
+        os.path.join(out_dir, fname)
+        for fname in named.rdd.mapPartitions(_write_partition).collect()
+    ]
 
 
 def kafka_messages(df: DataFrame, kind: str) -> DataFrame:

@@ -121,6 +121,26 @@ def test_directory_writer_naming(spark, ingested, tmp_path):
         assert len(fid) == 16 and all(c in "0123456789abcdef" for c in fid)
 
 
+def test_directory_writer_executor_side_multi_partition(spark, ingested, tmp_path):
+    # the foreachPartition path (round-4 task 3): many input partitions
+    # write concurrently and the returned list matches the files on disk
+    import json as _json
+
+    from parsedmarc_go_spark.sinks.writers import write_directory
+
+    src = ingested.aggregate_reports.limit(20).repartition(4)
+    out = tmp_path / "dir_par"
+    files = write_directory(src, str(out), "aggregate")
+    on_disk = sorted(os.listdir(out))
+    # the corpus carries the same report in multiple encodings → same
+    # filename, last write wins (reference behavior); names returned ==
+    # names on disk as a set, one name per input row
+    assert sorted(set(os.path.basename(f) for f in files)) == on_disk
+    assert len(files) == src.count()
+    body = _json.load(open(out / on_disk[0], encoding="utf-8"))
+    assert "__fname" not in body and "report_id" in body
+
+
 def test_kafka_message_shape(spark, ingested):
     from parsedmarc_go_spark.sinks.writers import kafka_messages
 
