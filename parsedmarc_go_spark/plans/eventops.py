@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parsedmarc_go_spark.operators.asof import asof_join
+from parsedmarc_go_spark.plans.analytics import _cents, _dsum
 from parsedmarc_go_spark.plans.registry import query
 from parsedmarc_go_spark.tables import load
 
@@ -138,7 +139,7 @@ def e1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200
                                  - k.k * 43200), '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events, (VALUES (0), (1)) k(k)
     GROUP BY 1
     """,
@@ -149,7 +150,7 @@ def a18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            _dsum("value", "total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -167,9 +168,9 @@ def a18_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a19_running_total",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+                      ROWS UNBOUNDED PRECEDING) / 100.0 AS running_value
     FROM events
     """,
 )
@@ -183,7 +184,7 @@ def a19_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
+        (F.sum(_cents("value")).over(w) / 100.0).alias("running_value"),
     )
 
 
@@ -222,7 +223,7 @@ def p23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events)
     SELECT event_type,
-           CAST(AVG(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS median_value
+           AVG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0 AS median_value
     FROM ranked
     WHERE r IN ((n + 1) // 2, (n + 2) // 2)
     GROUP BY event_type
@@ -241,5 +242,5 @@ def a20_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r") == F.floor((F.col("n") + 1) / 2)) | (F.col("r") == F.floor((F.col("n") + 2) / 2))
     )
     return mid.groupBy("event_type").agg(
-        F.avg(F.col("value").cast("decimal(18,2)")).cast("double").alias("median_value")
+        (F.avg(_cents("value")) / 100.0).alias("median_value")
     )

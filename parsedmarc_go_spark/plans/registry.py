@@ -9,10 +9,15 @@ driver's weaker rows-only check.
 
 Determinism rules used throughout the library (so value-hashes match):
 
-- Sums over double columns go through ``DECIMAL(18,2)`` (exact, order
-  independent) and are cast back to double — Spark's partial-aggregate
-  ordering differs from DuckDB's single-node fold, so raw double sums
-  would drift in the low bits.
+- Sums over double columns go through fixed-point cents:
+  ``SUM(CAST(FLOOR(x * 100 + 0.5) AS BIGINT)) / 100.0`` — Spark's
+  partial-aggregate ordering differs from DuckDB's single-node fold, so
+  raw double sums would drift in the low bits; the per-row rounding is
+  pure IEEE double math (bit-identical on both engines), the long sum
+  is associative-exact, and the final division is one shared rounding.
+  (This replaced DECIMAL(18,2) casts in round 5: same values on every
+  gate, ~2× faster — the double→BigDecimal conversion was the single
+  hottest expression in the bench mix.)
 - Per-row scalar float math is left unrounded: identical IEEE ops give
   bit-identical results on both engines.
 - Array-valued outputs are sorted then joined to strings (collect_set
