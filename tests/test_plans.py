@@ -127,6 +127,24 @@ def test_j3_bracket_counts_cover_all_events(spark):
     assert total == load(spark, SF_CORRECT, "events").count()
 
 
+def test_a9_approx_within_hll_error_bound(spark):
+    # VERDICT r4 #5: a9_distinct_approx is the production-default A9 yet
+    # had no value evidence. approx_count_distinct defaults to rsd=0.05;
+    # assert every group's estimate lands within 5% of the exact count.
+    exact = {
+        r["event_type"]: r["uniq_users"]
+        for r in QUERIES["a9_distinct_exact"](spark, SF_CORRECT).collect()
+    }
+    approx = {
+        r["event_type"]: r["uniq_users_approx"]
+        for r in QUERIES["a9_distinct_approx"](spark, SF_CORRECT).collect()
+    }
+    assert set(exact) == set(approx)
+    for etype, n in exact.items():
+        rel_err = abs(approx[etype] - n) / n
+        assert rel_err <= 0.05, f"{etype}: approx {approx[etype]} vs exact {n}"
+
+
 def test_registry_oracles_form_checked_prefix():
     # the driver hash-checks only the FIRST 50 registered queries: every
     # oracle-bearing query must precede every rows-only one, and the
