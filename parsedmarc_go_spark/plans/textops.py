@@ -355,20 +355,41 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup DECISION step a training pipeline actually runs: near-
-    dup clusters (connected components over the Jaccard pair graph) ×
+    """The dedup DECISION step a training pipeline actually runs, over
+    the EXACT Jaccard pair graph so the recursive-CTE oracle can verify
+    it. The exact pair finder costs Σfreq(shingle)² — fine at gate SF;
+    at 100 TB run the identical decision over the minhash pair graph
+    (dedup_keep_best_minhash below, measured ~linear in SCALE.md)."""
+    docs = load(spark, sf_dir, "documents")
+    return keep_best_per_cluster(docs, ngram_jaccard_pairs(docs, threshold=0.6))
+
+
+@query("dedup_keep_best_minhash")
+def dedup_keep_best_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for the same decision: pairs from bucketed
+    MinHash+LSH (work ∝ colliding docs) instead of the exact inverted
+    index. With b=16, r=2 the S-curve catches j≥0.6 with P≈0.9992 and
+    the verify step keeps precision exact, so the kept set agrees with
+    dedup_keep_best (pinned by test_dedup); rows-only driver check —
+    the exact twin above carries the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    return keep_best_per_cluster(docs, minhash_lsh_pairs(docs, threshold=0.6))
+
+
+def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-dup clusters (connected components over the pair graph) ×
     quality scores → keep the highest-quality member per cluster
     (singletons keep themselves). One equi-join on doc_id (NO broadcast
     hint: the cluster-label frame scales with the near-dup population —
     GBs at 100 TB — so AQE chooses broadcast only when it actually
     fits) + one window over the component labels; ordering carries a
-    doc_id tie-break so the kept representative is engine-independent."""
+    doc_id tie-break so the kept representative is engine-independent.
+    `pairs` is any (doc_a, doc_b) frame: exact Jaccard, minhash, or
+    simhash — the decision step is pair-source-agnostic."""
     from pyspark.sql import Window
 
     from parsedmarc_go_spark.operators.dedup import neardup_clusters
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
     clusters = neardup_clusters(pairs)
     q = (
         docs.withColumn("toks", F.split(F.lower("text"), " "))

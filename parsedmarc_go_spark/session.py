@@ -51,6 +51,13 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+        if master.startswith("local") and not (extra_confs or {}).get("spark.driver.memory"):
+            # local[N] runs everything in one JVM whose default 1g heap
+            # OOMs under N-way task concurrency at bench+ corpus sizes;
+            # on a real cluster the submitter sizes executors instead
+            builder = builder.config(
+                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            )
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
     if shuffle_partitions is not None:

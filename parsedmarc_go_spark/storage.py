@@ -51,6 +51,29 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def bloom_filter_columns(spark: SparkSession, file_path: str) -> set[str]:
+    """Read-side verification that the bloom-index claim above is
+    physically true: open one parquet data file with parquet-hadoop's
+    footer reader (the same code path Spark's scan uses) and return the
+    columns whose first row group actually carries a serialized bloom
+    filter. `parquet.bloom.filter.enabled#col` is a silently-ignored
+    write option if misspelled or unsupported — this catches that."""
+    jvm = spark._jvm
+    inp = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(file_path), spark._jsc.hadoopConfiguration()
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inp)
+    try:
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        return {
+            cols.get(i).getPath().toDotString()
+            for i in range(cols.size())
+            if reader.readBloomFilter(cols.get(i)) is not None
+        }
+    finally:
+        reader.close()
+
+
 def latest_by_key(df: DataFrame, keys: list[str], ts_col: str = "created_at") -> DataFrame:
     """ReplacingMergeTree semantics (docs/clickhouse.md:257-276): keep
     the most recent row per key — the engine's one window function

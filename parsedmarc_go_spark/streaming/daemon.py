@@ -51,6 +51,18 @@ STREAM_TABLES = (
 )
 
 
+def _write_table(df: DataFrame, out_dir: str, name: str, batch_id: int) -> None:
+    """One idempotent table commit: dynamic partition overwrite scoped
+    to THIS batch's __batch_id partition. Module-level (not a closure)
+    so the crash test can fail-inject between the five table writes."""
+    (
+        df.withColumn("__batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("__batch_id")
+        .parquet(os.path.join(out_dir, name))
+    )
+
+
 def make_batch_processor(out_dir: str, enrichment=None, metrics_path: str | None = None):
     """foreachBatch body, factored out so idempotence is directly
     testable: calling it twice with the same batch_id (the
@@ -99,17 +111,11 @@ def make_batch_processor(out_dir: str, enrichment=None, metrics_path: str | None
                 "smtp_tls_failures": tls_failures,
                 "rejects": hard.unionByName(agg_bad).unionByName(tls_bad),
             }
-            # idempotent commit: dynamic partition overwrite scoped to
-            # THIS batch's __batch_id partition — a replay of batch N
-            # replaces batch N's files and touches nothing else
+            # idempotent commit: a replay of batch N replaces batch N's
+            # files and touches nothing else (see _write_table)
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             for name, df in outputs.items():
-                (
-                    df.withColumn("__batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("__batch_id")
-                    .parquet(os.path.join(out_dir, name))
-                )
+                _write_table(df, out_dir, name, batch_id)
             if metrics_path:
                 from parsedmarc_go_spark.metrics import (
                     escape_label_value,

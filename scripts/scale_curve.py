@@ -1,0 +1,137 @@
+"""Scale-curve harness for the dedup/LSH path (round-4 verdict task 6).
+
+The 100 TB claims for the text-dedup family were design arguments; this
+script turns them into measured points. It generates documents corpora
+with the SAME shape as the driver's testdata (doc_id, ~60-word text
+from a small vocabulary, lang, source, n_chars) at several sizes with a
+FIXED near-duplicate fraction (5% of docs are light mutations of an
+earlier doc — so LSH candidate density stays constant as N grows), then
+times dedup_exact, dedup_minhash_lsh, and dedup_keep_best at each size
+and fits the log-log slope: wall ≈ c·N^alpha. alpha ≈ 1 means the
+operator scales linearly in corpus size, which is the property that
+survives a 1000-executor 100 TB run; alpha ≈ 2 would flag a hidden
+all-pairs term.
+
+Usage: python scripts/scale_curve.py [--sizes 5000,10000,20000,40000]
+Writes corpora under /tmp/spark_graft_scale/ and prints a markdown
+table + fitted slopes (paste into SCALE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = (
+    "spark batch stream table row column key value hash sort merge scan "
+    "filter group agg join window part query plan data fast slow big small "
+    "line order cache shard split index"
+).split()
+LANGS = ["en", "zh", "de", "fr", "es"]
+
+
+def make_corpus(out_dir: str, n_docs: int, seed: int = 42, dup_frac: float = 0.05) -> str:
+    """Write documents.parquet shaped like the driver's testdata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    texts: list[str] = []
+    base_ids: list[int] = []
+    for i in range(n_docs):
+        if base_ids and rng.random() < dup_frac:
+            # near-duplicate: mutate ~3 words of a BASE doc (never a
+            # mutated one) so cluster diameter stays bounded as N grows —
+            # matching the web-dedup shape where boilerplate clusters are
+            # small relative to the corpus; copy-of-copy chains would make
+            # label-propagation rounds grow with N and measure the
+            # generator, not the operator
+            words = texts[rng.choice(base_ids)].split()
+            for _ in range(3):
+                words[rng.randrange(len(words))] = rng.choice(VOCAB)
+            texts.append(" ".join(words))
+        else:
+            n_words = rng.randint(50, 70)
+            texts.append(" ".join(rng.choice(VOCAB) for _ in range(n_words)))
+            base_ids.append(i)
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n_docs)], pa.string()),
+            "source": pa.array([f"src{i % 7}" for i in range(n_docs)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+# dedup_keep_best (exact pair graph, the oracle twin) is included
+# deliberately: its Σfreq² pair finder is DOCUMENTED as not the scale
+# path, and the curve shows why — contrast with the minhash-backed
+# variant that the 100 TB pipeline runs.
+OPERATORS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_keep_best_minhash",
+    "dedup_keep_best",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="5000,10000,20000,40000")
+    ap.add_argument("--root", default="/tmp/spark_graft_scale")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    from parsedmarc_go_spark.plans import QUERIES
+    from parsedmarc_go_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-curve", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {n: make_corpus(os.path.join(args.root, f"n{n}"), n) for n in sizes}
+
+    # warm-up at the smallest size: JIT/codegen off the clock
+    for op in OPERATORS:
+        QUERIES[op](spark, dirs[sizes[0]]).collect()
+
+    walls: dict[str, dict[int, float]] = {op: {} for op in OPERATORS}
+    for n in sizes:
+        for op in OPERATORS:
+            samples = []
+            for _ in range(3):
+                # drop frames persisted by a previous run so samples are
+                # independent (accumulated caches skew later GC behavior)
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                QUERIES[op](spark, dirs[n]).collect()
+                samples.append(time.perf_counter() - t0)
+            walls[op][n] = sorted(samples)[1]
+
+    header = "| operator | " + " | ".join(f"N={n}" for n in sizes) + " | fitted alpha |"
+    sep = "|" + "---|" * (len(sizes) + 2)
+    print(header)
+    print(sep)
+    for op in OPERATORS:
+        xs = [math.log(n) for n in sizes]
+        ys = [math.log(walls[op][n]) for n in sizes]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        cells = " | ".join(f"{walls[op][n]:.2f} s" for n in sizes)
+        print(f"| {op} | {cells} | {alpha:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -171,3 +171,23 @@ def test_neardup_clusters_long_chain_converges(spark):
     )
     got = {r.doc: r.cluster_id for r in neardup_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_keep_best_minhash_agrees_with_exact(spark):
+    """dedup_keep_best_minhash (the 100 TB path) must make the same
+    keep decisions as the oracle-checked exact variant at gate SF: the
+    LSH S-curve at b=16,r=2 catches j>=0.6 with P~0.9992 and the verify
+    step keeps precision exact, so the pair graphs — and therefore the
+    clusters and kept docs — coincide."""
+    from parsedmarc_go_spark.plans import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    exact = {
+        (r.cluster_id, r.keep_doc, r.quality, r.n_members)
+        for r in QUERIES["dedup_keep_best"](spark, SF_CORRECT).collect()
+    }
+    mh = {
+        (r.cluster_id, r.keep_doc, r.quality, r.n_members)
+        for r in QUERIES["dedup_keep_best_minhash"](spark, SF_CORRECT).collect()
+    }
+    assert exact == mh
