@@ -86,10 +86,64 @@ OPERATORS = [
 ]
 
 
+# Representative of each analytics family: scan+agg (a1/a14), conditional
+# agg (a4), broadcast join + agg (j1), broadcast interval join (j3b),
+# window dedup (w1), explode (p6), distinct (a9). Timed across the
+# driver's own sf0.001/0.01/0.1 testdata — two decades of row scale.
+ANALYTICS_OPS = [
+    "a1_daily_volume",
+    "a4_compliance_rate",
+    "a14_daily_summary",
+    "j1_fact_dim_join",
+    "j3b_geoip_range_join",
+    "w1_latest_by_key",
+    "p6_explode_tokens",
+    "a9_distinct_exact",
+]
+
+
+def run_curve(spark, queries, ops, points: dict, unit: str) -> None:
+    """Time each op at each (label -> sf_dir) point, median of 3 after a
+    warm-up, fit log-log slope vs the numeric label."""
+    for op in ops:  # warm-up at the smallest point: JIT/codegen off the clock
+        queries[op](spark, next(iter(points.values()))).collect()
+    walls: dict[str, dict[float, float]] = {op: {} for op in ops}
+    for label, d in points.items():
+        for op in ops:
+            samples = []
+            for _ in range(3):
+                # drop frames persisted by a previous run so samples are
+                # independent (accumulated caches skew later GC behavior)
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                queries[op](spark, d).collect()
+                samples.append(time.perf_counter() - t0)
+            walls[op][label] = sorted(samples)[1]
+    labels = list(points)
+    header = "| operator | " + " | ".join(f"{unit}={n}" for n in labels) + " | fitted alpha |"
+    print(header)
+    print("|" + "---|" * (len(labels) + 2))
+    for op in ops:
+        xs = [math.log(n) for n in labels]
+        ys = [math.log(walls[op][n]) for n in labels]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        cells = " | ".join(f"{walls[op][n]:.2f} s" for n in labels)
+        print(f"| {op} | {cells} | {alpha:.2f} |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,10000,20000,40000")
     ap.add_argument("--root", default="/tmp/spark_graft_scale")
+    ap.add_argument(
+        "--analytics",
+        action="store_true",
+        help="time the analytics/join families across the driver's sf0.001/0.01/0.1 "
+        "testdata instead of generating dedup corpora",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -99,38 +153,15 @@ def main() -> None:
     spark = get_spark(app_name="scale-curve", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.analytics:
+        points = {
+            sf: f"/root/testdata/sf{sf}" for sf in (0.001, 0.01, 0.1)
+        }
+        run_curve(spark, QUERIES, ANALYTICS_OPS, points, unit="sf")
+        return
+
     dirs = {n: make_corpus(os.path.join(args.root, f"n{n}"), n) for n in sizes}
-
-    # warm-up at the smallest size: JIT/codegen off the clock
-    for op in OPERATORS:
-        QUERIES[op](spark, dirs[sizes[0]]).collect()
-
-    walls: dict[str, dict[int, float]] = {op: {} for op in OPERATORS}
-    for n in sizes:
-        for op in OPERATORS:
-            samples = []
-            for _ in range(3):
-                # drop frames persisted by a previous run so samples are
-                # independent (accumulated caches skew later GC behavior)
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                QUERIES[op](spark, dirs[n]).collect()
-                samples.append(time.perf_counter() - t0)
-            walls[op][n] = sorted(samples)[1]
-
-    header = "| operator | " + " | ".join(f"N={n}" for n in sizes) + " | fitted alpha |"
-    sep = "|" + "---|" * (len(sizes) + 2)
-    print(header)
-    print(sep)
-    for op in OPERATORS:
-        xs = [math.log(n) for n in sizes]
-        ys = [math.log(walls[op][n]) for n in sizes]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
-            (x - mx) ** 2 for x in xs
-        )
-        cells = " | ".join(f"{walls[op][n]:.2f} s" for n in sizes)
-        print(f"| {op} | {cells} | {alpha:.2f} |")
+    run_curve(spark, QUERIES, OPERATORS, dirs, unit="N")
 
 
 if __name__ == "__main__":
