@@ -532,7 +532,13 @@ _BRACKETS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"), (250.0, 1e9, "high")]
 @query("j3_range_join")
 def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    brackets = spark.createDataFrame(_BRACKETS, "lo double, hi double, bracket string")
+    # inline VALUES: a createDataFrame literal dim costs ~0.8 s of
+    # Python->RDD pickle fixed cost per query (see j3b_geoip_range_join)
+    brackets = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({lo}D, {hi}D, '{name}')" for lo, hi, name in _BRACKETS)
+        + " AS t(lo, hi, bracket)"
+    )
     return (
         ev.join(
             F.broadcast(brackets),
