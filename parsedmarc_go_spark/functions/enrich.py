@@ -69,6 +69,194 @@ def ipv4_to_long(col: Column) -> Column:
     return F.when(ok, value).otherwise(F.lit(None).cast("long"))
 
 
+# sign-bit flip: maps unsigned 64-bit order onto signed int64 order, so
+# (hi, lo) lexicographic comparisons in the IPv6 interval join are
+# correct even for addresses with the top bit set
+_SIGN = -(1 << 63)
+
+
+def _bias(c: Column) -> Column:
+    return c.bitwiseXOR(F.lit(_SIGN))
+
+
+# net.ParseIP-strict dotted quad: 0-255 per octet, no leading zeros
+# (ipv4_to_long above stays permissive — its semantics are pinned by the
+# f4_ip_validity oracle; this stricter form is the ParseIP-parity path)
+_V4_OCTET = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_V4_STRICT_RE = rf"^({_V4_OCTET}\.){{3}}{_V4_OCTET}$"
+_HEX_GROUP_RE = "^[0-9A-Fa-f]{1,4}$"
+
+
+def with_ip_hilo(df: DataFrame, ip_col: str, out_col: str = "__ip_hilo") -> DataFrame:
+    """Parse IPv4/IPv6 strings into a sortable 128-bit key: adds
+    ``out_col`` as struct<hi: long, lo: long> (sign-biased, so signed
+    (hi, lo) lexicographic order == unsigned address order), NULL for
+    anything net.ParseIP (utils.go:148-150) would reject. IPv4 maps to
+    hi=0 — the ::/96 embedding the MMDB walker's IPv4 subtree uses.
+
+    Grammar parity with Go's ParseIP / Python's ipaddress (pinned by
+    tests/test_ipv6.py against the ipaddress module): '::' at most once
+    and expanding >=1 group, 1-4 hex digits per group, optional dotted
+    quad occupying the final two groups, strict 0-255 no-leading-zero
+    octets, no zone suffixes.
+
+    Built as a chain of narrow projections (not one giant Column): the
+    split/regexp intermediates are non-cheap, so CollapseProject keeps
+    them as stages and whole-stage codegen evaluates each ONCE per row
+    instead of once per reference. All JVM-side — no UDF."""
+    # regexp strip, not F.trim: trim removes only ' ' while the
+    # whitespace-tolerance contract (and the test oracle's .strip())
+    # covers tabs/newlines too
+    s = F.regexp_replace(F.col(ip_col), r"^\s+|\s+$", "")
+    v4 = F.when(s.rlike(_V4_STRICT_RE), ipv4_to_long(s))
+    # a trailing dotted quad ("::ffff:1.2.3.4") is rewritten into its
+    # two hex groups; a malformed splice ("::ffff1.2.3.4") simply yields
+    # a >4-hex-digit group that fails validation below — no special case
+    tail = F.regexp_extract(s, r"((?:[0-9]{1,3}\.){3}[0-9]{1,3})$", 1)
+    prefix = s.substr(F.lit(1), F.length(s) - F.length(F.col("__t")))
+    hexed = F.when(
+        (F.col("__t") != "") & F.col("__t").rlike(_V4_STRICT_RE),
+        F.concat(
+            prefix,
+            F.hex(F.shiftright(ipv4_to_long(F.col("__t")), 16)),
+            F.lit(":"),
+            F.hex(ipv4_to_long(F.col("__t")).bitwiseAND(F.lit(65535))),
+        ),
+    ).otherwise(s)
+
+    parts = F.split(F.col("__hexed"), "::", -1)
+    grp = lambda side: F.when(side == "", F.array().cast("array<string>")).otherwise(  # noqa: E731
+        F.split(side, ":")
+    )
+    out = (
+        df.withColumn("__t", tail)
+        .withColumn("__hexed", hexed)
+        .withColumn("__parts", parts)
+        .withColumn("__lg", grp(F.element_at(F.col("__parts"), 1)))
+        .withColumn(
+            "__rg",
+            F.when(F.size(F.col("__parts")) == 2, grp(F.element_at(F.col("__parts"), 2)))
+            .when(F.size(F.col("__parts")) == 1, F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "__g8",
+            F.concat(
+                F.col("__lg"),
+                F.when(
+                    F.size(F.col("__parts")) == 2,
+                    # greatest(0, …): ANSI mode + when()'s non-short-circuit
+                    # evaluation means a negative repeat count would error
+                    # for over-long invalid inputs before ok6 rejects them
+                    F.array_repeat(
+                        F.lit("0"),
+                        F.greatest(
+                            F.lit(0), 8 - F.size(F.col("__lg")) - F.size(F.col("__rg"))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+                F.col("__rg"),
+            ),
+        )
+    )
+    n_named = F.size(F.col("__lg")) + F.size(F.col("__rg"))
+    ok6 = (
+        F.col(ip_col).contains(":")
+        & F.regexp_replace(F.col(ip_col), r"^\s+|\s+$", "").rlike("^[0-9A-Fa-f:.]+$")
+        # '.' must have been consumed by the dotted-quad rewrite
+        & ~F.col("__hexed").contains(".")
+        & (F.size(F.col("__parts")) <= 2)
+        # no '::' -> exactly 8 groups; with '::' -> at most 7 named
+        & F.when(F.size(F.col("__parts")) == 2, n_named <= 7).otherwise(n_named == 8)
+        & F.forall(F.col("__g8"), lambda g: g.rlike(_HEX_GROUP_RE))
+    )
+
+    def word(i: int) -> Column:
+        # try_element_at + a '0' fallback for non-hex garbage: both run
+        # on EVERY row (when() evaluates all branches), so out-of-bounds
+        # access or conv() on junk would throw under ANSI mode even for
+        # rows ok6 already rejected
+        g = F.try_element_at(F.col("__g8"), F.lit(i + 1))
+        return F.conv(F.when(g.rlike(_HEX_GROUP_RE), g).otherwise("0"), 16, 10).cast("long")
+
+    def pack(a: int) -> Column:  # groups a..a+3 -> one 64-bit half
+        return (
+            F.shiftleft(word(a), 48)
+            .bitwiseOR(F.shiftleft(word(a + 1), 32))
+            .bitwiseOR(F.shiftleft(word(a + 2), 16))
+            .bitwiseOR(word(a + 3))
+        )
+
+    hilo = (
+        F.when(v4.isNotNull(), F.struct(_bias(F.lit(0)).alias("hi"), _bias(v4).alias("lo")))
+        .when(ok6, F.struct(_bias(pack(0)).alias("hi"), _bias(pack(4)).alias("lo")))
+        .otherwise(F.lit(None).cast("struct<hi:long,lo:long>"))
+    )
+    return out.withColumn(out_col, hilo).drop("__t", "__hexed", "__parts", "__lg", "__rg", "__g8")
+
+
+def geoip_enrich6(
+    df: DataFrame,
+    geo_dim6: DataFrame,
+    ip_col: str = "source_ip_address",
+    out_col: str = "source_country",
+    bucket_bits: int = 24,
+    extra_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """IPv6 counterpart of geoip_enrich: interval lookup against a
+    (start_hi, start_lo, end_hi, end_lo, country, …) dim of sign-biased
+    64-bit halves, as a bucketed broadcast HASH join.
+
+    Scale shape mirrors the IPv4 path: each dim interval explodes to
+    the ``bucket_bits``-bit top-of-hi buckets it spans, the join is a
+    broadcast equi-join on the fact's bucket with the 128-bit range
+    check as a residual predicate. With /24 buckets a coarse RIR /12
+    allocation explodes to 4K rows while typical /32-/64 GeoIP leaves
+    stay at one row each, so the exploded dim stays broadcastable.
+    Route ONLY ':'-containing addresses here: IPv4-embedded rows all
+    share hi=0, which would funnel the whole v4 dim into one bucket —
+    v4 facts belong to geoip_enrich's 32-bit bucketing (see the routed
+    union in plans/enrichops.j3c_geoip6_range_join)."""
+    shift = 64 - bucket_bits
+    extra_cols = extra_cols or {}
+    fact = with_ip_hilo(df, ip_col, "__hilo").withColumn(
+        "__bkt", F.shiftright(F.col("__hilo.hi"), shift)
+    )
+    dim = F.broadcast(
+        geo_dim6.select(
+            F.col("start_hi").alias("__shi"),
+            F.col("start_lo").alias("__slo"),
+            F.col("end_hi").alias("__ehi"),
+            F.col("end_lo").alias("__elo"),
+            F.col("country").alias("__geo_country"),
+            *[F.col(src).alias(f"__geo_x_{src}") for src in extra_cols],
+        ).withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.shiftright(F.col("__shi"), shift), F.shiftright(F.col("__ehi"), shift)
+                )
+            ),
+        )
+    )
+    hi, lo = F.col("__hilo.hi"), F.col("__hilo.lo")
+    ge_start = (hi > F.col("__shi")) | ((hi == F.col("__shi")) & (lo >= F.col("__slo")))
+    le_end = (hi < F.col("__ehi")) | ((hi == F.col("__ehi")) & (lo <= F.col("__elo")))
+    joined = fact.join(dim, (fact["__bkt"] == dim["__bkt"]) & ge_start & le_end, "left")
+    out = joined.withColumn(out_col, F.coalesce(F.col("__geo_country"), F.lit("Unknown")))
+    for src, dst in extra_cols.items():
+        out = out.withColumn(dst, F.coalesce(F.col(f"__geo_x_{src}"), F.lit("")))
+    return out.drop(
+        "__hilo",
+        "__bkt",
+        "__shi",
+        "__slo",
+        "__ehi",
+        "__elo",
+        "__geo_country",
+        *[f"__geo_x_{src}" for src in extra_cols],
+    )
+
+
 def geoip_enrich(
     df: DataFrame,
     geo_dim: DataFrame,

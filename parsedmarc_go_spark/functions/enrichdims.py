@@ -187,10 +187,10 @@ class MMDBFile:
             node = self._record(node, 0)
         return node
 
-    def iter_ipv4_leaves(self):
-        """Yield (start_ip_int, prefix_len, record_dict) for every IPv4
-        network in the tree — depth-first, so output is address-ordered."""
-        root = self._ipv4_root()
+    def _iter_leaves(self, root: int, total_bits: int):
+        """Depth-first leaf walk from ``root`` in a ``total_bits``-wide
+        address space, yielding (prefix_int, prefix_len, record_dict) in
+        address order."""
         if root >= self.node_count:
             return
         stack = [(root, 0, 0)]
@@ -198,13 +198,26 @@ class MMDBFile:
             node, prefix, depth = stack.pop()
             for side in (1, 0):  # push right first → left pops first
                 rec = self._record(node, side)
-                child_prefix = prefix | (side << (31 - depth))
+                child_prefix = prefix | (side << (total_bits - 1 - depth))
                 if rec < self.node_count:
                     stack.append((rec, child_prefix, depth + 1))
                 elif rec > self.node_count:  # data leaf
                     data_off = rec - self.node_count - 16
                     value, _ = self.data.decode(data_off)
                     yield child_prefix, depth + 1, value
+
+    def iter_ipv4_leaves(self):
+        """Yield (start_ip_int, prefix_len, record_dict) for every IPv4
+        network in the tree — depth-first, so output is address-ordered."""
+        yield from self._iter_leaves(self._ipv4_root(), 32)
+
+    def iter_all_leaves(self):
+        """Yield (prefix_int, prefix_len, record_dict) for EVERY network
+        in the tree in the tree's native address width: 128-bit prefixes
+        for an ip_version-6 tree (IPv4 entries appear under their ::/96
+        embedding), 32-bit for a v4-only tree. Feeds the (hi, lo) IPv6
+        dim — geo_dim6_from_mmdb normalizes both widths to 128 bits."""
+        yield from self._iter_leaves(0, 128 if self.ip_version == 6 else 32)
 
 
 def _geo_fields(record: dict) -> tuple[str, str, str]:
@@ -256,11 +269,6 @@ def geo_dim_from_mmdb(
     routed through ``spark.createDataFrame`` and written BY SPARK, so
     the dim lands wherever executors can actually read it; that mode
     requires an explicit cluster-visible ``dim_path``."""
-    import tempfile
-
-    master = spark.conf.get("spark.master", "local")
-    driver_fs_shared = _driver_fs_shared(master, dim_path)
-
     db = MMDBFile(mmdb_path)
 
     def _batches():
@@ -277,7 +285,20 @@ def geo_dim_from_mmdb(
                 cols = [[], [], [], [], []]
         yield cols  # final partial (possibly empty) batch
 
-    if driver_fs_shared:
+    return _materialize_dim(spark, _batches(), _GEO_DIM_SCHEMA, dim_path)
+
+
+def _materialize_dim(spark, batches, ddl_schema: str, dim_path: str | None) -> DataFrame:
+    """Shared landing path for driver-walked dims (see geo_dim_from_mmdb
+    docstring for the cluster-safety rules): pyarrow straight to disk
+    when the driver filesystem is cluster-visible, spark.createDataFrame
+    batches otherwise."""
+    import tempfile
+
+    master = spark.conf.get("spark.master", "local")
+    fields = [f.split() for f in ddl_schema.split(",")]  # [(name, ddl_type), ...]
+
+    if _driver_fs_shared(master, dim_path):
         # fast path: zero Spark jobs at build; parquet written with pyarrow
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -288,36 +309,81 @@ def geo_dim_from_mmdb(
         else:
             out_dir = tempfile.mkdtemp(prefix="mmdb_geo_dim_")
         arrow_schema = pa.schema(
-            [
-                ("start_ip", pa.int64()),
-                ("end_ip", pa.int64()),
-                ("country", pa.string()),
-                ("city", pa.string()),
-                ("isp", pa.string()),
-            ]
+            [(n, pa.int64() if t == "long" else pa.string()) for n, t in fields]
         )
-        for part, cols in enumerate(_batches()):
+        for part, cols in enumerate(batches):
             if cols[0] or part == 0:  # always write ≥1 file (empty tree → empty dim)
-                table = pa.table(
-                    dict(zip(arrow_schema.names, cols)), schema=arrow_schema
-                )
+                table = pa.table(dict(zip(arrow_schema.names, cols)), schema=arrow_schema)
                 pq.write_table(table, f"{out_dir}/part-{part:05d}.parquet")
     else:
         if not dim_path:
             raise ValueError(
-                "geo_dim_from_mmdb on a non-local master needs an explicit "
+                "an MMDB-walked dim on a non-local master needs an explicit "
                 "cluster-visible dim_path (shared filesystem or object store); "
                 "the driver-local temp-dir default would be unreadable by executors"
             )
         out_dir = dim_path
-        for i, cols in enumerate(_batches()):
+        for i, cols in enumerate(batches):
             rows = list(zip(*cols)) if cols[0] else []
             (
-                spark.createDataFrame(rows, _GEO_DIM_SCHEMA)
+                spark.createDataFrame(rows, ddl_schema)
                 .write.mode("overwrite" if i == 0 else "append")
                 .parquet(out_dir)
             )
-    return spark.read.schema(_GEO_DIM_SCHEMA).parquet(out_dir)
+    return spark.read.schema(ddl_schema).parquet(out_dir)
+
+
+_GEO_DIM6_SCHEMA = (
+    "start_hi long, start_lo long, end_hi long, end_lo long,"
+    " country string, city string, isp string"
+)
+
+
+def _biased_halves(value128: int) -> tuple[int, int]:
+    """Split a 128-bit address into the two sign-biased int64 halves
+    with_ip_hilo emits (signed lexicographic order == address order)."""
+
+    def b(u64: int) -> int:
+        x = u64 ^ (1 << 63)
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    return b(value128 >> 64), b(value128 & ((1 << 64) - 1))
+
+
+def geo_dim6_from_mmdb(
+    spark: SparkSession,
+    mmdb_path: str,
+    batch_rows: int = 100_000,
+    dim_path: str | None = None,
+) -> DataFrame:
+    """MMDB → (start_hi, start_lo, end_hi, end_lo, country, city, isp)
+    interval dim for geoip_enrich6 — the full tree including IPv6
+    networks, where geo_dim_from_mmdb extracts only the IPv4 subtree.
+    A v4-only tree is embedded at ::/96, matching with_ip_hilo's IPv4
+    mapping. Same streamed-batch landing rules as geo_dim_from_mmdb
+    (driver walk, bounded memory, cluster-visible dim_path on non-local
+    masters); bounds are sign-biased so the join's signed (hi, lo)
+    comparisons order correctly."""
+    db = MMDBFile(mmdb_path)
+    width = 128 if db.ip_version == 6 else 32
+
+    def _batches():
+        cols: list[list] = [[], [], [], [], [], [], []]
+        for prefix, plen, record in db.iter_all_leaves():
+            # v4 tree: the 32-bit value IS its ::/96 embedding (hi = 0)
+            start = prefix
+            end = start | ((1 << (width - plen)) - 1)
+            country, city, isp = _geo_fields(record)
+            shi, slo = _biased_halves(start)
+            ehi, elo = _biased_halves(end)
+            for i, v in enumerate((shi, slo, ehi, elo, country, city, isp)):
+                cols[i].append(v)
+            if len(cols[0]) >= batch_rows:
+                yield cols
+                cols = [[], [], [], [], [], [], []]
+        yield cols  # final partial (possibly empty) batch
+
+    return _materialize_dim(spark, _batches(), _GEO_DIM6_SCHEMA, dim_path)
 
 
 def geo_dim_from_csv(

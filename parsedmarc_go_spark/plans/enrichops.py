@@ -128,6 +128,68 @@ def j3b_geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("country").agg(F.count("*").alias("n_events"))
 
 
+# dual-stack synthetic: v4, v6 (one /32 hit + one fc00::/7 hit), and
+# garbage rows — exercises both geo join paths and the Unknown fill
+_IP6_EXPR = """
+    CASE mod(event_id, 5)
+      WHEN 0 THEN concat('10.', CAST(mod(user_id, 256) AS STRING), '.0.1')
+      WHEN 1 THEN concat('192.168.', CAST(mod(event_id, 256) AS STRING), '.25')
+      WHEN 2 THEN concat('2001:db8::', lower(hex(mod(event_id, 65536))))
+      WHEN 3 THEN concat('fd00:12::', lower(hex(mod(user_id, 65536))))
+      ELSE 'not-an-ip'
+    END
+"""
+
+
+def _hilo_literals(cidr: str) -> str:
+    """(start_hi, start_lo, end_hi, end_lo) sign-biased SQL literals for
+    one CIDR — computed at plan-build time, matching with_ip_hilo."""
+    import ipaddress
+
+    from parsedmarc_go_spark.functions.enrichdims import _biased_halves
+
+    n = ipaddress.ip_network(cidr)
+    parts = _biased_halves(int(n[0])) + _biased_halves(int(n[-1]))
+    return ", ".join(f"{v}L" for v in parts)
+
+
+@query("j3c_geoip6_range_join")
+def j3c_geoip6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/P9 dual-stack: the reference geo-locates IPv6 sources exactly
+    like IPv4 (geoip2 lookups are protocol-agnostic, utils.go:41-56).
+    IPv4 rows route through geoip_enrich's 32-bit bucketed join, IPv6
+    rows through geoip_enrich6's (hi, lo) 128-bit bucketed join, then
+    union — each side a broadcast HASH equi-join on its bucket key, so
+    the fact table never shuffles and neither dim is nested-loop
+    scanned. Rows-only gate: DuckDB has no offline inet support; parse
+    parity is pinned against Python's ipaddress module and the join
+    against a binary-trie v6 MMDB fixture in tests/test_ipv6.py."""
+    from parsedmarc_go_spark.functions.enrich import geoip_enrich, geoip_enrich6
+
+    ev = load(spark, sf_dir, "events").withColumn("ip", F.expr(_IP6_EXPR))
+    dim4 = spark.sql(
+        "SELECT * FROM VALUES (167772160L, 184549375L, 'US'),"
+        " (3232235520L, 3232301055L, 'DE') AS geo(start_ip, end_ip, country)"
+    )
+    # realistic leaf-granularity prefixes: MMDB leaf networks are fine
+    # (>= /29); a coarse prefix like fc00::/7 would explode to 2^17
+    # bucket rows at /24 bucketing — that belongs in an aggregated dim,
+    # not a leaf dim
+    dim6 = spark.sql(
+        f"SELECT * FROM VALUES ({_hilo_literals('2001:db8::/32')}, 'US6'),"
+        f" ({_hilo_literals('fd00:12::/32')}, 'PRIVATE')"
+        " AS geo(start_hi, start_lo, end_hi, end_lo, country)"
+    )
+    v4 = geoip_enrich(ev.filter(~F.col("ip").contains(":")), dim4, "ip", "country")
+    v6 = geoip_enrich6(ev.filter(F.col("ip").contains(":")), dim6, "ip", "country")
+    return (
+        v4.select("event_id", "country")
+        .unionByName(v6.select("event_id", "country"))
+        .groupBy("country")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 @query(
     "w1_latest_by_key",
     oracle="""
