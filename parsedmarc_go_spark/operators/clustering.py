@@ -1,0 +1,182 @@
+"""DataFrame-native spherical k-means — IVF index training for the
+similarity-search scale path (builder brief; the reference engine has
+no clustering operator).
+
+`operators/similarity.py::ivf_topk` prunes its scan with whatever cell
+column the corpus already carries. Real corpora are unlabeled, so the
+cells have to be TRAINED; this module supplies the trainer as a classic
+Lloyd loop expressed Spark-first:
+
+- **Assignment is a pure map-side projection.** The k×dim centroid
+  matrix is embedded in the plan as a literal array-of-arrays column
+  and each row takes the argmax of dot products through codegen'd
+  higher-order functions (`transform`/`zip_with`/`aggregate`). No
+  shuffle, no UDF, no per-executor broadcast plumbing. (Past
+  k·dim ≈ 64k the literal expression tree should flip to a broadcast
+  join against a centroid frame; documented bound, far above IVF
+  coarse-quantizer sizes.)
+- **The update step shuffles k·dim rows, not the corpus.**
+  posexplode → hash aggregate on (cell, dim) runs its partial
+  aggregation map-side, so each partition contributes at most k·dim
+  partial sums regardless of row count.
+- **Driver state per iteration is one k×dim float matrix** — the same
+  contract as Spark MLlib's own KMeans driver aggregation, and why an
+  iterative algorithm is safe here at all: lineage does not grow with
+  iterations because each pass re-derives assignment from literals,
+  never from the previous pass's DataFrame.
+
+Spherical variant (unit centroids, cosine objective) because every
+consumer in similarity.py ranks by cosine: assignment argmax needs no
+row normalization (row norm is constant across the argmax), and the
+update's mean direction is just the normalized per-cell vector sum.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# k*dim above which the literal-centroid plan gets unwieldy and a
+# broadcast-join assignment should take over (see module docstring)
+LITERAL_CENTROID_BUDGET = 65536
+
+
+def _centroid_literal(cents: list[list[float]]) -> Column:
+    """The k×dim matrix as a literal array<array<double>> column."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+
+def assign_cells(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Add ``out`` = 0-based index of the max-dot-product centroid.
+
+    Ties break to the lowest cell index (array_position returns the
+    first match), so assignment is deterministic. Purely map-side —
+    this is the operator that makes IVF cells a *derived* column: at
+    index-build time you persist its output partitioned by ``out`` and
+    probing becomes partition pruning; at query time over an
+    unpartitioned corpus it is one projection in the scan stage."""
+    if len(cents) * len(cents[0]) > LITERAL_CENTROID_BUDGET:
+        raise ValueError(
+            f"k*dim = {len(cents) * len(cents[0])} exceeds the literal-plan "
+            f"budget ({LITERAL_CENTROID_BUDGET}); use a broadcast-join assignment"
+        )
+    v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    sims = F.transform(
+        _centroid_literal(cents),
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+    return df.withColumn(out, (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
+
+
+def _unit(vec: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec] if n > 0 else list(vec)
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[float]]:
+    """Train k unit centroids; returns (centroids, per-iteration max
+    centroid shift as 1 - cos(old, new)).
+
+    Deterministic end to end: init picks the k rows with the smallest
+    xxhash64(id) (a seedless uniform sample — same rows on every run
+    and every executor count), assignment ties break to the lowest
+    cell, and the update's dot/sum order only moves centroids at
+    float-associativity noise, below any tol worth setting. Stops when
+    the largest centroid shift drops under ``tol``.
+
+    Cells that capture no rows keep their previous centroid (standard
+    Lloyd fallback), so k survives even when k > distinct(vectors)."""
+    base = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
+    )
+    init = base.orderBy(F.xxhash64(F.col("__id")), F.col("__id")).limit(k).collect()
+    cents = [_unit(list(r["__v"])) for r in init]
+    if not cents:
+        raise ValueError("kmeans_fit on an empty vectors frame")
+    while len(cents) < k:  # k > rows: pad by cycling (duplicates tie-break
+        cents.append(cents[len(cents) % len(init)])  # to the lower cell, so
+        # padded cells stay empty and simply retain their centroid)
+    shifts: list[float] = []
+    for _ in range(max_iters):
+        # one scan: literal-argmax assignment, explode, partial-agg sums
+        sums = (
+            assign_cells(base, cents, "__v", "__cell")
+            .select("__cell", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__cell", "__d")
+            .agg(F.sum("__x").alias("__s"))
+            .groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("__d", "__s"))).alias("__dm"))
+            .select("__cell", F.expr("transform(__dm, s -> s.__s)").alias("__sum"))
+            .collect()
+        )
+        summed = {r["__cell"]: list(r["__sum"]) for r in sums}
+        new_cents = [
+            _unit(summed[i]) if i in summed and any(summed[i]) else cents[i]
+            for i in range(k)
+        ]
+        shift = max(
+            1.0 - sum(a * b for a, b in zip(old, new))
+            for old, new in zip(cents, new_cents)
+        )
+        shifts.append(shift)
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents, shifts
+
+
+def ivf_topk_trained(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    n_cells: int = 8,
+    max_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probed ANN over an UNLABELED corpus: train n_cells spherical
+    k-means centroids, probe the nprobe cells nearest the query, exact
+    top-k within them (`similarity.py::brute_force_topk`).
+
+    The trained centroids live on the driver, so cell probing is plain
+    Python — zero Spark jobs — and the pruned scan is one projection +
+    isin filter, no shuffle. Index-build-once semantics at scale:
+    persist assign_cells output partitioned by cell and this becomes
+    centroid math + partition-pruned scan, the plan IVF papers assume
+    (the training cost amortizes over every subsequent query)."""
+    from parsedmarc_go_spark.operators.similarity import brute_force_topk
+
+    cents, _ = kmeans_fit(
+        vectors, k=n_cells, max_iters=max_iters, vec_col=vec_col, id_col=id_col
+    )
+    (qrow,) = query.collect()  # single query vector, driver-side like the centroids
+    qv = _unit(list(qrow.q))
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: (-sum(a * b for a, b in zip(cents[i], qv)), i),
+    )
+    probed = ranked[:nprobe]
+    pruned = (
+        assign_cells(vectors, cents, vec_col, "__cell")
+        .filter(F.col("__cell").isin(probed))
+        .drop("__cell")
+    )
+    return brute_force_topk(pruned, query, k, id_col, vec_col)

@@ -58,6 +58,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@query("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED cells: spherical k-means over the unlabeled
+    embedding column (operators/clustering.py), probe the 4 of 8 cells
+    nearest the query, exact top-k inside. Rows-only: training runs
+    Spark jobs at call time (a Lloyd loop is not one SQL statement);
+    tests/test_kmeans.py pins determinism, planted-cluster recovery,
+    map-side-only assignment, and >=8/10 agreement with brute force."""
+    from parsedmarc_go_spark.operators.clustering import ivf_topk_trained
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_trained(
+        emb, query_vector(emb, 0), k=10, nprobe=4, n_cells=8, max_iters=5
+    )
+
+
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed ANN (rows-only: bucket membership
