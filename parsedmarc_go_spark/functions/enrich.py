@@ -379,6 +379,7 @@ class EnrichmentContext:
     every batch. All dims are small broadcastable DataFrames."""
 
     geo_dim: DataFrame | None = None
+    geo_dim6: DataFrame | None = None  # 128-bit dim when the mmdb is a v6 tree
     dns_map: DataFrame | None = None
     nameservers: list[str] = field(default_factory=list)
     dns_timeout: float = 2.0
@@ -390,14 +391,26 @@ def build_enrichment(spark: SparkSession, parser_cfg) -> EnrichmentContext | Non
     GeoIP when ip_db_path is set, the sender map always — vendored
     default or reverse_dns_map_path — live PTR only when not offline).
     Returns None when enrichment is fully disabled."""
-    from parsedmarc_go_spark.functions.enrichdims import geo_dim_from_mmdb, load_dns_map
+    from parsedmarc_go_spark.functions.enrichdims import (
+        MMDBFile,
+        geo_dim6_from_mmdb,
+        geo_dim_from_mmdb,
+        load_dns_map,
+    )
 
-    geo = None
+    geo = geo6 = None
     if parser_cfg.ip_db_path:
         geo = geo_dim_from_mmdb(spark, parser_cfg.ip_db_path)
+        # v6 tree: also extract the 128-bit dim so IPv6 sources resolve
+        # (the reference's geoip2 Reader is protocol-agnostic,
+        # utils.go:41-56). Second driver walk of the same file — one-time
+        # build cost, same streamed-batch memory bound.
+        if MMDBFile(parser_cfg.ip_db_path).ip_version == 6:
+            geo6 = geo_dim6_from_mmdb(spark, parser_cfg.ip_db_path)
     dns_map = load_dns_map(spark, parser_cfg.reverse_dns_map_path or None)
     return EnrichmentContext(
         geo_dim=geo,
+        geo_dim6=geo6,
         dns_map=dns_map,
         nameservers=list(parser_cfg.nameservers or []),
         dns_timeout=float(parser_cfg.dns_timeout or 2),
@@ -413,7 +426,15 @@ def enrich_records(
     order is preserved — every enrichment replaces an existing offline
     default in place (parser.go:1274-1296)."""
     out = df
-    if ctx.geo_dim is not None:
+    if ctx.geo_dim is not None and ctx.geo_dim6 is not None:
+        # dual-stack route: each family through its own bucketed join —
+        # a unified 128-bit join would funnel every v4 row into the
+        # single hi=0 bucket and degrade to a linear dim scan per row
+        is6 = F.coalesce(F.col(ip_col).contains(":"), F.lit(False))
+        out = geoip_enrich(out.filter(~is6), ctx.geo_dim, ip_col=ip_col).unionByName(
+            geoip_enrich6(out.filter(is6), ctx.geo_dim6, ip_col=ip_col)
+        )
+    elif ctx.geo_dim is not None:
         out = geoip_enrich(out, ctx.geo_dim, ip_col=ip_col)
     if not ctx.offline and ctx.nameservers:
         from parsedmarc_go_spark.functions.enrichdims import resolve_ptr_batch

@@ -266,6 +266,49 @@ def test_geo_dim6_from_mmdb_end_to_end(spark, tmp_path):
         assert got[r.ip] == r.want, (r.ip, got[r.ip], r.want)
 
 
+def test_enrich_records_routes_dual_stack(spark, tmp_path):
+    """The production pipeline path (daemon.py -> enrich_records) must
+    resolve BOTH families against one v6 mmdb, like the reference's
+    protocol-agnostic geoip2 lookups (utils.go:41-56): v4 rows through
+    the 32-bit bucketed join, v6 rows through the 128-bit one."""
+    from types import SimpleNamespace
+
+    from parsedmarc_go_spark.functions.enrich import build_enrichment, enrich_records
+
+    networks = [
+        ("2001:db8::", 32, "V6-LAND"),
+        ("::a00:0", 104, "TEN-NET"),  # 10.0.0.0/8 under ::/96
+    ]
+    path = str(tmp_path / "dual.mmdb")
+    with open(path, "wb") as f:
+        f.write(_build_mmdb6(networks))
+
+    cfg = SimpleNamespace(
+        ip_db_path=path, reverse_dns_map_path=None, nameservers=[],
+        dns_timeout=2, offline=True,
+    )
+    ctx = build_enrichment(spark, cfg)
+    assert ctx.geo_dim is not None and ctx.geo_dim6 is not None
+
+    df = spark.createDataFrame(
+        [
+            ("10.1.2.3", "TEN-NET", "r1"),
+            ("2001:db8::42", "V6-LAND", "r2"),
+            ("8.8.8.8", "Unknown", "r3"),
+            ("bogus", "Unknown", "r4"),
+            (None, "Unknown", "r5"),  # NULL ip must survive the route split
+        ],
+        "source_ip_address string, want string, report_id string",
+    ).withColumn("source_reverse_dns", F.lit(""))
+    out = enrich_records(df, ctx)
+    rows = {r.report_id: r for r in out.collect()}
+    assert len(rows) == 5, "route split dropped or duplicated rows"
+    for r in df.collect():
+        assert rows[r.report_id].source_country == r.want, (
+            r.source_ip_address, rows[r.report_id].source_country, r.want,
+        )
+
+
 def test_hilo_order_matches_address_order(spark):
     """The sign-bias must make signed (hi, lo) sorting equal to unsigned
     address order — the property the interval residual predicate and
