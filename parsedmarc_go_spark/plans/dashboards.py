@@ -20,10 +20,22 @@ Dialect mapping ClickHouse → Spark SQL:
     dmarc_aligned = 1    → dmarc_aligned (BooleanType here)
 
 Every query takes the relative-time anchor via ``{as_of}`` so results
-are reproducible (SURVEY §7 hard part 5).
+are reproducible (SURVEY §7 hard part 5). Panels that rank with a
+LIMIT carry a deterministic tiebreak key (the group-by identity) after
+the ranking column, so two engines — or two runs — agree on which rows
+cross the cutoff; ClickHouse panels without one are non-deterministic
+under ties, which is a bug the dashboards inherit silently.
+
+Round-6: every panel string is value-oracled against DuckDB.
+``dashboard_oracle_sql`` mechanically re-dialects the SAME string
+(to_date → CAST AS DATE, collect_set → list() FILTER, approx → exact
+distinct on BOTH engines), so a wrong CASE bucket or window predicate
+in any panel fails tests/test_dashboards.py instead of running green.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -75,14 +87,14 @@ DASHBOARD_QUERIES: dict[str, str] = {
         FROM dmarc_aggregate_records
         WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
           AND source_country != 'Unknown'
-        GROUP BY source_country ORDER BY messages DESC LIMIT 10""",
+        GROUP BY source_country ORDER BY messages DESC, source_country LIMIT 10""",
     "overview_top_orgs": """
         SELECT org_name AS organization, sum(count) AS messages,
                round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
                      / sum(count), 2) AS compliance_rate
         FROM dmarc_aggregate_records
         WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
-        GROUP BY org_name ORDER BY messages DESC LIMIT 20""",
+        GROUP BY org_name ORDER BY messages DESC, organization LIMIT 20""",
     "overview_top_ips_over_100": """
         SELECT source_ip_address AS source_ip, source_reverse_dns, source_country,
                sum(count) AS messages,
@@ -92,7 +104,7 @@ DASHBOARD_QUERIES: dict[str, str] = {
         WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
         GROUP BY source_ip_address, source_reverse_dns, source_country
         HAVING messages > 100
-        ORDER BY messages DESC LIMIT 50""",
+        ORDER BY messages DESC, source_ip LIMIT 50""",
     # ---- forensic dashboard (dashboard-dmarc-forensic.json) ----
     "forensic_total_7d": """
         SELECT count(*) AS total FROM dmarc_forensic_reports
@@ -125,14 +137,14 @@ DASHBOARD_QUERIES: dict[str, str] = {
         SELECT source_country, count(*) AS reports FROM dmarc_forensic_reports
         WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
           AND source_country != 'Unknown'
-        GROUP BY source_country ORDER BY reports DESC LIMIT 10""",
+        GROUP BY source_country ORDER BY reports DESC, source_country LIMIT 10""",
     "forensic_top_domains": """
         SELECT reported_domain, count(*) AS report_count,
                approx_count_distinct(source_ip_address) AS unique_ips,
                sort_array(collect_set(auth_failure)) AS auth_failures
         FROM dmarc_forensic_reports
         WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
-        GROUP BY reported_domain ORDER BY report_count DESC LIMIT 20""",
+        GROUP BY reported_domain ORDER BY report_count DESC, reported_domain LIMIT 20""",
     "forensic_top_ips": """
         SELECT source_ip_address AS source_ip, source_reverse_dns, source_country,
                count(*) AS report_count,
@@ -141,7 +153,7 @@ DASHBOARD_QUERIES: dict[str, str] = {
         FROM dmarc_forensic_reports
         WHERE arrival_date >= timestamp'{as_of}' - INTERVAL 7 DAY
         GROUP BY source_ip_address, source_reverse_dns, source_country
-        ORDER BY report_count DESC LIMIT 50""",
+        ORDER BY report_count DESC, source_ip LIMIT 50""",
     # ---- documented query library (docs/grafana.md:170-420) ----
     "docs_compliance_trend_30d": """
         SELECT to_date(begin_date) AS date,
@@ -161,7 +173,7 @@ DASHBOARD_QUERIES: dict[str, str] = {
         WHERE NOT dmarc_aligned
           AND begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
         GROUP BY source_ip_address, source_country
-        ORDER BY failed_messages DESC LIMIT 20""",
+        ORDER BY failed_messages DESC, source_ip_address LIMIT 20""",
     "docs_geo_distribution": """
         SELECT source_country, sum(count) AS message_count,
                round(sum(CASE WHEN dmarc_aligned THEN count ELSE 0 END) * 100.0
@@ -233,9 +245,55 @@ DASHBOARD_QUERIES: dict[str, str] = {
 }
 
 
+# approx_count_distinct is an estimator on BOTH engines, with different
+# sketches — value-comparison is only meaningful with both sides exact.
+# The estimator itself is bound-tested once (tests/test_plans.py HLL
+# gate); the oracle pass swaps exact COUNT(DISTINCT …) into both
+# dialects so the REST of each panel string is checked to the value.
+_APPROX_DISTINCT = re.compile(r"approx_count_distinct\(([^()]+)\)")
+_TO_DATE = re.compile(r"to_date\(([^()]+(?:\([^()]*\))?[^()]*)\)")
+_SORT_COLLECT_SET = re.compile(r"sort_array\(collect_set\(([^()]+)\)\)")
+
+
+def dashboard_sql(name: str, as_of: str, exact_distinct: bool = False) -> str:
+    """The panel's Spark SQL with the time anchor bound; with
+    ``exact_distinct`` the approx sketch becomes COUNT(DISTINCT …) for
+    engine-vs-engine value comparison."""
+    sql = DASHBOARD_QUERIES[name].format(as_of=as_of)
+    if exact_distinct:
+        sql = _APPROX_DISTINCT.sub(r"count(DISTINCT \1)", sql)
+    return sql
+
+
+def dashboard_oracle_sql(name: str, as_of: str) -> str:
+    """DuckDB re-dialect of the panel — a MECHANICAL rewrite of the same
+    string (not a second hand-written query, which could share a bug's
+    mirror image or drift):
+
+        to_date(x)              → CAST(x AS DATE)
+        sort_array(collect_set) → list_sort(list(DISTINCT x)
+                                    FILTER (WHERE x IS NOT NULL))
+                                  (Spark's collect_set drops NULLs;
+                                  list_distinct is unimplemented for
+                                  VARCHAR[] in DuckDB, DISTINCT-in-agg
+                                  is the portable spelling)
+        approx_count_distinct   → count(DISTINCT x)  [both sides]
+
+    Everything else (CASE buckets, interval windows, HAVING aliases,
+    round(x,2), date_trunc('week')) parses identically in DuckDB."""
+    sql = dashboard_sql(name, as_of, exact_distinct=True)
+    sql = _TO_DATE.sub(r"CAST(\1 AS DATE)", sql)
+    sql = _SORT_COLLECT_SET.sub(
+        r"list_sort(list(DISTINCT \1) FILTER (WHERE \1 IS NOT NULL))", sql
+    )
+    return sql
+
+
 def run_dashboard_query(
-    spark: SparkSession, name: str, as_of: str | None = None
+    spark: SparkSession,
+    name: str,
+    as_of: str | None = None,
+    exact_distinct: bool = False,
 ) -> DataFrame:
-    sql = DASHBOARD_QUERIES[name]
     anchor = as_of or spark.sql("SELECT date_format(current_timestamp(), 'yyyy-MM-dd HH:mm:ss')").first()[0]
-    return spark.sql(sql.format(as_of=anchor))
+    return spark.sql(dashboard_sql(name, anchor, exact_distinct=exact_distinct))

@@ -1,14 +1,27 @@
-"""Run the complete reference dashboard workload (28 queries) against
-the corpus-ingested DMARC tables; sanity-assert the panel semantics."""
+"""Run the complete reference dashboard workload (30 queries) against
+the corpus-ingested DMARC tables, then VALUE-oracle every panel against
+DuckDB: the five ingested tables are written to parquet, the panel's
+Spark SQL (with exact distinct) runs against the views, the mechanical
+DuckDB re-dialect of the same string runs against the parquet, and the
+two frames must match cell-for-cell. A wrong CASE bucket, window
+predicate, or dialect mapping in any panel string fails here."""
 
 from __future__ import annotations
 
+import datetime
+import math
 import os
 
+import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 from parsedmarc_go_spark.plans.dashboards import (
     DASHBOARD_QUERIES,
+    VIEW_NAMES,
+    dashboard_oracle_sql,
+    dashboard_sql,
     register_views,
     run_dashboard_query,
 )
@@ -73,3 +86,74 @@ def test_domain_analysis_joins(views):
 def test_forensic_panels_have_data(views):
     rows = run_dashboard_query(views, "forensic_feedback_types", as_of=AS_OF_FORENSIC).collect()
     assert rows and rows[0].feedback_type == "auth-failure"
+
+
+# ---------------------------------------------------------------- oracle pass
+
+
+@pytest.fixture(scope="module")
+def duck_parquet(views, tmp_path_factory):
+    """The five registered DMARC views written to parquet so DuckDB
+    reads the EXACT rows Spark queries — one shared landing per module."""
+    base = tmp_path_factory.mktemp("dmarc_oracle")
+    paths = {}
+    for name in VIEW_NAMES:
+        out = str(base / name)
+        views.table(name).write.mode("overwrite").parquet(out)
+        paths[name] = out
+    return paths
+
+
+def _is_null(v) -> bool:
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def _norm_cell(v):
+    """One comparison domain for both engines: ndarray/list → tuple,
+    date/Timestamp → naive datetime, numpy scalar → Python scalar."""
+    if isinstance(v, np.ndarray):
+        return tuple(v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v
+    if isinstance(v, datetime.date):
+        # Spark date_trunc returns TIMESTAMP, DuckDB returns DATE —
+        # same instant either way
+        return datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def _canon_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in out.columns:
+        out[c] = [_norm_cell(v) for v in out[c]]
+    if len(out):
+        out = out.sort_values(
+            by=list(out.columns),
+            key=lambda s: s.map(lambda v: (_is_null(v), str(v))),
+            ignore_index=True,
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(DASHBOARD_QUERIES))
+def test_dashboard_panel_matches_duckdb(views, duck_parquet, name):
+    as_of = AS_OF_FORENSIC if name.startswith("forensic") else AS_OF_AGG
+    sdf = views.sql(dashboard_sql(name, as_of, exact_distinct=True))
+    con = duckdb.connect()
+    for t, p in duck_parquet.items():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    odf = con.execute(dashboard_oracle_sql(name, as_of)).fetchdf()
+    s, o = _canon_frame(sdf.toPandas()), _canon_frame(odf)
+    assert list(s.columns) == list(o.columns), (list(s.columns), list(o.columns))
+    assert len(s) == len(o), f"{name}: spark {len(s)} rows, duckdb {len(o)}"
+    for c in s.columns:
+        for i, (a, b) in enumerate(zip(s[c], o[c])):
+            if _is_null(a) and _is_null(b):
+                continue
+            assert a == b, f"{name}.{c} row {i}: spark={a!r} duckdb={b!r}"
