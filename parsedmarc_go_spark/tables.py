@@ -54,11 +54,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # events.ts is parquet TIMESTAMP(NANOS), read as a nanos long via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (same
-        # as DuckDB's ns→µs conversion). `div` keeps int64 precision —
-        # `/` would round-trip through double and lose low bits.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # events.ts as parquet TIMESTAMP(NANOS), read as a nanos long
+            # via spark.sql.legacy.parquet.nanosAsLong; truncate to micros
+            # (same as DuckDB's ns→µs conversion). `div` keeps int64
+            # precision — `/` would round-trip through double and lose
+            # low bits.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # events.ts as TIMESTAMP(MICROS, isAdjustedToUTC=false) →
+            # TIMESTAMP_NTZ, which Spark 4 rejects in instant functions
+            # (unix_micros, F.window). The session TZ is UTC (above), so
+            # the cast reinterprets the same wall-clock as the same
+            # instant DuckDB sees — and downstream code keeps one
+            # timestamp type regardless of how the generator wrote the
+            # file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _scan_cache[key] = df
     return df

@@ -34,8 +34,15 @@ def plans(spark):
 
 
 def test_a1_prunes_columns(plans):
-    # a 2-column aggregate must not read the whole events schema
-    assert "ReadSchema: struct<ts:bigint,value:double>" in plans["a1_daily_volume"]
+    # a 2-column aggregate must not read the whole events schema; the
+    # generator has shipped events.ts as both TIMESTAMP(NANOS)→bigint
+    # and TIMESTAMP(MICROS,ntz) — pruning matters, not the encoding
+    import re
+
+    assert re.search(
+        r"ReadSchema: struct<ts:(bigint|timestamp_ntz),value:double>",
+        plans["a1_daily_volume"],
+    ), plans["a1_daily_volume"]
 
 
 def test_a7_is_take_ordered(plans):
@@ -63,9 +70,20 @@ def test_j3_broadcast_nested_loop(plans):
 
 
 def test_f9_scan_reads_needed_columns_only(plans):
-    # ts arrives as nanos long (driver testdata), so the time predicate
-    # itself cannot push past the conversion — but pruning must hold
-    assert "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint" in plans["f9_time_range_filter"]
+    import re
+
+    p = plans["f9_time_range_filter"]
+    # column pruning must hold under either generator encoding of ts
+    # (TIMESTAMP(NANOS)→bigint, or TIMESTAMP(MICROS,ntz) since round 6)
+    assert re.search(
+        r"ReadSchema: struct<event_id:bigint,ts:(bigint|timestamp_ntz),user_id:bigint",
+        p,
+    ), p
+    if "ts:timestamp_ntz" in p:
+        # with a native timestamp column the time-range predicate reaches
+        # the parquet scan too (it could not push through the old nanos
+        # long → timestamp conversion)
+        assert "PushedFilters: [" in p and "GreaterThanOrEqual(ts" in p, p
 
 
 def test_ann_no_shuffle_of_corpus(plans):
@@ -143,6 +161,27 @@ def test_a9_approx_within_hll_error_bound(spark):
     for etype, n in exact.items():
         rel_err = abs(approx[etype] - n) / n
         assert rel_err <= 0.05, f"{etype}: approx {approx[etype]} vs exact {n}"
+
+
+def test_a20_approx_median_within_bound(spark):
+    # VERDICT r5 #4: a20_median_approx is the production-default A20 —
+    # pin it to the exact window-sort gate. percentile_approx(accuracy=
+    # 10000) guarantees rank error <= n/10000; at sf0.01 (~2k rows per
+    # event_type) that is near-exact, so a tight 1% value bound holds
+    # with margin while still catching a broken sketch or wrong key.
+    exact = {
+        r["event_type"]: r["median_value"]
+        for r in QUERIES["a20_median"](spark, SF_CORRECT).collect()
+    }
+    approx = {
+        r["event_type"]: r["median_value"]
+        for r in QUERIES["a20_median_approx"](spark, SF_CORRECT).collect()
+    }
+    assert set(exact) == set(approx)
+    for etype, m in exact.items():
+        assert abs(approx[etype] - m) / abs(m) <= 0.01, (
+            f"{etype}: approx {approx[etype]} vs exact {m}"
+        )
 
 
 def test_registry_oracles_form_checked_prefix():
