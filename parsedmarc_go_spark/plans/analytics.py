@@ -556,23 +556,28 @@ def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P2 — unix-epoch decode (utils.go:24-30: epoch seconds → UTC timestamp).
 @query(
     "p2_epoch_decode",
-    oracle="SELECT event_id, epoch_ms(event_id * 1000) AS ts_from_epoch FROM events",
 )
 def p2_epoch_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only since round 6: the SAME epoch expression is value-hashed
+    as p3's ``ts_from_epoch`` column (timestamp-suite merge, freeing a
+    50-window slot for the IPv6 geo gate — the round-3 A2/f9 precedent)."""
     return load(spark, sf_dir, "events").select(
         "event_id", F.timestamp_seconds(F.col("event_id")).alias("ts_from_epoch")
     )
 
 
 # P3 — multi-format timestamp parse, first match wins
-# (validator.go:285-312: try RFC3339, then '2006-01-02 15:04:05', …).
+# (validator.go:285-312: try RFC3339, then '2006-01-02 15:04:05', …),
+# plus P2's epoch decode (utils.go:24-30) as a second checked column —
+# one timestamp-suite gate carrying both components' value evidence.
 @query(
     "p3_multiformat_timestamp",
     oracle="""
     WITH s AS (SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS raw FROM events)
     SELECT event_id,
            COALESCE(try_strptime(raw, '%Y/%m/%d'),
-                    try_strptime(raw, '%Y-%m-%d %H:%M:%S')) AS parsed_ts
+                    try_strptime(raw, '%Y-%m-%d %H:%M:%S')) AS parsed_ts,
+           epoch_ms(event_id * 1000) AS ts_from_epoch
     FROM s
     """,
 )
@@ -585,6 +590,7 @@ def p3_multiformat_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_to_timestamp(raw, F.lit("yyyy/MM/dd")),
             F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
         ).alias("parsed_ts"),
+        F.timestamp_seconds(F.col("event_id")).alias("ts_from_epoch"),
     )
 
 

@@ -153,7 +153,41 @@ def _hilo_literals(cidr: str) -> str:
     return ", ".join(f"{v}L" for v in parts)
 
 
-@query("j3c_geoip6_range_join")
+@query(
+    "j3c_geoip6_range_join",
+    # Full hash oracle (round-6, promoted from rows-only): DuckDB's
+    # UHUGEINT carries the whole 128-bit address space, so the oracle
+    # derives each synthetic row's address VALUE independently from the
+    # generator arithmetic (no string parse — a parse bug on the Spark
+    # side shifts rows between countries and breaks the hash) and joins
+    # plain BETWEEN against the same four intervals. v4 values (< 2^32)
+    # and v6 values (>= 2^96) cannot cross-match, so one interval table
+    # serves both families.
+    oracle=f"""
+    WITH lab AS (
+      SELECT event_id,
+             CASE mod(event_id, 5)
+               WHEN 0 THEN CAST(10 * 16777216 + mod(user_id, 256) * 65536 + 1 AS UHUGEINT)
+               WHEN 1 THEN CAST(3232235520 + mod(event_id, 256) * 256 + 25 AS UHUGEINT)
+               WHEN 2 THEN CAST('42540766411282592856903984951653826560' AS UHUGEINT)
+                           + CAST(mod(event_id, 65536) AS UHUGEINT)
+               WHEN 3 THEN CAST('336294684359690641101421262934718283776' AS UHUGEINT)
+                           + CAST(mod(user_id, 65536) AS UHUGEINT)
+               ELSE NULL
+             END AS addr
+      FROM events),
+    geo(s, e, c) AS (VALUES
+      (CAST(167772160 AS UHUGEINT), CAST(184549375 AS UHUGEINT), 'US'),
+      (CAST(3232235520 AS UHUGEINT), CAST(3232301055 AS UHUGEINT), 'DE'),
+      (CAST('42540766411282592856903984951653826560' AS UHUGEINT),
+       CAST('42540766490510755371168322545197776895' AS UHUGEINT), 'US6'),
+      (CAST('336294684359690641101421262934718283776' AS UHUGEINT),
+       CAST('336294684438918803615685600528262234111' AS UHUGEINT), 'PRIVATE'))
+    SELECT COALESCE(g.c, 'Unknown') AS country, COUNT(*) AS n_events
+    FROM lab LEFT JOIN geo g ON lab.addr BETWEEN g.s AND g.e
+    GROUP BY 1
+    """,
+)
 def j3c_geoip6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/P9 dual-stack: the reference geo-locates IPv6 sources exactly
     like IPv4 (geoip2 lookups are protocol-agnostic, utils.go:41-56).
@@ -161,9 +195,9 @@ def j3c_geoip6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows through geoip_enrich6's (hi, lo) 128-bit bucketed join, then
     union — each side a broadcast HASH equi-join on its bucket key, so
     the fact table never shuffles and neither dim is nested-loop
-    scanned. Rows-only gate: DuckDB has no offline inet support; parse
-    parity is pinned against Python's ipaddress module and the join
-    against a binary-trie v6 MMDB fixture in tests/test_ipv6.py."""
+    scanned. Parse parity is additionally pinned against Python's
+    ipaddress module and a binary-trie v6 MMDB fixture in
+    tests/test_ipv6.py."""
     from parsedmarc_go_spark.functions.enrich import geoip_enrich, geoip_enrich6
 
     ev = load(spark, sf_dir, "events").withColumn("ip", F.expr(_IP6_EXPR))
