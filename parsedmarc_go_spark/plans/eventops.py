@@ -244,3 +244,20 @@ def a20_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.groupBy("event_type").agg(
         (F.avg(_cents("value")) / 100.0).alias("median_value")
     )
+
+
+@query("a20_median_approx")
+def a20_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 production default (paired with the exact gate above the way
+    a9_distinct_exact/approx are): percentile_approx's KLL-style sketch
+    is a partial-aggregable AGGREGATE — map-side combine, one shuffle of
+    k sketches per event_type, no per-key ROW_NUMBER sort. The exact
+    twin's window partitions the whole corpus by event_type, which at
+    100 TB means a handful of executor-crushing sort partitions; this
+    one's memory is O(accuracy) per key regardless of row count.
+    Rows-only gate (DuckDB's approx sketch differs); the error bound vs
+    the exact gate is pinned in tests/test_plans.py."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("median_value")
+    )
