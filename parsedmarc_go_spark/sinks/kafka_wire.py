@@ -20,7 +20,13 @@ Protocol surface (all public, from the Kafka protocol guide):
 
 Keyed partition assignment follows sarama's default hash partitioner
 (FNV-1a 32-bit, negative remainder wrapped) for parity with the
-reference's producer config.
+reference's producer config. Cluster behavior matches a real client:
+bootstrap addresses are tried in order until one connects, each batch
+is produced to ITS partition's leader from the metadata broker list,
+and a NOT_LEADER_FOR_PARTITION response (leadership moved between
+discovery and produce) triggers one metadata refresh + re-route before
+the error propagates to Spark's task-retry layer
+(tests/test_kafka_wire.py drives all three against a 2-node stub).
 
 SASL/TLS are connector-only concerns: the fallback refuses them rather
 than pretending (kafka.go's TLS/SASL maps onto the connector options in
@@ -242,6 +248,21 @@ def request_metadata(
     return brokers, leaders
 
 
+NOT_LEADER_FOR_PARTITION = 6
+
+
+class ProduceError(RuntimeError):
+    """Non-zero partition error code in a Produce response; ``code``
+    keeps the broker's error number so callers can retry the retriable
+    ones (NOT_LEADER_FOR_PARTITION after a metadata refresh) and fail
+    fast on the rest."""
+
+    def __init__(self, code: int, partition: int):
+        super().__init__(f"produce error {code} on partition {partition}")
+        self.code = code
+        self.partition = partition
+
+
 def request_produce(
     sock: socket.socket,
     topic: str,
@@ -250,7 +271,8 @@ def request_produce(
     corr_id: int,
     timeout_ms: int = 30_000,
 ) -> None:
-    """Produce v3, acks=1 — raises on a non-zero partition error code."""
+    """Produce v3, acks=1 — raises ProduceError on a non-zero partition
+    error code."""
     body = (
         _str(None)  # transactional_id
         + struct.pack(">hi", 1, timeout_ms)  # acks, timeout
@@ -273,7 +295,7 @@ def request_produce(
             p_idx, err = struct.unpack_from(">ih", resp, pos)
             pos += 6 + 8 + 8  # index, error, base_offset, log_append_time
             if err != 0:
-                raise RuntimeError(f"produce error {err} on partition {p_idx}")
+                raise ProduceError(err, p_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +325,6 @@ def produce_partition(
     first = next(rows, None)
     if first is None:
         return
-    boot_host, boot_port = _parse_bootstrap(bootstrap_servers)[0]
     conns: dict[tuple[str, int], socket.socket] = {}
 
     def _conn(addr: tuple[str, int]) -> socket.socket:
@@ -312,27 +333,54 @@ def produce_partition(
             conns[addr] = s
         return conns[addr]
 
+    # bootstrap failover, sarama-style: try each listed address in order
+    boot = None
+    boot_err: Exception | None = None
+    for boot_host, boot_port in _parse_bootstrap(bootstrap_servers):
+        try:
+            boot = _conn((boot_host, boot_port))
+            break
+        except OSError as exc:
+            boot_err = exc
+    if boot is None:
+        raise ConnectionError(f"no bootstrap broker reachable: {boot_err}")
+
     corr = 0
     try:
-        boot = _conn((boot_host, boot_port))
         corr += 1
         brokers, leaders = request_metadata(boot, topic, corr)
         n_parts = max(len(leaders), 1)
         pending: dict[int, list] = {}
 
-        def _flush(part: int) -> None:
-            nonlocal corr
-            recs = pending.pop(part, None)
-            if not recs:
-                return
-            leader = leaders.get(part, 0)
-            addr = brokers.get(leader, (boot_host, boot_port))
+        def _leader_addr(part: int) -> tuple[str, int]:
+            addr = brokers.get(leaders.get(part, 0), (boot_host, boot_port))
             # test doubles / NAT'd brokers may advertise an unreachable
             # name; fall back to the bootstrap address for 0.0.0.0/empty
             if not addr[0] or addr[0] == "0.0.0.0":
                 addr = (boot_host, addr[1])
-            corr += 1
-            request_produce(_conn(addr), topic, part, encode_record_batch(recs, 0), corr)
+            return addr
+
+        def _flush(part: int) -> None:
+            nonlocal corr, brokers, leaders
+            recs = pending.pop(part, None)
+            if not recs:
+                return
+            batch = encode_record_batch(recs, 0)
+            for attempt in (0, 1):
+                corr += 1
+                try:
+                    request_produce(_conn(_leader_addr(part)), topic, part, batch, corr)
+                    return
+                except ProduceError as exc:
+                    # a leadership move between discovery and produce is
+                    # routine in a real cluster (broker restart, rebalance):
+                    # refresh metadata and re-route ONCE; anything else —
+                    # or a second stale answer — propagates so Spark's
+                    # task retry owns the failure policy
+                    if exc.code != NOT_LEADER_FOR_PARTITION or attempt == 1:
+                        raise
+                    corr += 1
+                    brokers, leaders = request_metadata(boot, topic, corr)
 
         def _feed(row) -> None:
             key = row["key"].encode() if row["key"] is not None else None

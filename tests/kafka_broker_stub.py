@@ -78,58 +78,98 @@ def decode_record_batch(batch: bytes) -> list[tuple[bytes | None, bytes | None, 
     return out
 
 
-class KafkaBrokerStub:
-    """Threaded single-node broker double; `received[partition]` collects
-    decoded (key, value, headers) tuples across all connections."""
+NOT_LEADER_FOR_PARTITION = 6
 
-    def __init__(self, num_partitions: int = 1):
+
+class KafkaBrokerStub:
+    """Threaded broker-cluster double; `received[partition]` collects
+    decoded (key, value, headers) tuples across all connections.
+
+    With ``num_nodes > 1`` it becomes a cluster: every node answers
+    Metadata with the full broker list and the shared leader map
+    (partition p led by node ``p % num_nodes``), and a Produce sent to a
+    non-leader node is rejected with NOT_LEADER_FOR_PARTITION — exactly
+    what a real cluster does, so the producer's per-partition routing is
+    observable. ``first_metadata_leaders`` (served to the FIRST Metadata
+    request only) simulates a leadership change between discovery and
+    produce, driving the client's refresh-and-retry path."""
+
+    def __init__(
+        self,
+        num_partitions: int = 1,
+        num_nodes: int = 1,
+        first_metadata_leaders: dict[int, int] | None = None,
+    ):
         self.num_partitions = num_partitions
+        self.num_nodes = num_nodes
+        self.leaders = {p: p % num_nodes for p in range(num_partitions)}
+        self.first_metadata_leaders = first_metadata_leaders
+        self._metadata_served = False
         self.received: dict[int, list] = {}
+        self.received_by_node: dict[tuple[int, int], list] = {}
+        self.not_leader_rejections: list[tuple[int, int]] = []  # (node, part)
         self.errors: list[str] = []
         self._lock = threading.Lock()
         stub = self
 
-        class Handler(socketserver.BaseRequestHandler):
-            def handle(self) -> None:
-                try:
-                    while True:
-                        head = self._recv(4)
-                        if head is None:
-                            return
-                        (size,) = struct.unpack(">i", head)
-                        payload = self._recv(size)
-                        if payload is None:
-                            return
-                        self.request.sendall(stub._dispatch(payload))
-                except Exception as exc:  # surface in the test, not stderr
-                    with stub._lock:
-                        stub.errors.append(repr(exc))
+        self._servers = []
+        self._threads = []
+        self.ports: list[int] = []
+        for node_id in range(num_nodes):
 
-            def _recv(self, n: int) -> bytes | None:
-                buf = bytearray()
-                while len(buf) < n:
-                    part = self.request.recv(n - len(buf))
-                    if not part:
-                        return None
-                    buf += part
-                return bytes(buf)
+            class Handler(socketserver.BaseRequestHandler):
+                _node_id = node_id
 
-        self._server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
-        self._server.daemon_threads = True
-        self.port = self._server.server_address[1]
-        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+                def handle(self) -> None:
+                    try:
+                        while True:
+                            head = self._recv(4)
+                            if head is None:
+                                return
+                            (size,) = struct.unpack(">i", head)
+                            payload = self._recv(size)
+                            if payload is None:
+                                return
+                            self.request.sendall(stub._dispatch(payload, self._node_id))
+                    except Exception as exc:  # surface in the test, not stderr
+                        with stub._lock:
+                            stub.errors.append(repr(exc))
+
+                def _recv(self, n: int) -> bytes | None:
+                    buf = bytearray()
+                    while len(buf) < n:
+                        part = self.request.recv(n - len(buf))
+                        if not part:
+                            return None
+                        buf += part
+                    return bytes(buf)
+
+            server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+            server.daemon_threads = True
+            self._servers.append(server)
+            self.ports.append(server.server_address[1])
+            self._threads.append(
+                threading.Thread(target=server.serve_forever, daemon=True)
+            )
+        self.port = self.ports[0]  # bootstrap node (back-compat)
+
+    def set_leader(self, partition: int, node_id: int) -> None:
+        with self._lock:
+            self.leaders[partition] = node_id
 
     def start(self) -> "KafkaBrokerStub":
-        self._thread.start()
+        for t in self._threads:
+            t.start()
         return self
 
     def stop(self) -> None:
-        self._server.shutdown()
-        self._server.server_close()
+        for server in self._servers:
+            server.shutdown()
+            server.server_close()
 
     # -- request dispatch ---------------------------------------------------
 
-    def _dispatch(self, payload: bytes) -> bytes:
+    def _dispatch(self, payload: bytes, node_id: int = 0) -> bytes:
         api_key, api_version, corr_id = struct.unpack_from(">hhi", payload, 0)
         _client, pos = _read_str(payload, 8)
         body = payload[pos:]
@@ -144,18 +184,26 @@ class KafkaBrokerStub:
             for _ in range(n_topics):
                 name, p = _read_str(body, p)
                 names.append(name)
-            resp = struct.pack(">i", 1)  # one broker
-            resp += struct.pack(">i", 0) + _str("127.0.0.1") + struct.pack(">i", self.port)
-            resp += _str(None)  # rack
+            with self._lock:
+                if self.first_metadata_leaders is not None and not self._metadata_served:
+                    leader_map = dict(self.first_metadata_leaders)
+                else:
+                    leader_map = dict(self.leaders)
+                self._metadata_served = True
+            resp = struct.pack(">i", self.num_nodes)
+            for nid, port in enumerate(self.ports):
+                resp += struct.pack(">i", nid) + _str("127.0.0.1") + struct.pack(">i", port)
+                resp += _str(None)  # rack
             resp += struct.pack(">i", 0)  # controller id
             resp += struct.pack(">i", len(names))
             for name in names:
                 resp += struct.pack(">h", 0) + _str(name) + b"\x00"  # err, name, internal
                 resp += struct.pack(">i", self.num_partitions)
                 for part in range(self.num_partitions):
-                    resp += struct.pack(">hii", 0, part, 0)  # err, index, leader
-                    resp += struct.pack(">ii", 1, 0)  # replicas [0]
-                    resp += struct.pack(">ii", 1, 0)  # isr [0]
+                    leader = leader_map.get(part, 0)
+                    resp += struct.pack(">hii", 0, part, leader)  # err, index, leader
+                    resp += struct.pack(">ii", 1, leader)  # replicas [leader]
+                    resp += struct.pack(">ii", 1, leader)  # isr [leader]
         elif api_key == 0:  # Produce v3
             _txn, p = _read_str(body, 0)
             _acks, _timeout = struct.unpack_from(">hi", body, p)
@@ -173,10 +221,24 @@ class KafkaBrokerStub:
                     batch = body[p : p + blen]
                     p += blen
                     err = 0
+                    with self._lock:
+                        is_leader = self.leaders.get(part, 0) == node_id
+                    if not is_leader:
+                        # a real broker rejects produces for partitions it
+                        # does not lead — this is what makes the client's
+                        # routing and refresh-retry observable
+                        err = NOT_LEADER_FOR_PARTITION
+                        with self._lock:
+                            self.not_leader_rejections.append((node_id, part))
+                        acks.append((name, part, err))
+                        continue
                     try:
                         records = decode_record_batch(batch)
                         with self._lock:
                             self.received.setdefault(part, []).extend(records)
+                            self.received_by_node.setdefault((node_id, part), []).extend(
+                                records
+                            )
                     except ValueError as exc:
                         err = 2  # CORRUPT_MESSAGE
                         with self._lock:

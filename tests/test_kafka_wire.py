@@ -115,6 +115,74 @@ def test_send_kafka_fallback_refuses_sasl(spark):
         send_kafka(df, "aggregate", "b:9092", "t", username="u", password="p")
 
 
+def test_multi_broker_routes_to_partition_leaders(spark):
+    """2-node cluster, 4 partitions (leaders alternate node0/node1): the
+    producer must route every batch to the partition's LEADER — a
+    cluster rejects mis-routed produces, so zero NOT_LEADER rejections
+    is proof of routing, not merely absence of an assertion."""
+    stub = KafkaBrokerStub(num_partitions=4, num_nodes=2).start()
+    try:
+        df = spark.createDataFrame(
+            [(f"rpt-{i}", f"dom{i}.example", "org") for i in range(24)],
+            "report_id string, domain string, org_name string",
+        ).repartition(3)
+        send_kafka_stdlib(df, "aggregate", f"127.0.0.1:{stub.port}", "dmarc.aggregate")
+        assert stub.errors == []
+        assert stub.not_leader_rejections == []
+        assert sum(len(v) for v in stub.received.values()) == 24
+        # every record landed on the node that leads its partition
+        for (node, part), records in stub.received_by_node.items():
+            assert node == stub.leaders[part]
+            for key, _v, _h in records:
+                assert sarama_partition(key, 4) == part
+        # both nodes actually served produces (the routing is real)
+        assert {node for node, _ in stub.received_by_node} == {0, 1}
+    finally:
+        stub.stop()
+
+
+def test_not_leader_retry_refreshes_metadata_and_reroutes():
+    """Leadership moves between discovery and produce: the first
+    Metadata answer names node0 as partition 0's leader, the truth is
+    node1. The producer must hit node0, get NOT_LEADER_FOR_PARTITION,
+    refresh metadata, and deliver to node1 — driven directly through
+    produce_partition for a deterministic single client."""
+    from parsedmarc_go_spark.sinks.kafka_wire import produce_partition
+
+    stub = KafkaBrokerStub(
+        num_partitions=1, num_nodes=2, first_metadata_leaders={0: 0}
+    ).start()
+    stub.set_leader(0, 1)
+    try:
+        rows = [
+            {"key": "rpt-1", "value": '{"report_id":"rpt-1"}', "headers": []},
+            {"key": "rpt-2", "value": '{"report_id":"rpt-2"}', "headers": []},
+        ]
+        produce_partition(iter(rows), f"127.0.0.1:{stub.port}", "dmarc.aggregate")
+        assert stub.errors == []
+        # the stale route was attempted exactly once, then corrected
+        assert stub.not_leader_rejections == [(0, 0)]
+        assert [k for k, _v, _h in stub.received_by_node[(1, 0)]] == [b"rpt-1", b"rpt-2"]
+    finally:
+        stub.stop()
+
+
+def test_bootstrap_failover_skips_dead_broker():
+    """sarama tries each bootstrap address until one connects: a dead
+    first address must not fail the produce."""
+    from parsedmarc_go_spark.sinks.kafka_wire import produce_partition
+
+    stub = KafkaBrokerStub(num_partitions=1).start()
+    try:
+        dead = "127.0.0.1:1"  # port 1: connection refused
+        rows = [{"key": "rpt-1", "value": "v", "headers": []}]
+        produce_partition(iter(rows), f"{dead},127.0.0.1:{stub.port}", "t")
+        assert stub.errors == []
+        assert len(stub.received[0]) == 1
+    finally:
+        stub.stop()
+
+
 def test_batching_splits_large_partitions(spark):
     # 30 rows, batch_size=7 → multiple RecordBatch frames, all delivered
     stub = KafkaBrokerStub(num_partitions=1).start()
