@@ -28,7 +28,10 @@ HEADLINE = [
     "a14_daily_summary",
     "j1_fact_dim_join",
     "j2_enrichment_lookup",
-    "j3_range_join",
+    # the GeoIP bucketed interval join (the hash-matched j3 gate since
+    # round 5; the synthetic value-bracket twin j3_range_join it
+    # replaces here is plan-audited in test_plans instead)
+    "j3b_geoip_range_join",
     "w1_latest_by_key",
     "a13_weekly_volume",
     "p6_explode_tokens",

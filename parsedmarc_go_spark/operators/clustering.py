@@ -142,6 +142,81 @@ def kmeans_fit(
     return cents, shifts
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    max_iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Index-build-ONCE for IVF: train centroids, assign every row, and
+    persist the corpus ``partitionBy("cell")`` so probing is PARTITION
+    PRUNING, not a filter over a full scan — nprobe/n_cells of the data
+    is never read, which is the entire point of IVF at 100 TB (training
+    cost amortizes over every subsequent query).
+
+    The k×dim centroid matrix is persisted beside the data
+    (``<path>.centroids``) through Spark writes — cluster-safe for any
+    path executors can reach, and later sessions reopen the index with
+    ``load_ivf_centroids`` alone. Layout note: n_cells here is a COARSE
+    quantizer (dozens-to-thousands of cells), so one directory per cell
+    is object-store-friendly; each cell's files stay many-GB chunky at
+    corpus scale rather than small-file spray."""
+    cents, _ = kmeans_fit(
+        vectors, k=n_cells, max_iters=max_iters, vec_col=vec_col, id_col=id_col
+    )
+    assign_cells(vectors, cents, vec_col, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    spark = vectors.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    (
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + ".centroids")
+    )
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path.rstrip("/") + ".centroids").orderBy("cell").collect()
+    return [list(r["centroid"]) for r in rows]
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """Probe a PERSISTED IVF index (see build_ivf_index): rank cells by
+    centroid·query on the driver (k×dim floats, zero Spark jobs), read
+    back the partitioned corpus filtered to the nprobe nearest cells —
+    Catalyst turns the ``cell IN (…)`` predicate on the partition column
+    into PartitionFilters, so non-probed cells contribute no input
+    splits at all (plan-asserted in tests/test_kmeans.py) — then exact
+    top-k within the probed slice."""
+    from parsedmarc_go_spark.operators.similarity import brute_force_topk
+
+    if cents is None:
+        cents = load_ivf_centroids(spark, path)
+    (qrow,) = query.collect()
+    qv = _unit(list(qrow.q))
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: (-sum(a * b for a, b in zip(cents[i], qv)), i),
+    )
+    probed = [int(i) for i in ranked[:nprobe]]
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed)).drop("cell")
+    return brute_force_topk(corpus, query, k, id_col, vec_col)
+
+
 def ivf_topk_trained(
     vectors: DataFrame,
     query: DataFrame,

@@ -86,6 +86,75 @@ OPERATORS = [
 ]
 
 
+def make_embeddings(out_dir: str, n_vecs: int, dim: int = 64, seed: int = 42, per_label: int = 50) -> str:
+    """embeddings.parquet shaped like the driver's testdata (vec_id,
+    array<float> embedding, int label), with label-clustered vectors so
+    blocking/LSH behave like a real near-dup corpus. Block COUNT scales
+    with N (size stays ~per_label): the block key is a bounded partition
+    key (simhash band, domain, shard), so production growth adds blocks
+    rather than inflating one — the shape under which the blocked
+    operators' claimed linearity is even well-defined."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_labels = max(1, n_vecs // per_label)
+    labels = (np.arange(n_vecs) % n_labels).astype(np.int32)
+    centers = rng.normal(size=(n_labels, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = (centers[labels] + 0.15 * rng.normal(size=(n_vecs, dim))).astype(np.float32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(out_dir, "embeddings.parquet"))
+    return out_dir
+
+
+# The similarity/ANN + text families (round-5 verdict task 5): timed on
+# generated embedding corpora (documents too, for tfidf). The probed-IVF
+# entry is the INDEXED path — the one-time build_ivf_index cost is off
+# the clock by design (it amortizes over every query); the probe should
+# stay near-flat because partition pruning reads nprobe/n_cells of the
+# corpus no matter how big N gets.
+ANN_OPS = [
+    "ann_topk_bruteforce",
+    "ann_lsh_topk",
+    "dedup_embedding_cosine",
+    "text_tfidf_topk",
+    "ann_ivf_indexed_probe",
+]
+
+
+def ann_points(spark, root: str, sizes: list[int]) -> tuple[dict, dict]:
+    """Generate embeddings+documents corpora and prebuild one IVF index
+    per point; returns (points, extra_queries)."""
+    from parsedmarc_go_spark.operators.clustering import build_ivf_index, ivf_topk_indexed
+    from parsedmarc_go_spark.operators.similarity import query_vector
+    from parsedmarc_go_spark.tables import load
+
+    points = {}
+    for n in sizes:
+        d = os.path.join(root, f"ann{n}")
+        make_embeddings(d, n)
+        make_corpus(d, n)  # documents.parquet for text_tfidf_topk
+        build_ivf_index(load(spark, d, "embeddings"), os.path.join(d, "ivf_index"), n_cells=16)
+        points[n] = d
+
+    def probe(spark, sf_dir):
+        emb = load(spark, sf_dir, "embeddings")
+        return ivf_topk_indexed(
+            spark, os.path.join(sf_dir, "ivf_index"), query_vector(emb, 0), k=10, nprobe=4
+        )
+
+    return points, {"ann_ivf_indexed_probe": probe}
+
+
 # Representative of each analytics family: scan+agg (a1/a14), conditional
 # agg (a4), broadcast join + agg (j1), broadcast interval join (j3b),
 # window dedup (w1), explode (p6), distinct (a9). Timed across the
@@ -144,6 +213,11 @@ def main() -> None:
         help="time the analytics/join families across the driver's sf0.001/0.01/0.1 "
         "testdata instead of generating dedup corpora",
     )
+    ap.add_argument(
+        "--ann",
+        action="store_true",
+        help="time the similarity/ANN + text families on generated embedding corpora",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -158,6 +232,11 @@ def main() -> None:
             sf: f"/root/testdata/sf{sf}" for sf in (0.001, 0.01, 0.1)
         }
         run_curve(spark, QUERIES, ANALYTICS_OPS, points, unit="sf")
+        return
+
+    if args.ann:
+        points, extra = ann_points(spark, args.root, sizes)
+        run_curve(spark, {**QUERIES, **extra}, ANN_OPS, points, unit="N")
         return
 
     dirs = {n: make_corpus(os.path.join(args.root, f"n{n}"), n) for n in sizes}
