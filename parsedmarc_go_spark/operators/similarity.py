@@ -13,7 +13,7 @@ to nprobe/ncells.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,6 +108,7 @@ def cosine_neardup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks. Blocking on
     the block column keeps the pair space |block|² instead of |corpus|²
@@ -120,7 +121,19 @@ def cosine_neardup_pairs(
     join+HOF formulation was measured at 3 s / 1.25M pairs at bench SF;
     this runs the same block in ~60 ms). Rows are sorted by id inside
     each block so output is deterministic; cosines round to 4 decimals
-    like the rest of the similarity layer."""
+    like the rest of the similarity layer.
+
+    ``chunk_rows`` is the 100 TB guard for OVERSIZED blocks (a blocking
+    key is only a heuristic; one hot key would otherwise pin a whole
+    block's |b|² matmul — and |b| vectors of memory — in a single
+    task). Blocks are split into ceil(|b|/chunk_rows) id-ordered chunks
+    and every chunk PAIR (i ≤ j) becomes its own task: identical output
+    (chunks are id-ordered, so cross-chunk pairs keep vec_a < vec_b),
+    memory bounded by 2·chunk_rows vectors, parallelism n_chunks² per
+    block instead of 1. The price is each row shuffling n_chunks times
+    — exactly the data each chunk-pair task needs; there is no way to
+    compute |b|² interactions while moving each row once without
+    serializing the block."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -134,29 +147,78 @@ def cosine_neardup_pairs(
         ]
     )
 
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, ignore_index=True)
+    def _unit_rows(pdf: pd.DataFrame) -> tuple:
         ids = pdf[id_col].to_numpy()
         X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
-        raw = (X / norms[:, None]) @ (X / norms[:, None]).T
+        return ids, X / norms[:, None]
+
+    def _round4(raw):
         # round half AWAY FROM ZERO (the F.round / DuckDB ROUND rule) —
         # np.round is bankers' rounding, which can flip the >= threshold
         # decision vs the declared oracle on exact 4-decimal halves
-        C = np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = C[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "block": pdf[block_col].iloc[0],
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cosine_sim": C[ia, ib][keep],
-            }
-        )
+        return np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
 
-    return vectors.groupBy(block_col).applyInPandas(pairs, out_schema)
+    if chunk_rows is None:
+        def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            ids, U = _unit_rows(pdf)
+            C = _round4(U @ U.T)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = C[ia, ib] >= threshold
+            return pd.DataFrame(
+                {
+                    "block": pdf[block_col].iloc[0],
+                    "vec_a": ids[ia[keep]],
+                    "vec_b": ids[ib[keep]],
+                    "cosine_sim": C[ia, ib][keep],
+                }
+            )
+
+        return vectors.groupBy(block_col).applyInPandas(pairs, out_schema)
+
+    # ---- chunk-pair decomposition ----
+    # chunk index by id rank within block (one window shuffle), then each
+    # row fans out to every (lo, hi) chunk-pair task it participates in
+    w = Window.partitionBy(block_col).orderBy(id_col)
+    chunked = vectors.select(
+        F.col(block_col).alias("__blk"), F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        ((F.row_number().over(w) - 1) / chunk_rows).cast("int").alias("__ci"),
+        (F.ceil(F.count("*").over(Window.partitionBy(block_col)) / chunk_rows))
+        .cast("int").alias("__nc"),
+    )
+    tasks = chunked.select(
+        "__blk", "__id", "__v", "__ci",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("__cj"),
+    ).select(
+        # for fixed ci, each cj maps to a distinct (lo, hi) — no dedup
+        # pass needed, the fan-out is exactly one row per task membership
+        "__blk", "__id", "__v", "__ci",
+        F.least("__ci", "__cj").alias("__lo"), F.greatest("__ci", "__cj").alias("__hi"),
+    )
+
+    def chunk_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        blk, lo, hi = key
+        pdf = pdf.sort_values("__id", ignore_index=True)
+        if lo == hi:
+            ids, U = _unit_rows(pdf.rename(columns={"__id": id_col, "__v": vec_col}))
+            C = _round4(U @ U.T)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = C[ia, ib] >= threshold
+            a, b, sim = ids[ia[keep]], ids[ib[keep]], C[ia, ib][keep]
+        else:
+            left = pdf[pdf["__ci"] == lo]
+            right = pdf[pdf["__ci"] == hi]
+            ids_a, Ua = _unit_rows(left.rename(columns={"__id": id_col, "__v": vec_col}))
+            ids_b, Ub = _unit_rows(right.rename(columns={"__id": id_col, "__v": vec_col}))
+            C = _round4(Ua @ Ub.T)
+            ia, ib = np.nonzero(C >= threshold)
+            a, b, sim = ids_a[ia], ids_b[ib], C[ia, ib]
+        return pd.DataFrame({"block": blk, "vec_a": a, "vec_b": b, "cosine_sim": sim})
+
+    return tasks.groupBy("__blk", "__lo", "__hi").applyInPandas(chunk_pairs, out_schema)
 
 
 def with_hyperplane_buckets(

@@ -58,6 +58,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@query("dedup_embedding_cosine_chunked")
+def dedup_embedding_cosine_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oversized-block guard for the cosine near-dup operator:
+    chunk-pair decomposition (similarity.py::cosine_neardup_pairs
+    chunk_rows) bounds task memory at 2·chunk_rows vectors and raises
+    per-block parallelism to n_chunks². Rows-only entry: output is
+    pinned IDENTICAL to the hash-matched dedup_embedding_cosine gate in
+    tests/test_dedup.py, which is stronger than a second oracle.
+    chunk_rows=16 deliberately forces multi-chunk blocks at test SF."""
+    return cosine_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, chunk_rows=16
+    )
+
+
 @query("ann_ivf_kmeans_topk")
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with TRAINED cells: spherical k-means over the unlabeled

@@ -86,14 +86,25 @@ OPERATORS = [
 ]
 
 
-def make_embeddings(out_dir: str, n_vecs: int, dim: int = 64, seed: int = 42, per_label: int = 50) -> str:
+def make_embeddings(
+    out_dir: str,
+    n_vecs: int,
+    dim: int = 64,
+    seed: int = 42,
+    per_label: int = 50,
+    noise: float = 0.15,
+) -> str:
     """embeddings.parquet shaped like the driver's testdata (vec_id,
     array<float> embedding, int label), with label-clustered vectors so
     blocking/LSH behave like a real near-dup corpus. Block COUNT scales
     with N (size stays ~per_label): the block key is a bounded partition
     key (simhash band, domain, shard), so production growth adds blocks
     rather than inflating one — the shape under which the blocked
-    operators' claimed linearity is even well-defined."""
+    operators' claimed linearity is even well-defined. ``noise`` sets
+    cluster tightness: 0.15 → dense near-dup clusters (the ANN-curve
+    default); >=2 → label nearly uncorrelated with direction, matching
+    the driver testdata's sparse-pair statistics (sf0.01: 5 pairs pass
+    cosine>=0.4 out of 12k same-label candidates)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -103,7 +114,7 @@ def make_embeddings(out_dir: str, n_vecs: int, dim: int = 64, seed: int = 42, pe
     labels = (np.arange(n_vecs) % n_labels).astype(np.int32)
     centers = rng.normal(size=(n_labels, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    vecs = (centers[labels] + 0.15 * rng.normal(size=(n_vecs, dim))).astype(np.float32)
+    vecs = (centers[labels] + noise * rng.normal(size=(n_vecs, dim))).astype(np.float32)
     table = pa.table(
         {
             "vec_id": pa.array(range(n_vecs), pa.int64()),

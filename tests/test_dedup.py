@@ -191,3 +191,23 @@ def test_keep_best_minhash_agrees_with_exact(spark):
         for r in QUERIES["dedup_keep_best_minhash"](spark, SF_CORRECT).collect()
     }
     assert exact == mh
+
+
+def test_chunked_cosine_pairs_identical_to_blocked(spark):
+    """The chunk-pair decomposition (oversized-block guard) must emit
+    EXACTLY the pairs of the single-task blocked path — same ids, same
+    orientation, same rounded cosines. chunk_rows=16 splits the 50-row
+    gate blocks into 4 chunks → 10 chunk-pair tasks per block, so the
+    within-chunk, cross-chunk, and ragged-tail codepaths all execute."""
+    from parsedmarc_go_spark.plans import QUERIES
+    from tests.conftest import SF_CORRECT
+
+    def rows(name):
+        return {
+            (r.block, r.vec_a, r.vec_b, r.cosine_sim)
+            for r in QUERIES[name](spark, SF_CORRECT).collect()
+        }
+
+    blocked = rows("dedup_embedding_cosine")
+    chunked = rows("dedup_embedding_cosine_chunked")
+    assert blocked == chunked and len(blocked) > 0
