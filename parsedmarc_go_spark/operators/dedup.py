@@ -33,9 +33,13 @@ def exact_dedup_groups(
     before the exchange, and hash/compare cost on the reduce side is a
     fixed-width digest regardless of document size.
 
-    With keep_text=True (default, the gate contract) the representative
-    norm_text rides along as a first() aggregate value; at 100 TB pass
-    keep_text=False and the exchange carries nothing but digests+ids."""
+    With keep_text=True the representative norm_text rides along as a
+    min() aggregate value (constant within a digest group — same sha256
+    ⇒ same text). A string aggregation BUFFER is not hash-mutable, so
+    this path runs as SortAggregate; keep_text=False (the gate AND the
+    100 TB contract since round 6) keeps only fixed-width buffers
+    (min long, count long) → pure HashAggregate, and the exchange
+    carries nothing but digests+ids."""
     norm = df.select(F.col(id_col), normalized_text(text_col).alias("norm_text")).withColumn(
         "__fp", F.sha2(F.col("norm_text"), 256)
     )
@@ -43,7 +47,7 @@ def exact_dedup_groups(
     if keep_text:
         return (
             norm.groupBy("__fp")
-            .agg(F.first("norm_text").alias("norm_text"), *aggs)
+            .agg(F.min("norm_text").alias("norm_text"), *aggs)
             .select("norm_text", "keep_id", "dup_count")
         )
     return (

@@ -132,15 +132,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "dedup_exact",
+    # fingerprint output (keep_text=False): the digest IS the content
+    # identity, the agg buffers stay fixed-width (HashAggregate, not the
+    # SortAggregate a string buffer forces), and the gate checks the
+    # exact sha256 bytes both engines compute from the normalized text
     oracle="""
-    SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+    SELECT sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
            MIN(doc_id) AS keep_id,
            COUNT(*) AS dup_count
     FROM documents GROUP BY 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return exact_dedup_groups(
+        load(spark, sf_dir, "documents"), "doc_id", "text", keep_text=False
+    )
 
 
 _NGRAM_JACCARD_ORACLE = """
