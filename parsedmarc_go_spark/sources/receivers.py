@@ -263,16 +263,23 @@ def fetch_imap_once(
     landing_dir: str,
     mailbox: str = "INBOX",
     archive_mailbox: str | None = "Archive",
+    port: int | None = None,
+    use_ssl: bool = True,
 ) -> list[str]:
     """One poll cycle: fetch candidate messages, land them as .eml,
     archive (or leave) the originals. Network side effect — callers gate
-    it exactly like the reference's offline flag."""
+    it exactly like the reference's offline flag. ``port``/``use_ssl``
+    mirror the reference client's host:port + TLS toggle (client.go
+    connection options) — and let tests drive the full protocol against
+    an in-process plaintext IMAP stub (tests/imap_server_stub.py), the
+    same executed-evidence pattern as the Kafka wire stub."""
     import email
     import imaplib
 
     os.makedirs(landing_dir, exist_ok=True)
     landed: list[str] = []
-    with imaplib.IMAP4_SSL(host) as conn:
+    cls = imaplib.IMAP4_SSL if use_ssl else imaplib.IMAP4
+    with cls(host, port or (993 if use_ssl else 143)) as conn:
         conn.login(username, password)
         conn.select(mailbox)
         # UNSEEN, not ALL: processed mail is always marked (archived /
@@ -311,6 +318,8 @@ def watch_imap(
     check_interval: float = 300.0,
     stop_event: "threading.Event | None" = None,
     max_polls: int | None = None,
+    port: int | None = None,
+    use_ssl: bool = True,
 ) -> int:
     """Continuous poll loop (client.go:397-409 Watch): fetch_imap_once
     every `check_interval` seconds until `stop_event` is set (or
@@ -325,7 +334,10 @@ def watch_imap(
     while not ev.is_set():
         try:
             total += len(
-                fetch_imap_once(host, username, password, landing_dir, mailbox, archive_mailbox)
+                fetch_imap_once(
+                    host, username, password, landing_dir, mailbox,
+                    archive_mailbox, port=port, use_ssl=use_ssl,
+                )
             )
         except OSError as exc:  # connection/auth/protocol failures
             logging.getLogger(__name__).warning("imap poll failed: %s", exc)

@@ -139,3 +139,73 @@ def test_imap_candidate_filter():
     assert imap_candidate_filter("hello", ["stuff.zip"])
     assert not imap_candidate_filter("lunch plans", ["photo.png"])
     assert not imap_candidate_filter("", [])
+
+
+def _mime_msg(subject: str, attachment: tuple[str, bytes] | None = None) -> bytes:
+    """Minimal multipart email for the IMAP stub mailbox."""
+    from email.mime.application import MIMEApplication
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    msg = MIMEMultipart()
+    msg["Subject"] = subject
+    msg["From"] = "reports@example.com"
+    msg["To"] = "dmarc@example.org"
+    msg.attach(MIMEText("see attachment"))
+    if attachment:
+        name, payload = attachment
+        part = MIMEApplication(payload, Name=name)
+        part["Content-Disposition"] = f'attachment; filename="{name}"'
+        msg.attach(part)
+    return msg.as_bytes()
+
+
+def test_imap_poll_executes_end_to_end(tmp_path):
+    """S16 executed (round-6): a full poll cycle against the in-process
+    IMAP4 protocol stub over a real socket — candidate selection,
+    landing, archive+expunge, and cross-poll idempotence all observed
+    through real protocol state, not mocks."""
+    import gzip as _gzip
+
+    from imap_server_stub import ImapServerStub
+
+    from parsedmarc_go_spark.sources.receivers import fetch_imap_once, watch_imap
+
+    msgs = [
+        _mime_msg("Report Domain: example.com Submitter: mail.ru"),
+        _mime_msg("hello", ("report.xml.gz", _gzip.compress(b"<feedback/>"))),
+        _mime_msg("lunch on friday?"),  # non-candidate
+    ]
+    stub = ImapServerStub(msgs).start()
+    land = str(tmp_path / "land")
+    try:
+        landed = fetch_imap_once(
+            "127.0.0.1", "u", "p", land, port=stub.port, use_ssl=False
+        )
+        assert stub.errors == []
+        assert len(landed) == 2 and all(p.endswith(".eml") for p in landed)
+        assert all(os.path.isfile(p) for p in landed)
+        # candidates archived + expunged; the non-candidate stays, Seen
+        assert len(stub.mailboxes["Archive"]) == 2
+        assert [m.flags for m in stub.mailboxes["INBOX"]] == [{"\\Seen"}]
+        # idempotence: a second poll lands nothing new
+        assert fetch_imap_once("127.0.0.1", "u", "p", land, port=stub.port, use_ssl=False) == []
+    finally:
+        stub.stop()
+
+
+def test_imap_watch_loop_counts_and_stops(tmp_path):
+    from imap_server_stub import ImapServerStub
+
+    from parsedmarc_go_spark.sources.receivers import watch_imap
+
+    stub = ImapServerStub([_mime_msg("Report Domain: x Submitter: y")]).start()
+    try:
+        total = watch_imap(
+            "127.0.0.1", "u", "p", str(tmp_path / "land"),
+            check_interval=0.01, max_polls=3, port=stub.port, use_ssl=False,
+        )
+        assert total == 1 and stub.errors == []
+        assert len(stub.logins) == 3  # one connection per poll cycle
+    finally:
+        stub.stop()
