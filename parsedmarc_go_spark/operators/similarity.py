@@ -274,6 +274,53 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def build_lsh_index(vectors: DataFrame, path: str, n_planes: int = 6, vec_col: str = "embedding") -> None:
+    """Build-once for hyperplane LSH (the SCALE.md path that collapses
+    `ann_lsh_topk`'s per-query re-hash of the corpus): persist
+    with_hyperplane_buckets output ``partitionBy(hp_bucket)`` so a
+    probe reads ONLY the query's bucket directory via partition
+    pruning. ``n_planes`` is stored beside the data — the planes are
+    derived from seedless hashes, so bucket ids reproduce in any later
+    session from that one integer."""
+    with_hyperplane_buckets(vectors, n_planes, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("hp_bucket").parquet(path)
+    spark = vectors.sparkSession
+    (
+        spark.createDataFrame([(n_planes,)], "n_planes int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + ".meta")
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a PERSISTED LSH index (see build_lsh_index): recompute the
+    query's bucket with the stored plane count, then exact top-k over
+    just that bucket's partition directory — the ``hp_bucket = b``
+    predicate lands in PartitionFilters (plan-asserted in test_dedup),
+    identical results to the ad-hoc lsh_bucketed_topk at the same
+    n_planes."""
+    (meta,) = spark.read.parquet(path.rstrip("/") + ".meta").collect()
+    qb = with_hyperplane_buckets(
+        query.select(F.col("q").alias(vec_col)), int(meta["n_planes"]), vec_col
+    )
+    (qrow,) = qb.collect()  # one row, driver-side — zero jobs over the corpus
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("hp_bucket") == int(qrow["hp_bucket"]))
+        .drop("hp_bucket")
+    )
+    return brute_force_topk(corpus, query, k, id_col, vec_col)
+
+
 def cosine_neardup_pairs_lsh(
     vectors: DataFrame,
     threshold: float = 0.4,

@@ -193,6 +193,38 @@ def test_keep_best_minhash_agrees_with_exact(spark):
     assert exact == mh
 
 
+def test_lsh_index_build_once_prunes_partitions(spark, tmp_path):
+    """SCALE.md's LSH scale story executed: persist hyperplane buckets
+    partitionBy(hp_bucket), probe one bucket, and prove the predicate
+    lands in PartitionFilters with results identical to the ad-hoc
+    re-hash path at the same plane count."""
+    from parsedmarc_go_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_bucketed_topk,
+        lsh_topk_indexed,
+        query_vector,
+    )
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, n_planes=6)
+
+    q = query_vector(emb, 0)
+    topk = lsh_topk_indexed(spark, path, q, k=10)
+
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "hp_bucket" in scan[0], plan
+
+    adhoc = [
+        (r.vec_id, r.cosine_sim)
+        for r in lsh_bucketed_topk(emb, q, k=10, n_planes=6).collect()
+    ]
+    indexed = [(r.vec_id, r.cosine_sim) for r in topk.collect()]
+    assert indexed == adhoc and indexed[0][0] == 0
+
+
 def test_chunked_cosine_pairs_identical_to_blocked(spark):
     """The chunk-pair decomposition (oversized-block guard) must emit
     EXACTLY the pairs of the single-task blocked path — same ids, same
