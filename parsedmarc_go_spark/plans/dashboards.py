@@ -236,6 +236,28 @@ DASHBOARD_QUERIES: dict[str, str] = {
         JOIN dmarc_aggregate_reports ar ON r.report_id = ar.report_id
         WHERE r.begin_date >= timestamp'{as_of}' - INTERVAL 30 DAY
         GROUP BY ar.domain, ar.p ORDER BY total_messages DESC""",
+    # ---- SMTP-TLS panels (docs/clickhouse.md:383-407) ----
+    # no division guard needed in the reference's CH dialect (x/0 → inf);
+    # Spark ANSI mode and DuckDB both error, so the zero-session case is
+    # an explicit NULL in BOTH dialects
+    "tls_success_rate_by_org": """
+        SELECT organization_name, policy_domain,
+               successful_session_count, failed_session_count,
+               round(CASE WHEN successful_session_count + failed_session_count = 0
+                          THEN NULL
+                          ELSE successful_session_count * 100.0
+                               / (successful_session_count + failed_session_count)
+                     END, 2) AS success_rate
+        FROM dmarc_smtp_tls_reports
+        WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
+        ORDER BY success_rate ASC, organization_name, policy_domain,
+                 successful_session_count, failed_session_count LIMIT 10""",
+    "tls_failure_types": """
+        SELECT result_type, count(*) AS failure_count,
+               sum(failed_session_count) AS total_failed_sessions
+        FROM dmarc_smtp_tls_failures
+        WHERE created_at >= timestamp'{as_of}' - INTERVAL 7 DAY
+        GROUP BY result_type ORDER BY total_failed_sessions DESC, result_type""",
     # ---- ops / health checks (docs/clickhouse.md:560-596) ----
     "ops_last_ingest": """
         SELECT max(begin_date) AS last_report FROM dmarc_aggregate_records""",

@@ -1,4 +1,4 @@
-"""Run the complete reference dashboard workload (30 queries) against
+"""Run the complete reference dashboard workload (32 queries) against
 the corpus-ingested DMARC tables, then VALUE-oracle every panel against
 DuckDB: the five ingested tables are written to parquet, the panel's
 Spark SQL (with exact distinct) runs against the views, the mechanical
@@ -33,9 +33,26 @@ pytestmark = pytest.mark.skipif(
 )
 
 # anchor inside the corpus' date spread: newest aggregate sample dates
-# are 2024-06; forensic arrival dates cluster in 2019
+# are 2024-06; forensic arrival dates cluster in 2019; the newest TLS
+# report is 2024-09-03; TLS failures filter on created_at (ingest time),
+# so their anchor must track the test run's clock
 AS_OF_AGG = "2024-06-14 00:00:00"
 AS_OF_FORENSIC = "2019-05-01 00:00:00"
+AS_OF_TLS = "2024-09-04 00:00:00"
+
+
+def _as_of(name: str) -> str:
+    if name.startswith("forensic"):
+        return AS_OF_FORENSIC
+    if name == "tls_success_rate_by_org":
+        return AS_OF_TLS
+    if name == "tls_failure_types":
+        import datetime as _dt
+
+        return (_dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(days=1)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+    return AS_OF_AGG
 
 
 @pytest.fixture(scope="module")
@@ -58,8 +75,7 @@ def views(spark):
 
 @pytest.mark.parametrize("name", sorted(DASHBOARD_QUERIES))
 def test_dashboard_query_runs(views, name):
-    as_of = AS_OF_FORENSIC if name.startswith("forensic") else AS_OF_AGG
-    df = run_dashboard_query(views, name, as_of=as_of)
+    df = run_dashboard_query(views, name, as_of=_as_of(name))
     rows = df.collect()  # must execute without error
     assert df.columns, name
     # rate panels must stay in [0, 100]
@@ -86,6 +102,15 @@ def test_domain_analysis_joins(views):
 def test_forensic_panels_have_data(views):
     rows = run_dashboard_query(views, "forensic_feedback_types", as_of=AS_OF_FORENSIC).collect()
     assert rows and rows[0].feedback_type == "auth-failure"
+
+
+def test_tls_panels_have_data(views):
+    rows = run_dashboard_query(views, "tls_success_rate_by_org", as_of=AS_OF_TLS).collect()
+    assert rows and all(r.success_rate is None or 0 <= r.success_rate <= 100 for r in rows)
+    rows = run_dashboard_query(
+        views, "tls_failure_types", as_of=_as_of("tls_failure_types")
+    ).collect()
+    assert rows and {r.result_type for r in rows} >= {"certificate-expired"}
 
 
 # ---------------------------------------------------------------- oracle pass
@@ -143,7 +168,7 @@ def _canon_frame(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(DASHBOARD_QUERIES))
 def test_dashboard_panel_matches_duckdb(views, duck_parquet, name):
-    as_of = AS_OF_FORENSIC if name.startswith("forensic") else AS_OF_AGG
+    as_of = _as_of(name)
     sdf = views.sql(dashboard_sql(name, as_of, exact_distinct=True))
     con = duckdb.connect()
     for t, p in duck_parquet.items():
