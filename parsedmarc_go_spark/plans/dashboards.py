@@ -250,7 +250,7 @@ DASHBOARD_QUERIES: dict[str, str] = {
                      END, 2) AS success_rate
         FROM dmarc_smtp_tls_reports
         WHERE begin_date >= timestamp'{as_of}' - INTERVAL 7 DAY
-        ORDER BY success_rate ASC, organization_name, policy_domain,
+        ORDER BY success_rate ASC NULLS FIRST, organization_name, policy_domain,
                  successful_session_count, failed_session_count LIMIT 10""",
     "tls_failure_types": """
         SELECT result_type, count(*) AS failure_count,
@@ -272,6 +272,14 @@ DASHBOARD_QUERIES: dict[str, str] = {
 # The estimator itself is bound-tested once (tests/test_plans.py HLL
 # gate); the oracle pass swaps exact COUNT(DISTINCT …) into both
 # dialects so the REST of each panel string is checked to the value.
+#
+# Nesting limit: each regex tolerates at most ONE level of nested
+# parentheses inside the rewritten call (enough for every current
+# panel). A deeper future panel — e.g. to_date(coalesce(a, b(c))) —
+# would NOT be rewritten; dashboard_oracle_sql asserts the rewrite
+# fired whenever the function name appears, so that failure is an
+# immediate AssertionError here, not a confusing DuckDB parse error
+# downstream.
 _APPROX_DISTINCT = re.compile(r"approx_count_distinct\(([^()]+)\)")
 _TO_DATE = re.compile(r"to_date\(([^()]+(?:\([^()]*\))?[^()]*)\)")
 _SORT_COLLECT_SET = re.compile(r"sort_array\(collect_set\(([^()]+)\)\)")
@@ -293,21 +301,31 @@ def dashboard_oracle_sql(name: str, as_of: str) -> str:
     mirror image or drift):
 
         to_date(x)              → CAST(x AS DATE)
-        sort_array(collect_set) → list_sort(list(DISTINCT x)
-                                    FILTER (WHERE x IS NOT NULL))
-                                  (Spark's collect_set drops NULLs;
-                                  list_distinct is unimplemented for
-                                  VARCHAR[] in DuckDB, DISTINCT-in-agg
-                                  is the portable spelling)
+        sort_array(collect_set) → COALESCE(list_sort(list(DISTINCT x)
+                                    FILTER (WHERE x IS NOT NULL)), [])
+                                  (Spark's collect_set drops NULLs and
+                                  yields [] for an all-NULL group, while
+                                  DuckDB's filtered list aggregate yields
+                                  NULL there — COALESCE pins both engines
+                                  to the empty list; list_distinct is
+                                  unimplemented for VARCHAR[] in DuckDB,
+                                  DISTINCT-in-agg is the portable spelling)
         approx_count_distinct   → count(DISTINCT x)  [both sides]
 
     Everything else (CASE buckets, interval windows, HAVING aliases,
-    round(x,2), date_trunc('week')) parses identically in DuckDB."""
+    round(x,2), date_trunc('week')) parses identically in DuckDB.
+    Asserts each rewrite actually fired (the regexes tolerate one level
+    of nested parens — see the pattern comment above)."""
     sql = dashboard_sql(name, as_of, exact_distinct=True)
     sql = _TO_DATE.sub(r"CAST(\1 AS DATE)", sql)
     sql = _SORT_COLLECT_SET.sub(
-        r"list_sort(list(DISTINCT \1) FILTER (WHERE \1 IS NOT NULL))", sql
+        r"COALESCE(list_sort(list(DISTINCT \1) FILTER (WHERE \1 IS NOT NULL)), [])", sql
     )
+    for fn in ("to_date(", "sort_array(", "approx_count_distinct("):
+        assert fn not in sql, (
+            f"dashboard {name!r}: {fn}…) survived the DuckDB re-dialect — "
+            "the call nests deeper than the rewrite regex tolerates"
+        )
     return sql
 
 

@@ -360,8 +360,43 @@ def produce_partition(
                 addr = (boot_host, addr[1])
             return addr
 
-        def _flush(part: int) -> None:
+        def _refresh_metadata() -> None:
+            # sarama-style: any live connection can answer Metadata — the
+            # broker that moved leadership may be the one that just died,
+            # so never pin the refresh to the original bootstrap socket.
+            # Try every open connection (bootstrap first for determinism),
+            # then fresh dials through the bootstrap list; dead sockets
+            # are evicted as they fail.
             nonlocal corr, brokers, leaders
+            last: Exception | None = None
+            live = list(conns.values())
+            candidates = ([boot] if boot in live else []) + [s for s in live if s is not boot]
+            for sock in candidates:
+                corr += 1
+                try:
+                    brokers, leaders = request_metadata(sock, topic, corr)
+                    return
+                except OSError as exc:
+                    last = exc
+                    for addr, s in list(conns.items()):
+                        if s is sock:
+                            del conns[addr]
+                            try:
+                                s.close()
+                            except OSError:
+                                pass
+            for addr in _parse_bootstrap(bootstrap_servers):
+                corr += 1
+                try:
+                    brokers, leaders = request_metadata(_conn(addr), topic, corr)
+                    return
+                except OSError as exc:
+                    last = exc
+                    conns.pop(addr, None)
+            raise ConnectionError(f"metadata refresh failed on every broker: {last}")
+
+        def _flush(part: int) -> None:
+            nonlocal corr
             recs = pending.pop(part, None)
             if not recs:
                 return
@@ -379,8 +414,7 @@ def produce_partition(
                     # task retry owns the failure policy
                     if exc.code != NOT_LEADER_FOR_PARTITION or attempt == 1:
                         raise
-                    corr += 1
-                    brokers, leaders = request_metadata(boot, topic, corr)
+                    _refresh_metadata()
 
         def _feed(row) -> None:
             key = row["key"].encode() if row["key"] is not None else None

@@ -99,11 +99,20 @@ class KafkaBrokerStub:
         num_partitions: int = 1,
         num_nodes: int = 1,
         first_metadata_leaders: dict[int, int] | None = None,
+        bootstrap_conn_dies_after_first_metadata: bool = False,
     ):
         self.num_partitions = num_partitions
         self.num_nodes = num_nodes
         self.leaders = {p: p % num_nodes for p in range(num_partitions)}
         self.first_metadata_leaders = first_metadata_leaders
+        # simulates the broker that answered discovery dying before the
+        # produce round: node 0 drops each connection once the first
+        # metadata has been served, so any metadata REFRESH pinned to the
+        # bootstrap socket hits a dead peer and must fail over to another
+        # live connection (the sarama behavior ADVICE r6 asked for)
+        self.bootstrap_conn_dies_after_first_metadata = (
+            bootstrap_conn_dies_after_first_metadata
+        )
         self._metadata_served = False
         self.received: dict[int, list] = {}
         self.received_by_node: dict[tuple[int, int], list] = {}
@@ -131,6 +140,12 @@ class KafkaBrokerStub:
                             if payload is None:
                                 return
                             self.request.sendall(stub._dispatch(payload, self._node_id))
+                            if (
+                                stub.bootstrap_conn_dies_after_first_metadata
+                                and self._node_id == 0
+                                and stub._metadata_served
+                            ):
+                                return  # drop the connection: peer sees EOF
                     except Exception as exc:  # surface in the test, not stderr
                         with stub._lock:
                             stub.errors.append(repr(exc))

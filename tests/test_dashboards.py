@@ -182,3 +182,33 @@ def test_dashboard_panel_matches_duckdb(views, duck_parquet, name):
             if _is_null(a) and _is_null(b):
                 continue
             assert a == b, f"{name}.{c} row {i}: spark={a!r} duckdb={b!r}"
+
+
+def test_collect_set_all_null_group_matches_duckdb_redialect(spark):
+    """ADVICE r6: for an all-NULL group Spark's sort_array(collect_set(x))
+    yields [], while DuckDB's filtered list aggregate yields NULL — the
+    re-dialect wraps the DuckDB side in COALESCE(..., []) so both engines
+    agree on the empty list. Pinned directly on a literal all-NULL group."""
+    s_val = spark.sql(
+        "SELECT sort_array(collect_set(x)) AS v FROM VALUES (CAST(NULL AS STRING)), (NULL) t(x)"
+    ).first()["v"]
+    d_val = duckdb.connect().execute(
+        "SELECT COALESCE(list_sort(list(DISTINCT x) FILTER (WHERE x IS NOT NULL)), []) "
+        "FROM (VALUES (CAST(NULL AS VARCHAR)), (NULL)) t(x)"
+    ).fetchone()[0]
+    assert s_val == [] and list(d_val) == []
+
+
+def test_oracle_redialect_asserts_when_rewrite_misses():
+    """The re-dialect regexes tolerate one nesting level; a deeper call
+    must trip the rewrite-fired assertion loudly instead of shipping
+    un-rewritten Spark SQL to DuckDB (ADVICE r6)."""
+    from parsedmarc_go_spark.plans import dashboards
+
+    deep = "SELECT to_date(coalesce(a, b(c))) FROM t"
+    dashboards.DASHBOARD_QUERIES["__deep_nesting_probe"] = deep
+    try:
+        with pytest.raises(AssertionError, match="survived the DuckDB re-dialect"):
+            dashboards.dashboard_oracle_sql("__deep_nesting_probe", "2024-01-01 00:00:00")
+    finally:
+        del dashboards.DASHBOARD_QUERIES["__deep_nesting_probe"]

@@ -167,6 +167,34 @@ def test_not_leader_retry_refreshes_metadata_and_reroutes():
         stub.stop()
 
 
+def test_not_leader_refresh_survives_dead_bootstrap():
+    """The broker that answered discovery dies before the produce round
+    — the very scenario that moves leadership. Stale metadata names
+    node1 as leader (truth: node2), and node0 (bootstrap) drops every
+    connection after serving that first answer. The NOT_LEADER refresh
+    must fail over to another live connection (node1) instead of
+    pinning itself to the dead bootstrap socket, then deliver to
+    node2 (ADVICE r6, kafka_wire refresh path)."""
+    from parsedmarc_go_spark.sinks.kafka_wire import produce_partition
+
+    stub = KafkaBrokerStub(
+        num_partitions=1,
+        num_nodes=3,
+        first_metadata_leaders={0: 1},
+        bootstrap_conn_dies_after_first_metadata=True,
+    ).start()
+    stub.set_leader(0, 2)
+    try:
+        rows = [{"key": "rpt-1", "value": '{"report_id":"rpt-1"}', "headers": []}]
+        produce_partition(iter(rows), f"127.0.0.1:{stub.port}", "dmarc.aggregate")
+        assert stub.errors == []
+        # stale route hit node1 once, refresh rerouted to the real leader
+        assert stub.not_leader_rejections == [(1, 0)]
+        assert [k for k, _v, _h in stub.received_by_node[(2, 0)]] == [b"rpt-1"]
+    finally:
+        stub.stop()
+
+
 def test_bootstrap_failover_skips_dead_broker():
     """sarama tries each bootstrap address until one connects: a dead
     first address must not fail the produce."""
