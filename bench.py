@@ -40,6 +40,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
+    # the build-once LSH probe (r7): index build lands in the warm-up
+    # pass, so the timed passes measure the partition-pruned multi-probe
+    # read — the per-query cost an index exists to bound
+    "ann_lsh_indexed",
     "text_quality_score",
 ]
 

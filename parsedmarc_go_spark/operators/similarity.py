@@ -247,31 +247,107 @@ def with_hyperplane_buckets(
     return vectors.withColumn(out, F.expr(bucket))
 
 
+def hamming_probe_buckets(bucket: int, n_planes: int, multiprobe: int) -> list[int]:
+    """All bucket ids within Hamming distance ``multiprobe`` of
+    ``bucket`` (the query bucket first, then increasing distance,
+    ascending id within a distance band) — the classic multi-probe LSH
+    probe sequence: a true near neighbor that disagrees with the query
+    on m hyperplane signs lives exactly m bit-flips away, so probing
+    the flip neighborhood recovers the recall that single-bucket
+    probing silently drops."""
+    from itertools import combinations
+
+    out = [bucket]
+    for dist in range(1, multiprobe + 1):
+        flips = sorted(
+            bucket ^ sum(1 << p for p in bits)
+            for bits in combinations(range(n_planes), dist)
+        )
+        out.extend(flips)
+    return out
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     query: DataFrame,
     k: int = 10,
     n_planes: int = 6,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: search only the query's hyperplane bucket.
-    The scale path when no natural IVF cells exist — with the corpus
-    written partitioned by bucket id, the probe is partition pruning.
-    Recall is tunable via n_planes (fewer planes → bigger buckets →
-    higher recall, more scan)."""
+    """LSH-bucketed ANN: search the query's hyperplane bucket, plus —
+    with ``multiprobe`` = m > 0 — every bucket within Hamming distance
+    m of it (a neighbor across one hyperplane is one bit-flip away; see
+    hamming_probe_buckets). The scale path when no natural IVF cells
+    exist — with the corpus written partitioned by bucket id, the probe
+    is partition pruning. Recall is tunable on two axes: n_planes
+    (fewer planes → bigger buckets) and multiprobe (more buckets per
+    query); measured recall@10 for the grid lives in SCALE.md.
+
+    The probe predicate is bit_count(hp_bucket ^ q_bucket) <= m —
+    pure codegen'd integer ops against the broadcast 1-row query, no
+    bucket enumeration needed on the ad-hoc (unpartitioned) path."""
     bucketed = with_hyperplane_buckets(vectors, n_planes, vec_col)
     qb = with_hyperplane_buckets(query.select(F.col("q").alias(vec_col)), n_planes, vec_col)
     q_with_bucket = qb.select(F.col(vec_col).alias("q"), F.col("hp_bucket").alias("q_bucket"))
-    pruned = bucketed.join(
-        F.broadcast(q_with_bucket), F.col("hp_bucket") == F.col("q_bucket"), "inner"
-    ).select(id_col, "label", F.col(vec_col), "q")
+    probe_cond = (
+        F.expr(f"bit_count(hp_bucket ^ q_bucket) <= {int(multiprobe)}")
+        if multiprobe > 0
+        else F.col("hp_bucket") == F.col("q_bucket")
+    )
+    pruned = bucketed.join(F.broadcast(q_with_bucket), probe_cond, "inner").select(
+        id_col, "label", F.col(vec_col), "q"
+    )
     scored = pruned.select(
         id_col,
         "label",
         F.round(cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "q"), 4).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def lsh_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch LSH ANN: top-k per query for a whole (query_id, q) table in
+    ONE job — the shape a 100 TB retrieval pipeline actually runs
+    (queries arrive in batches; per-query jobs waste a scheduler round
+    trip each). The query table is broadcast (bounded batch) and the
+    probe joins on Hamming distance ≤ multiprobe; ranking is one
+    row_number window partitioned by query_id, shuffling candidates
+    only — candidate count per query is the same bucket-bounded set the
+    per-query operator scans, so the shuffle is tiny relative to the
+    corpus. Per-query results are pinned identical to lsh_bucketed_topk
+    in tests."""
+    bucketed = with_hyperplane_buckets(vectors, n_planes, vec_col)
+    qb = with_hyperplane_buckets(
+        queries.select("query_id", F.col("q").alias(vec_col)), n_planes, vec_col
+    ).select("query_id", F.col(vec_col).alias("q"), F.col("hp_bucket").alias("q_bucket"))
+    probe_cond = F.expr(f"bit_count(hp_bucket ^ q_bucket) <= {int(multiprobe)}")
+    scored = (
+        bucketed.join(F.broadcast(qb), probe_cond, "inner")
+        .select(
+            "query_id",
+            id_col,
+            "label",
+            F.round(cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "q"), 4).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
 
 
 def build_lsh_index(vectors: DataFrame, path: str, n_planes: int = 6, vec_col: str = "embedding") -> None:
@@ -299,23 +375,29 @@ def lsh_topk_indexed(
     path: str,
     query: DataFrame,
     k: int = 10,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe a PERSISTED LSH index (see build_lsh_index): recompute the
     query's bucket with the stored plane count, then exact top-k over
-    just that bucket's partition directory — the ``hp_bucket = b``
-    predicate lands in PartitionFilters (plan-asserted in test_dedup),
-    identical results to the ad-hoc lsh_bucketed_topk at the same
-    n_planes."""
+    just the probed partition directories — with ``multiprobe`` = m the
+    probe set is the Hamming-≤m flip neighborhood of the query bucket
+    (hamming_probe_buckets), enumerated driver-side so the
+    ``hp_bucket IN (…)`` predicate lands in PartitionFilters
+    (plan-asserted in test_dedup); non-probed buckets contribute no
+    input splits. m=0 results are identical to the ad-hoc
+    lsh_bucketed_topk at the same n_planes."""
     (meta,) = spark.read.parquet(path.rstrip("/") + ".meta").collect()
+    n_planes = int(meta["n_planes"])
     qb = with_hyperplane_buckets(
-        query.select(F.col("q").alias(vec_col)), int(meta["n_planes"]), vec_col
+        query.select(F.col("q").alias(vec_col)), n_planes, vec_col
     )
     (qrow,) = qb.collect()  # one row, driver-side — zero jobs over the corpus
+    probes = hamming_probe_buckets(int(qrow["hp_bucket"]), n_planes, multiprobe)
     corpus = (
         spark.read.parquet(path)
-        .filter(F.col("hp_bucket") == int(qrow["hp_bucket"]))
+        .filter(F.col("hp_bucket").isin(probes))
         .drop("hp_bucket")
     )
     return brute_force_topk(corpus, query, k, id_col, vec_col)

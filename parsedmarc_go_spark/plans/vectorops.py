@@ -90,10 +90,45 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH-bucketed ANN (rows-only: bucket membership
-    depends on Spark-side xxhash64 plane generation; recall vs brute
-    force is asserted in tests/test_dedup.py)."""
+    """Random-hyperplane LSH-bucketed ANN with Hamming-1 multi-probe
+    (rows-only: bucket membership depends on Spark-side xxhash64 plane
+    generation; recall vs brute force is asserted in tests/test_dedup.py).
+    multiprobe=1 is the measured production default — single-bucket
+    probing silently drops neighbors across one hyperplane (recall@10
+    0.51 at 4 planes on the planted-neighbor harness); probing the
+    bit-flip neighborhood lifts it to 0.875 (scripts/ann_recall.py,
+    table in SCALE.md)."""
     from parsedmarc_go_spark.operators.similarity import lsh_bucketed_topk, query_vector
 
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, query_vector(emb, 0), k=10, n_planes=4)
+    return lsh_bucketed_topk(emb, query_vector(emb, 0), k=10, n_planes=4, multiprobe=1)
+
+
+def _lsh_index_path(sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/tmp/spark_graft_idx/lsh_{tag}_p6"
+
+
+@query("ann_lsh_indexed")
+def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once LSH probe path as a first-class query: persist the
+    bucketed corpus partitionBy(hp_bucket) once per sf_dir (build lands
+    in any warm-up pass; probes after it never re-hash the corpus),
+    then Hamming-1 multi-probe top-k where the ``hp_bucket IN (…)``
+    predicate is partition pruning (plan-asserted in test_dedup).
+    Rows-only: results are pinned identical to the ad-hoc
+    lsh_bucketed_topk at the same (n_planes, multiprobe) in
+    tests/test_ann_recall.py."""
+    import os
+
+    from parsedmarc_go_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_topk_indexed,
+        query_vector,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = _lsh_index_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_lsh_index(emb, path, n_planes=6)
+    return lsh_topk_indexed(spark, path, query_vector(emb, 0), k=10, multiprobe=1)
