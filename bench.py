@@ -75,16 +75,49 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).collect()
 
-    # median of 3 timed passes per query: damps scheduler/GC variance
-    # that made single-pass numbers swing ±70% on the heavier queries
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    def measure(name: str) -> list[float]:
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[1], 3)
+        return sorted(samples)
+
+    # median of 3 timed passes per query: damps scheduler/GC variance
+    # that made single-pass numbers swing ±70% on the heavier queries.
+    # The full [min, median, max] spread is emitted too (round-6 task 2):
+    # cross-round drift was indistinguishable from session variance when
+    # only the median survived the session.
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        lo, med, hi = measure(name)
+        times[name] = round(med, 3)
+        spread[name] = [round(lo, 3), round(med, 3), round(hi, 3)]
+
+    # drift suspects re-measured at session END (j2/w1 moved +34%/+24%
+    # r5→r6 with no code change): the gap between the two same-session
+    # medians bounds the natural spread any cross-round comparison sits
+    # inside — if |first - repeat| rivals the cross-round delta, the
+    # drift is the session, not the code
+    repeat_medians = {
+        name: round(measure(name)[1], 3)
+        for name in ("j2_enrichment_lookup", "w1_latest_by_key")
+    }
+
+    # session config stamp: the knobs that move wall-clock between
+    # otherwise-identical runs, so cross-round diffs can rule them out
+    jconf = spark.sparkContext._jsc.sc().conf()
+    runtime = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    session = {
+        "spark_version": spark.version,
+        "jvm_max_heap_mb": int(runtime.maxMemory() / (1024 * 1024)),
+        "driver_memory": jconf.get("spark.driver.memory", "default"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "python_worker_reuse": jconf.get("spark.python.worker.reuse", "true"),
+        "cpus": cpus,
+    }
 
     total = round(sum(times.values()), 3)
     print(
@@ -95,6 +128,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "spread": spread,
+                "repeat_medians": repeat_medians,
+                "session": session,
+                # mix lineage so cross-round totals compare like-for-like:
+                # r5 swapped j3_range_join → j3b_geoip_range_join (heavier,
+                # hash-matched); r7 added ann_lsh_indexed
+                "mix_version": "r7",
+                "mix": HEADLINE,
             }
         )
     )
