@@ -267,7 +267,9 @@ def minhash_lsh_pairs(
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
+def neardup_clusters(
+    pairs: DataFrame, max_iterations: int = 30, stats: dict | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc, cluster_id),
     cluster_id = smallest doc id in the component (the canonical
     "representative document" a dedup pipeline keeps).
@@ -299,7 +301,9 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(max_iterations):
+    for rounds in range(1, max_iterations + 1):
+        if stats is not None:
+            stats["rounds"] = rounds
         prop = sym.join(labels, sym["doc_b"] == labels["doc"]).select(
             F.col("doc_a").alias("doc"), "cluster_id"
         )
@@ -315,6 +319,89 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels
+
+
+def neardup_clusters_bigstar(
+    pairs: DataFrame, max_iterations: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Connected components in O(log n) ROUNDS via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm) — the
+    adversarial-shape twin of `neardup_clusters`, same output contract:
+    (doc, cluster_id = smallest doc id in the component), equality
+    pinned between the two in tests/test_dedup.py.
+
+    Why it exists: min-label propagation converges in O(component
+    diameter) rounds — fine for blob-shaped near-dup graphs, degenerate
+    for CHAIN-shaped components (sliding-window near-dups in crawl
+    shards), where a 10k-long chain means 10k driver-synchronized
+    rounds. The star operations instead contract every node toward its
+    neighborhood minimum so path lengths halve each round:
+
+      large-star(u): m = min({u} ∪ N(u)); for every v ∈ N(u) with
+                     v > u emit edge (v, m)
+      small-star(u): m = min({v ∈ N(u): v < u} ∪ {u}); emit (u, m)
+                     and (v, m) for those v
+
+    Each operation is one hash aggregate (per-center neighborhood min,
+    partial-aggregable map-side) + one broadcast-free shuffle join on
+    the center key + distinct — the same per-round shuffle cost as one
+    min-label round, with O(log n) rounds instead of O(diameter). Edges
+    only ever point DOWNWARD (toward smaller ids), the total edge
+    weight is monotonically non-increasing, and the fixpoint is a set
+    of stars rooted at component minima, read off as the label table.
+    Per-round lineage is cut with localCheckpoint like the sibling
+    (see its docstring for the checkpoint-vs-persist rationale)."""
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"), F.greatest("doc_a", "doc_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(F.col("b").alias("a"), F.col("a").alias("b"))  # a > b: point down
+        .localCheckpoint()
+    )
+    prev = None
+    for rounds in range(1, max_iterations + 1):
+        if stats is not None:
+            stats["rounds"] = rounds
+        sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # large-star: center u = "a", neighbors v = "b"
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = mins.select("a", F.least("a", "mn").alias("m"))
+        large = (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over large's output: centers see only smaller neighbors
+        lsym = large.unionByName(large.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        down = lsym.filter(F.col("b") < F.col("a"))
+        smins = down.groupBy("a").agg(F.min("b").alias("mn"))
+        small = (
+            down.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            .unionByName(smins.select("a", F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        cur = edges.agg(
+            F.count("*").alias("n"), F.sum("a").alias("sa"), F.sum("b").alias("sb")
+        ).collect()[0]
+        cur = (cur["n"], cur["sa"], cur["sb"])
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        edges.select(F.col("a").alias("doc"), F.col("b").alias("cluster_id"))
+        .unionByName(edges.select(F.col("b").alias("doc"), F.col("b").alias("cluster_id")))
+        .groupBy("doc")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -214,6 +214,45 @@ def run_curve(spark, queries, ops, points: dict, unit: str) -> None:
         print(f"| {op} | {cells} | {alpha:.2f} |")
 
 
+def run_cc_curve(spark) -> None:
+    """Chain graphs are the worst case for min-label propagation
+    (rounds = diameter) and the design case for large-star/small-star
+    (rounds = O(log n)). Wall-clock here is driver-round-dominated, so
+    the number that matters is ROUNDS; both are reported. Min-label is
+    only run on chains short enough to finish (its wall explodes
+    linearly — which is the point)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_bigstar,
+    )
+
+    def chain(n: int):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+
+    print("| algorithm | chain length | rounds | wall | correct |")
+    print("|---|---|---|---|---|")
+    for algo_name, algo, cap_for in (
+        ("min-label", neardup_clusters, lambda n: n + 2),
+        ("large/small-star", neardup_clusters_bigstar, lambda n: 50),
+    ):
+        for n in (100, 1000, 10000):
+            if algo_name == "min-label" and n > 100:
+                print(f"| {algo_name} | {n} | {n} (= diameter) | (skipped) | — |")
+                continue
+            stats: dict = {}
+            t0 = _t.perf_counter()
+            out = algo(chain(n), max_iterations=cap_for(n), stats=stats)
+            ok = out.filter(F.col("cluster_id") != 0).count() == 0 and out.count() == n
+            wall = _t.perf_counter() - t0
+            print(f"| {algo_name} | {n} | {stats['rounds']} | {wall:.1f} s | {ok} |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,10000,20000,40000")
@@ -229,6 +268,12 @@ def main() -> None:
         action="store_true",
         help="time the similarity/ANN + text families on generated embedding corpora",
     )
+    ap.add_argument(
+        "--cc",
+        action="store_true",
+        help="time connected-components algorithms on chain-shaped graphs "
+        "(the adversarial case for min-label propagation)",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -237,6 +282,10 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-curve", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cc:
+        run_cc_curve(spark)
+        return
 
     if args.analytics:
         points = {

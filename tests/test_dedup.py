@@ -173,6 +173,69 @@ def test_neardup_clusters_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_bigstar_clusters_chain_in_log_rounds(spark):
+    """The adversarial shape for min-label propagation: a 256-node
+    chain has diameter 256, so `neardup_clusters` needs ~256 rounds —
+    large-star/small-star must solve it within 12 (≈ log2 + convergence
+    detection), or this times out the iteration cap and returns wrong
+    labels."""
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters_bigstar
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc: r.cluster_id
+        for r in neardup_clusters_bigstar(pairs, max_iterations=12).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_bigstar_agrees_with_min_label_on_random_graphs(spark):
+    """Equality pin between the O(log n)-round and O(diameter)-round
+    algorithms on graphs with mixed shapes: blobs, chains, bridges,
+    two-node islands."""
+    import random
+
+    from parsedmarc_go_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_bigstar,
+    )
+
+    rng = random.Random(13)
+    edges = set()
+    for base in range(0, 60, 10):  # six 10-node blobs, random density
+        ids = list(range(base, base + 10))
+        for _ in range(12):
+            a, b = rng.sample(ids, 2)
+            edges.add((a, b))
+    edges |= {(100 + i, 101 + i) for i in range(20)}  # a chain
+    edges |= {(5, 100), (200, 201)}  # bridge blob↔chain + an island
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    ml = {r.doc: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    bs = {r.doc: r.cluster_id for r in neardup_clusters_bigstar(pairs).collect()}
+    assert bs == ml
+    assert len(set(ml.values())) > 3  # the fixture really has several components
+
+
+def test_bigstar_agrees_with_oracle_checked_gate_on_corpus(spark):
+    """On the real gate pair graph (exact Jaccard ≥ 0.6 over the
+    documents table) the bigstar labels must equal the recursive-CTE-
+    oracled `dedup_cluster_components` output row for row."""
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters_bigstar
+    from parsedmarc_go_spark.plans import QUERIES
+    from parsedmarc_go_spark.plans.textops import ngram_jaccard_pairs
+
+    gate = {
+        (r.doc, r.cluster_id)
+        for r in QUERIES["dedup_cluster_components"](spark, SF_CORRECT).collect()
+    }
+    pairs = ngram_jaccard_pairs(load(spark, SF_CORRECT, "documents"), threshold=0.6)
+    bs = {(r.doc, r.cluster_id) for r in neardup_clusters_bigstar(pairs).collect()}
+    assert bs == gate
+
+
 def test_keep_best_minhash_agrees_with_exact(spark):
     """dedup_keep_best_minhash (the 100 TB path) must make the same
     keep decisions as the oracle-checked exact variant at gate SF: the
