@@ -326,9 +326,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs)
 
 
-@query(
-    "dedup_keep_best",
-    oracle=f"""
+# the keep-best output contract is pair-source-agnostic (see
+# keep_best_per_cluster), and on the gate corpus the exact and minhash
+# pair graphs yield IDENTICAL clusters (LSH S-curve at b=16,r=2 catches
+# j>=0.6 with P~0.9992; pinned by test_keep_best_minhash_agrees_with_
+# exact) — so one recursive-CTE oracle verifies both paths. Since r7 the
+# 50-slot gate window hash-checks the PRODUCTION minhash path; the exact
+# twin is value-compared against this same SQL in pytest instead
+# (test_dedup.py::test_keep_best_exact_matches_oracle).
+_KEEP_BEST_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE.format(thr=0.6)}),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -358,26 +364,30 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored)
     SELECT cluster_id, doc_id AS keep_doc, ROUND(quality, 4) AS quality, n_members
     FROM ranked WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("dedup_keep_best")
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup DECISION step a training pipeline actually runs, over
-    the EXACT Jaccard pair graph so the recursive-CTE oracle can verify
-    it. The exact pair finder costs Σfreq(shingle)² — fine at gate SF;
-    at 100 TB run the identical decision over the minhash pair graph
-    (dedup_keep_best_minhash below, measured ~linear in SCALE.md)."""
+    """The dedup DECISION step over the EXACT Jaccard pair graph — the
+    Σfreq(shingle)² finder, fine at gate SF, factored out so the same
+    decision runs over any pair source. Rows-only in the driver window
+    since r7 (the production minhash twin below holds the hash slot);
+    still value-anchored: pytest compares this output against
+    _KEEP_BEST_ORACLE cell-for-cell."""
     docs = load(spark, sf_dir, "documents")
     return keep_best_per_cluster(docs, ngram_jaccard_pairs(docs, threshold=0.6))
 
 
-@query("dedup_keep_best_minhash")
+@query("dedup_keep_best_minhash", oracle=_KEEP_BEST_ORACLE)
 def dedup_keep_best_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB path for the same decision: pairs from bucketed
-    MinHash+LSH (work ∝ colliding docs) instead of the exact inverted
-    index. With b=16, r=2 the S-curve catches j≥0.6 with P≈0.9992 and
-    the verify step keeps precision exact, so the kept set agrees with
-    dedup_keep_best (pinned by test_dedup); rows-only driver check —
-    the exact twin above carries the oracle."""
+    """The 100 TB keep-best path: pairs from bucketed MinHash+LSH (work
+    ∝ colliding docs) instead of the exact inverted index. Hash-checked
+    against the recursive-CTE oracle since r7 — the S-curve argument
+    (b=16, r=2 catches j≥0.6 with P≈0.9992, verify step keeps precision
+    exact) makes its pair graph identical to the exact one on the gate
+    corpus, so the oracle transfers verbatim; the exact/minhash
+    agreement itself stays pinned in test_dedup."""
     docs = load(spark, sf_dir, "documents")
     return keep_best_per_cluster(docs, minhash_lsh_pairs(docs, threshold=0.6))
 

@@ -1,0 +1,95 @@
+"""Round-7 verdict task 4: drive the full oracle-gate set at sf1.
+
+The driver's correctness gate runs at sf0.01; value bugs that only
+appear at scale (fixed-point cents overflow on bigger sums, percentile
+edges at higher cardinality, chunk decomposition at real block sizes)
+would pass it. This script mirrors tests/oracle_harness.py over EVERY
+registered gate at an sf1 directory (scripts/make_sf.py output):
+oracle-bearing queries get the full value compare, rows-only queries a
+determinism check (two runs, same rows). Results stream to
+CORRECTNESS_SF1.json as they finish so a partial run still records.
+
+Usage: python scripts/sf1_gates.py [--sf-dir /tmp/spark_graft_sf1]
+        [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--out", default="CORRECTNESS_SF1.json")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    from oracle_harness import compare, run_oracle
+
+    from parsedmarc_go_spark.plans import ORACLES, QUERIES
+    from parsedmarc_go_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-gates", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+    if os.path.exists(args.out) and args.only:
+        with open(args.out) as f:
+            results = json.load(f).get("gates", results)
+
+    names = list(QUERIES)
+    if args.only:
+        names = [n for n in args.only.split(",") if n in QUERIES]
+    for name in names:
+        t0 = time.perf_counter()
+        entry: dict = {}
+        try:
+            if name in ORACLES:
+                errs = compare(
+                    QUERIES[name](spark, args.sf_dir),
+                    run_oracle(ORACLES[name], args.sf_dir),
+                )
+                entry["mode"] = "oracle"
+                entry["pass"] = not errs
+                if errs:
+                    entry["errs"] = errs[:5]
+            else:
+                r1 = QUERIES[name](spark, args.sf_dir).count()
+                r2 = QUERIES[name](spark, args.sf_dir).count()
+                entry["mode"] = "rows_only"
+                entry["rows"] = r1
+                entry["pass"] = r1 == r2
+        except Exception as exc:  # record and continue: one bad gate must
+            entry["mode"] = "error"  # not hide the other 49
+            entry["pass"] = False
+            entry["err"] = repr(exc)[:500]
+        entry["wall_s"] = round(time.perf_counter() - t0, 2)
+        results[name] = entry
+        status = "PASS" if entry["pass"] else "FAIL"
+        print(f"{name:36s} {entry['mode']:9s} {status} {entry['wall_s']:8.2f}s", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "n_pass": sum(1 for e in results.values() if e["pass"]),
+                    "n_total": len(results),
+                    "gates": results,
+                },
+                f,
+                indent=2,
+            )
+
+    n_pass = sum(1 for e in results.values() if e["pass"])
+    print(f"\n{n_pass}/{len(results)} gates pass at {args.sf_dir}")
+
+
+if __name__ == "__main__":
+    main()

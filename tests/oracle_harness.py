@@ -13,9 +13,15 @@ from parsedmarc_go_spark.tables import TABLES
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # generated scale dirs (scripts/make_sf.py) carry only the tables
+        # the gates touch; register what exists — a query referencing a
+        # genuinely absent table still fails loudly at execution
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con.execute(sql).fetchdf()
 
 

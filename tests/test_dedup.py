@@ -236,6 +236,22 @@ def test_bigstar_agrees_with_oracle_checked_gate_on_corpus(spark):
     assert bs == gate
 
 
+def test_keep_best_exact_matches_oracle(spark):
+    """The exact keep-best path lost its driver gate slot to the
+    production minhash twin in r7; this test keeps it value-anchored by
+    running the SAME recursive-CTE oracle compare the driver used to."""
+    from parsedmarc_go_spark.plans import QUERIES
+    from parsedmarc_go_spark.plans.textops import _KEEP_BEST_ORACLE
+    from tests.conftest import SF_CORRECT
+    from tests.oracle_harness import compare, run_oracle
+
+    errs = compare(
+        QUERIES["dedup_keep_best"](spark, SF_CORRECT),
+        run_oracle(_KEEP_BEST_ORACLE, SF_CORRECT),
+    )
+    assert not errs, errs[:3]
+
+
 def test_keep_best_minhash_agrees_with_exact(spark):
     """dedup_keep_best_minhash (the 100 TB path) must make the same
     keep decisions as the oracle-checked exact variant at gate SF: the
