@@ -48,6 +48,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     _flag(p, "format", default="json", help="Output format: json, csv")
     _flag(p, "version", action="store_true", help="Show version information")
     _flag(p, "daemon", action="store_true", help="Run as daemon (enables IMAP and HTTP)")
+    _flag(
+        p,
+        "as-of",
+        default="",
+        help="Pin the ingest clock (yyyy-MM-dd HH:mm:ss) so created_at "
+        "defaults are reproducible across re-ingests (default: wall clock)",
+    )
     return p
 
 
@@ -107,7 +114,7 @@ def run_one_shot(spark: SparkSession, cfg, args) -> int:
         print(f"Invalid output format: {args.format}", file=sys.stderr)
         return 1
 
-    res = ingest(spark, args.input)
+    res = ingest(spark, args.input, as_of=args.as_of or None)
     lines: list[str] = []
     emitted = 0
     if fmt == "csv":

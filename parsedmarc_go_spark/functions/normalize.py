@@ -14,6 +14,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ingest_ts(as_of: str | None = None) -> Column:
+    """P21 — the INJECTABLE ingest clock behind every `created_at` /
+    arrival-date fallback. Wall clock (`current_timestamp()`) by
+    default, a pinned literal when `as_of` is given ('yyyy-MM-dd
+    HH:mm:ss'). Pinning makes re-ingests of the same corpus
+    byte-identical (replayed streaming batches included) and lets
+    dashboard panels that filter on created_at anchor to a constant
+    instead of the test run's clock (round-6 verdict task 6)."""
+    if as_of is None:
+        return F.current_timestamp()
+    return F.lit(as_of).cast("timestamp")
+
+
 def default_if_empty(col: Column, default: Column | str) -> Column:
     """P1 — utils.go:16-21 DefaultString: '' or NULL → default."""
     d = F.lit(default) if isinstance(default, str) else default
@@ -75,7 +88,9 @@ def aggregate_validity(fb: Column) -> Column:
     )
 
 
-def aggregate_reports_flat(parsed: DataFrame, fb: str = "fb") -> DataFrame:
+def aggregate_reports_flat(
+    parsed: DataFrame, fb: str = "fb", as_of: str | None = None
+) -> DataFrame:
     """Parent table projection (clickhouse.go:79-100) with the published-
     policy defaults of parser.go:1145-1152."""
     m = F.col(f"{fb}.report_metadata")
@@ -98,11 +113,13 @@ def aggregate_reports_flat(parsed: DataFrame, fb: str = "fb") -> DataFrame:
         default_if_empty(p["sp"], F.coalesce(p["p"], F.lit(""))).alias("sp"),
         default_if_empty(p["pct"], "100").alias("pct"),
         default_if_empty(p["fo"], "0").alias("fo"),
-        F.current_timestamp().alias("created_at"),
+        ingest_ts(as_of).alias("created_at"),
     )
 
 
-def aggregate_records_flat(parsed: DataFrame, fb: str = "fb") -> DataFrame:
+def aggregate_records_flat(
+    parsed: DataFrame, fb: str = "fb", as_of: str | None = None
+) -> DataFrame:
     """Fact table: explode records (P6), apply per-record defaults and
     alignment booleans (parser.go:1179-1266), flatten struct arrays to
     parallel string arrays with 'none' fills (P7, clickhouse.go:286-314).
@@ -169,7 +186,7 @@ def aggregate_records_flat(parsed: DataFrame, fb: str = "fb") -> DataFrame:
             "spf_results"
         ),
         "begin_date",
-        F.current_timestamp().alias("created_at"),
+        ingest_ts(as_of).alias("created_at"),
         # engine-internal extras beyond the ClickHouse 25-column contract:
         # raw policy-evaluated values, needed for the CSV writer's exact
         # dkim_result/spf_result columns (output.go:293-295)

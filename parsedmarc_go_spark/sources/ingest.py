@@ -20,6 +20,7 @@ from parsedmarc_go_spark.functions.normalize import (
     aggregate_records_flat,
     aggregate_reports_flat,
     aggregate_validity,
+    ingest_ts,
     strip_to_feedback,
 )
 from parsedmarc_go_spark.schemas import (
@@ -69,7 +70,9 @@ class IngestResult:
     rejects: DataFrame  # (path, kind, error)
 
 
-def parse_aggregate(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def parse_aggregate(
+    extracted: DataFrame, as_of: str | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """S6: wrapper strip → from_xml (PERMISSIVE, corrupt column) →
     validity gate (F1/F2) → parent + fact projections."""
     agg = extracted.filter(F.col("kind") == "aggregate").select(
@@ -97,10 +100,14 @@ def parse_aggregate(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFra
             F.lit("time span > 24 hours - RFC 7489 section 7.2"),
         ).alias("error"),
     )
-    return aggregate_reports_flat(ok), aggregate_records_flat(ok), bad
+    return (
+        aggregate_reports_flat(ok, as_of=as_of),
+        aggregate_records_flat(ok, as_of=as_of),
+        bad,
+    )
 
 
-def parse_forensic(extracted: DataFrame) -> DataFrame:
+def parse_forensic(extracted: DataFrame, as_of: str | None = None) -> DataFrame:
     """S10/S13 output typing: the extraction UDF already parsed the MIME
     and the RFC 6591 key-value block; type the struct and project the
     flat table (clickhouse.go:145-176). Offline enrichment defaults as
@@ -110,7 +117,7 @@ def parse_forensic(extracted: DataFrame) -> DataFrame:
         .select("path", F.from_json("forensic_json", FORENSIC_JSON_SCHEMA).alias("r"))
         .select("path", "r.*")
     )
-    arrival = F.coalesce(F.try_to_timestamp(F.col("arrival_date")), F.current_timestamp())
+    arrival = F.coalesce(F.try_to_timestamp(F.col("arrival_date")), ingest_ts(as_of))
     return fr.select(
         F.coalesce(F.col("feedback_type"), F.lit("auth-failure")).alias("feedback_type"),
         "user_agent",
@@ -139,11 +146,13 @@ def parse_forensic(extracted: DataFrame) -> DataFrame:
         F.coalesce(F.col("sample_headers_only"), F.lit(False)).alias("sample_headers_only"),
         F.coalesce(F.col("sample"), F.lit("")).alias("sample"),
         F.coalesce(F.col("parsed_sample"), F.lit("")).alias("parsed_sample"),
-        F.current_timestamp().alias("created_at"),
+        ingest_ts(as_of).alias("created_at"),
     )
 
 
-def parse_smtp_tls(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def parse_smtp_tls(
+    extracted: DataFrame, as_of: str | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """S7: RFC 8460 JSON (hyphenated wire keys) → reports + failure
     details tables (clickhouse.go:183-228, 415-497). One report row per
     policy (explode), one failure row per failure detail."""
@@ -184,7 +193,7 @@ def parse_smtp_tls(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFram
         F.coalesce(F.col("pol.summary.`total-failure-session-count`"), F.lit(0)).alias(
             "failed_session_count"
         ),
-        F.current_timestamp().alias("created_at"),
+        ingest_ts(as_of).alias("created_at"),
     )
     failures = (
         pol.select(
@@ -203,20 +212,25 @@ def parse_smtp_tls(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFram
             F.col("fd.`receiving-mx-helo`").alias("receiving_mx_helo"),
             F.col("fd.`additional-information`").alias("additional_info_uri"),
             F.col("fd.`failure-reason-code`").alias("failure_reason_code"),
-            F.current_timestamp().alias("created_at"),
+            ingest_ts(as_of).alias("created_at"),
         )
     )
     return reports, failures, bad
 
 
-def ingest(spark: SparkSession, path: str, glob: str | None = None) -> IngestResult:
+def ingest(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    as_of: str | None = None,
+) -> IngestResult:
     """Parse every report under `path` into the five flat tables plus a
     quarantine of rejects. The extracted frame is the single Python
     stage; everything after is JVM-side."""
     extracted = extract_reports(read_report_files(spark, path, glob))
-    agg_reports, agg_records, agg_bad = parse_aggregate(extracted)
-    forensic = parse_forensic(extracted)
-    tls_reports, tls_failures, tls_bad = parse_smtp_tls(extracted)
+    agg_reports, agg_records, agg_bad = parse_aggregate(extracted, as_of)
+    forensic = parse_forensic(extracted, as_of)
+    tls_reports, tls_failures, tls_bad = parse_smtp_tls(extracted, as_of)
     hard_errors = extracted.filter(F.col("kind") == "error").select(
         "path", F.lit("unknown").alias("kind"), "error"
     )

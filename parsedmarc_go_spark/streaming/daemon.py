@@ -63,7 +63,12 @@ def _write_table(df: DataFrame, out_dir: str, name: str, batch_id: int) -> None:
     )
 
 
-def make_batch_processor(out_dir: str, enrichment=None, metrics_path: str | None = None):
+def make_batch_processor(
+    out_dir: str,
+    enrichment=None,
+    metrics_path: str | None = None,
+    as_of: str | None = None,
+):
     """foreachBatch body, factored out so idempotence is directly
     testable: calling it twice with the same batch_id (the
     crash-and-replay case) must leave every table unchanged.
@@ -94,9 +99,12 @@ def make_batch_processor(out_dir: str, enrichment=None, metrics_path: str | None
         extracted = extract_reports(batch).cache()
         prev_overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
-            agg_reports, agg_records, agg_bad = parse_aggregate(extracted)
-            forensic = parse_forensic(extracted)
-            tls_reports, tls_failures, tls_bad = parse_smtp_tls(extracted)
+            # `as_of` pins the ingest clock: with it set, a crash-and-
+            # replay of batch N rewrites byte-identical files (created_at
+            # included) instead of merely row-equivalent ones
+            agg_reports, agg_records, agg_bad = parse_aggregate(extracted, as_of)
+            forensic = parse_forensic(extracted, as_of)
+            tls_reports, tls_failures, tls_bad = parse_smtp_tls(extracted, as_of)
             if enrichment is not None:
                 agg_records = enrich_records(agg_records, enrichment)
                 forensic = enrich_records(forensic, enrichment)
@@ -171,9 +179,11 @@ def stream_ingest(
     available_now: bool = False,
     enrichment=None,
     metrics_path: str | None = None,
+    as_of: str | None = None,
 ) -> StreamingQuery:
     """readStream(binaryFile) → extraction/parse DAG → foreachBatch
-    appending the five flat Parquet tables + rejects quarantine."""
+    appending the five flat Parquet tables + rejects quarantine.
+    `as_of` (optional) pins the ingest clock — see normalize.ingest_ts."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
@@ -184,7 +194,7 @@ def stream_ingest(
     )
 
     writer = files.writeStream.foreachBatch(
-        make_batch_processor(out_dir, enrichment, metrics_path)
+        make_batch_processor(out_dir, enrichment, metrics_path, as_of)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -34,8 +34,10 @@ pytestmark = pytest.mark.skipif(
 
 # anchor inside the corpus' date spread: newest aggregate sample dates
 # are 2024-06; forensic arrival dates cluster in 2019; the newest TLS
-# report is 2024-09-03; TLS failures filter on created_at (ingest time),
-# so their anchor must track the test run's clock
+# report is 2024-09-03. TLS failures filter on created_at (ingest
+# time), which since r7 is PINNED via the injected ingest clock — so
+# every anchor in the suite is a constant.
+INGEST_AS_OF = "2024-09-01 00:00:00"
 AS_OF_AGG = "2024-06-14 00:00:00"
 AS_OF_FORENSIC = "2019-05-01 00:00:00"
 AS_OF_TLS = "2024-09-04 00:00:00"
@@ -44,14 +46,8 @@ AS_OF_TLS = "2024-09-04 00:00:00"
 def _as_of(name: str) -> str:
     if name.startswith("forensic"):
         return AS_OF_FORENSIC
-    if name == "tls_success_rate_by_org":
+    if name in ("tls_success_rate_by_org", "tls_failure_types"):
         return AS_OF_TLS
-    if name == "tls_failure_types":
-        import datetime as _dt
-
-        return (_dt.datetime.now(_dt.timezone.utc) + _dt.timedelta(days=1)).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
     return AS_OF_AGG
 
 
@@ -59,7 +55,7 @@ def _as_of(name: str) -> str:
 def views(spark):
     from parsedmarc_go_spark.sources.ingest import ingest
 
-    res = ingest(spark, SAMPLES)
+    res = ingest(spark, SAMPLES, as_of=INGEST_AS_OF)
     register_views(
         spark,
         {

@@ -175,3 +175,23 @@ def test_forensic_golden_fields(result):
     assert netease.user_agent == "NtesDmarcReporter/1.0"
     assert netease.original_envelope_id == "N8CowEApcUPo6q1bnXlMAA--.44392S3"
     assert str(netease.arrival_date) == "2018-09-28 08:48:42"  # +0800 → UTC
+
+
+def test_injected_clock_makes_reingest_reproducible(spark):
+    """Round-6 verdict task 6: with the ingest clock pinned, two ingests
+    of the same corpus produce IDENTICAL tables — created_at included —
+    and created_at equals the injected instant exactly. (Without as_of,
+    created_at is wall-clock and re-ingests differ by design.)"""
+    import datetime
+
+    from parsedmarc_go_spark.sources.ingest import ingest
+
+    as_of = "2024-09-01 00:00:00"
+    path = os.path.join(SAMPLES, "aggregate")
+    a, b = ingest(spark, path, as_of=as_of), ingest(spark, path, as_of=as_of)
+    for table in ("aggregate_reports", "aggregate_records"):
+        ra = sorted(map(str, getattr(a, table).collect()))
+        rb = sorted(map(str, getattr(b, table).collect()))
+        assert ra == rb, f"{table}: re-ingest not byte-identical"
+    stamps = {r["created_at"] for r in a.aggregate_reports.collect()}
+    assert stamps == {datetime.datetime(2024, 9, 1, 0, 0)}, stamps
