@@ -227,7 +227,16 @@ def ingest(
     """Parse every report under `path` into the five flat tables plus a
     quarantine of rejects. The extracted frame is the single Python
     stage; everything after is JVM-side."""
-    extracted = extract_reports(read_report_files(spark, path, glob))
+    return ingest_files(read_report_files(spark, path, glob), as_of=as_of)
+
+
+def ingest_files(files: DataFrame, as_of: str | None = None) -> IngestResult:
+    """The ingest DAG over any (path, length, content) frame — the raw
+    binaryFile scan (`read_report_files`) or a compacted landing archive
+    (`storage.read_compacted_landing`), which is how the one-file-one-row
+    trade-off of binaryFile is retired at 100 TB: consolidate once,
+    re-ingest from chunky parquet forever after."""
+    extracted = extract_reports(files)
     agg_reports, agg_records, agg_bad = parse_aggregate(extracted, as_of)
     forensic = parse_forensic(extracted, as_of)
     tls_reports, tls_failures, tls_bad = parse_smtp_tls(extracted, as_of)

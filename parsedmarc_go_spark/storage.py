@@ -153,6 +153,58 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def compact_landing(
+    spark: SparkSession,
+    landing_dir: str,
+    out_path: str,
+    target_file_mb: int = 256,
+    glob: str | None = None,
+) -> int:
+    """Consolidate the RAW report landing zone (SCALE.md's known
+    binaryFile trade-off: one file = one row = one input split, so a
+    100 TB history of ~50 KB reports is billions of object-store GETs
+    per re-ingest). Reads every report via the same binaryFile scan
+    ingest uses and rewrites (path, mtime, length, content) as monthly-
+    partitioned parquet — month from the file's modification time, the
+    landing-zone analogue of the fact tables' toYYYYMM layout — in
+    ~``target_file_mb`` files per month. Returns the number of report
+    rows archived.
+
+    `read_compacted_landing` + `sources.ingest.ingest_files` re-ingest
+    from the archive with byte-identical results (pinned in
+    test_storage_streaming); after a compaction cycle the raw files can
+    be deleted and every future replay reads chunky parquet instead of
+    a small-file spray."""
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    out = reader.load(landing_dir).select(
+        "path",
+        "modificationTime",
+        "length",
+        "content",
+        F.date_format("modificationTime", "yyyyMM").alias(MONTH_COL),
+    )
+    n_rows = out.count()
+    total_bytes = out.agg(F.sum("length")).collect()[0][0] or 0
+    import math
+
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    (
+        out.repartition(n_files, F.col(MONTH_COL))
+        .write.mode("overwrite")
+        .partitionBy(MONTH_COL)
+        .parquet(out_path)
+    )
+    return n_rows
+
+
+def read_compacted_landing(spark: SparkSession, path: str) -> DataFrame:
+    """Read a compact_landing archive back in the (path, length,
+    content) shape `ingest_files` consumes."""
+    return spark.read.parquet(path).select("path", "length", "content")
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -273,3 +273,39 @@ def test_compact_table(spark, ingested, tmp_path):
     assert n == 1  # tiny table → single file
     assert len(glob.glob(out + "/*.parquet")) == 1
     assert spark.read.parquet(out).count() == ingested.aggregate_records.count()
+
+
+def test_compact_landing_row_identity_and_fewer_files(spark, tmp_path):
+    """SCALE.md's binaryFile small-file trade-off, executed: compact the
+    raw landing zone into monthly parquet, prove (1) many files became
+    few, (2) every (path, content) byte pair survived, (3) ingesting
+    from the archive yields tables identical to ingesting the raw dir."""
+    from parsedmarc_go_spark.sources.ingest import ingest, ingest_files
+    from parsedmarc_go_spark.storage import compact_landing, read_compacted_landing
+
+    land = os.path.join(SAMPLES, "aggregate")
+    n_raw_files = sum(len(fs) for _, _, fs in os.walk(land))
+    archive = str(tmp_path / "landing_archive")
+    n_rows = compact_landing(spark, land, archive)
+    assert n_rows == n_raw_files
+
+    import glob as _glob
+
+    n_parquet = len(_glob.glob(archive + "/**/*.parquet", recursive=True))
+    assert 0 < n_parquet < n_raw_files, (n_parquet, n_raw_files)
+    # month partition directories exist (the landing analogue of toYYYYMM)
+    assert _glob.glob(archive + "/month=*"), os.listdir(archive)
+
+    back = read_compacted_landing(spark, archive)
+    raw = spark.read.format("binaryFile").option("recursiveFileLookup", "true").load(land)
+    raw_set = {(r.path, bytes(r.content)) for r in raw.select("path", "content").collect()}
+    back_set = {(r.path, bytes(r.content)) for r in back.select("path", "content").collect()}
+    assert back_set == raw_set
+
+    as_of = "2024-09-01 00:00:00"
+    direct = ingest(spark, land, as_of=as_of)
+    archived = ingest_files(back, as_of=as_of)
+    for table in ("aggregate_reports", "aggregate_records", "rejects"):
+        a = sorted(map(str, getattr(direct, table).collect()))
+        b = sorted(map(str, getattr(archived, table).collect()))
+        assert a == b, f"{table}: archive ingest != raw ingest"
