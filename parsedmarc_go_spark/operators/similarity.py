@@ -226,6 +226,7 @@ def with_hyperplane_buckets(
     n_planes: int = 8,
     vec_col: str = "embedding",
     out: str = "hp_bucket",
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector: sign bits of dot
     products against `n_planes` pseudo-random hyperplanes. The planes
@@ -233,16 +234,20 @@ def with_hyperplane_buckets(
     across runs/executors with no driver-side RNG state to ship. Two
     vectors land in one bucket iff they agree on every sign; collision
     probability is (1 - θ/π)^n_planes, the classic SimHash-for-cosine
-    bound."""
+    bound. ``plane_offset`` selects a disjoint plane family (table t of
+    a multi-table index uses offset t·n_planes), leaving offset-0
+    buckets — and every persisted index built before the knob existed —
+    unchanged."""
     dim_expr = f"size({vec_col})"
-    # plane p, dim d weight ∈ [-1, 1): (xxhash64(p, d) mod 2001)/1000 - 1
+    # plane g, dim d weight ∈ [-1, 1): (xxhash64(g, d) mod 2001)/1000 - 1
     bit = (
         "CASE WHEN aggregate(zip_with({v}, sequence(0, {n} - 1), "
-        "(x, d) -> CAST(x AS DOUBLE) * (pmod(xxhash64({p}, d), 2001) / 1000.0 - 1.0)), "
+        "(x, d) -> CAST(x AS DOUBLE) * (pmod(xxhash64({g}, d), 2001) / 1000.0 - 1.0)), "
         "0D, (acc, x) -> acc + x) >= 0 THEN shiftleft(1, {p}) ELSE 0 END"
     )
     bucket = " + ".join(
-        bit.format(v=vec_col, n=dim_expr, p=p) for p in range(n_planes)
+        bit.format(v=vec_col, n=dim_expr, p=p, g=plane_offset + p)
+        for p in range(n_planes)
     )
     return vectors.withColumn(out, F.expr(bucket))
 
@@ -401,6 +406,122 @@ def lsh_topk_indexed(
         .drop("hp_bucket")
     )
     return brute_force_topk(corpus, query, k, id_col, vec_col)
+
+
+def lsh_topk_multitable(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplified LSH ANN: L independent hyperplane tables (disjoint
+    plane families via plane_offset), a vector is a candidate if it
+    collides with the query in ANY table. The standard construction for
+    high recall at low scan — a true neighbor colliding with
+    probability p per table survives with 1-(1-p)^L overall, while
+    random non-neighbors stay improbable in every table, so the scan
+    budget grows only ~L×bucket instead of shrinking planes (which
+    inflates EVERY bucket). Measured against the single-table grid in
+    SCALE.md.
+
+    Plan shape: ONE corpus scan computing all L bucket expressions
+    (codegen'd integer math), one broadcast of the 1-row query carrying
+    its L buckets, an OR-of-bit_count join predicate, then exact top-k
+    over the union candidate set — no per-table scans, no union nodes,
+    no shuffle of the corpus. The at-rest layout for the indexed
+    variant is one partitioned copy per table (build_lsh_index per
+    plane_offset); probe cost there is L partition-pruned reads."""
+    cur = vectors
+    qcur = query.select(F.col("q").alias(vec_col))
+    for t in range(n_tables):
+        off = t * n_planes
+        cur = with_hyperplane_buckets(cur, n_planes, vec_col, f"__b{t}", off)
+        qcur = with_hyperplane_buckets(qcur, n_planes, vec_col, f"__qb{t}", off)
+    qsel = qcur.select(
+        F.col(vec_col).alias("q"), *[f"__qb{t}" for t in range(n_tables)]
+    )
+    cond = None
+    for t in range(n_tables):
+        c = F.expr(f"bit_count(__b{t} ^ __qb{t}) <= {int(multiprobe)}")
+        cond = c if cond is None else (cond | c)
+    scored = (
+        cur.join(F.broadcast(qsel), cond, "inner")
+        .select(
+            id_col,
+            "label",
+            F.round(
+                cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "q"), 4
+            ).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def build_lsh_index_multitable(
+    vectors: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+) -> None:
+    """Build-once for multi-table LSH: one bucket-partitioned copy of
+    the corpus per table (table t hashes with plane family t·n_planes),
+    written under <path>/table=<t>. Storage is L× the corpus — the
+    classic multi-table trade; each probe then reads L pruned bucket
+    directories instead of scanning anything."""
+    for t in range(n_tables):
+        (
+            with_hyperplane_buckets(vectors, n_planes, vec_col, "hp_bucket", t * n_planes)
+            .write.mode("overwrite")
+            .partitionBy("hp_bucket")
+            .parquet(f"{path.rstrip('/')}/table={t}")
+        )
+    spark = vectors.sparkSession
+    (
+        spark.createDataFrame([(n_planes, n_tables)], "n_planes int, n_tables int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path.rstrip("/") + ".meta")
+    )
+
+
+def lsh_topk_indexed_multitable(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a build_lsh_index_multitable index: recompute the query's
+    bucket per table driver-side, read each table's probed bucket
+    directories (hp_bucket IN (…) → PartitionFilters, plan-asserted),
+    union, dedup by id (a candidate may collide in several tables),
+    exact top-k. Results pinned identical to the ad-hoc
+    lsh_topk_multitable at the same (n_planes, n_tables, multiprobe)."""
+    (meta,) = spark.read.parquet(path.rstrip("/") + ".meta").collect()
+    n_planes, n_tables = int(meta["n_planes"]), int(meta["n_tables"])
+    qcur = query.select(F.col("q").alias(vec_col))
+    for t in range(n_tables):
+        qcur = with_hyperplane_buckets(qcur, n_planes, vec_col, f"__qb{t}", t * n_planes)
+    (qrow,) = qcur.collect()  # one row driver-side — zero corpus jobs
+    parts = []
+    for t in range(n_tables):
+        probes = hamming_probe_buckets(int(qrow[f"__qb{t}"]), n_planes, multiprobe)
+        parts.append(
+            spark.read.parquet(f"{path.rstrip('/')}/table={t}")
+            .filter(F.col("hp_bucket").isin(probes))
+            .drop("hp_bucket")
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    return brute_force_topk(cands.dropDuplicates([id_col]), query, k, id_col, vec_col)
 
 
 def cosine_neardup_pairs_lsh(

@@ -179,6 +179,52 @@ def main() -> None:
                 }
             )
 
+    # ---- multi-table LSH: OR-amplification grid ---------------------------
+    from parsedmarc_go_spark.operators.similarity import (
+        lsh_topk_multitable,
+        with_hyperplane_buckets,
+    )
+
+    for n_planes, n_tables, mp in (
+        (8, 2, 0),
+        (8, 4, 0),
+        (8, 4, 1),
+        (6, 4, 0),
+    ):
+        hits = 0
+        for qi, qv in qrows:
+            q = spark.createDataFrame([(qv,)], "q array<double>")
+            got = {
+                r.vec_id
+                for r in lsh_topk_multitable(
+                    corpus, q, k=K, n_planes=n_planes, n_tables=n_tables, multiprobe=mp
+                ).collect()
+            }
+            hits += len(got & truth[qi])
+        # candidate volume in one batch job: all-table buckets on both sides,
+        # OR-of-bit_count join, count
+        bucketed = corpus
+        qb = queries.select("query_id", F.col("q").alias("embedding"))
+        for t in range(n_tables):
+            off = t * n_planes
+            bucketed = with_hyperplane_buckets(bucketed, n_planes, "embedding", f"__b{t}", off)
+            qb = with_hyperplane_buckets(qb, n_planes, "embedding", f"__qb{t}", off)
+        cond = None
+        for t in range(n_tables):
+            c = F.expr(f"bit_count(__b{t} ^ __qb{t}) <= {mp}")
+            cond = c if cond is None else (cond | c)
+        n_cand = bucketed.join(
+            F.broadcast(qb.drop("embedding")), cond, "inner"
+        ).count()
+        results.append(
+            {
+                "operator": "lsh_topk_multitable",
+                "config": f"n_planes={n_planes} n_tables={n_tables} multiprobe={mp}",
+                "recall_at_10": round(hits / (K * len(qrows)), 3),
+                "scan_frac": round(n_cand / (n_total * len(qrows)), 3),
+            }
+        )
+
     meta = {
         "n_base": args.n_base,
         "n_queries": args.n_queries,

@@ -156,3 +156,71 @@ def test_ann_lsh_indexed_query_entry(spark, tmp_path, monkeypatch):
     again = QUERIES["ann_lsh_indexed"](spark, "/root/testdata/sf0.001").collect()
     assert again == first
     assert os.path.getmtime(str(tmp_path / "idx") + "/_SUCCESS") == mtime
+
+
+def test_multitable_one_table_equals_single_table(spark):
+    """n_tables=1 at plane_offset 0 must reproduce the single-table
+    operator exactly (backward-compat pin for the plane_offset knob)."""
+    from parsedmarc_go_spark.operators.similarity import lsh_topk_multitable
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    q = query_vector(emb, 0)
+    single = [
+        (r.vec_id, r.cosine_sim)
+        for r in lsh_bucketed_topk(emb, q, k=10, n_planes=6, multiprobe=0).collect()
+    ]
+    multi = [
+        (r.vec_id, r.cosine_sim)
+        for r in lsh_topk_multitable(
+            emb, q, k=10, n_planes=6, n_tables=1, multiprobe=0
+        ).collect()
+    ]
+    assert multi == single
+
+
+def test_multitable_recovers_neighbors_single_table_drops(spark, planted):
+    """OR-amplification: with 4 independent tables a planted neighbor
+    only needs to collide in ONE of them, so recall must be at least the
+    single-table level and strictly better on this corpus."""
+    from parsedmarc_go_spark.operators.similarity import lsh_topk_multitable
+
+    corpus, qdf, truth = planted
+    r1 = {r.vec_id for r in lsh_bucketed_topk(corpus, qdf, k=10, n_planes=8).collect()}
+    r4 = {
+        r.vec_id
+        for r in lsh_topk_multitable(
+            corpus, qdf, k=10, n_planes=8, n_tables=4
+        ).collect()
+    }
+    assert len(r1 & truth) < len(r4 & truth), (len(r1 & truth), len(r4 & truth))
+
+
+def test_multitable_indexed_matches_adhoc_and_prunes(spark, tmp_path):
+    from parsedmarc_go_spark.operators.similarity import (
+        build_lsh_index_multitable,
+        lsh_topk_indexed_multitable,
+        lsh_topk_multitable,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "mt_index")
+    build_lsh_index_multitable(emb, path, n_planes=6, n_tables=3)
+    q = query_vector(emb, 0)
+    topk = lsh_topk_indexed_multitable(spark, path, q, k=10, multiprobe=1)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    # one pruned scan per table directory, each carrying a non-empty
+    # hp_bucket IN (…) partition filter (the query vector's own scan
+    # reports an EMPTY PartitionFilters and must not be counted)
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters: [hp_bucket" in ln and " IN (" in ln
+    ]
+    assert len(scans) == 3, plan
+    adhoc = [
+        (r.vec_id, r.cosine_sim)
+        for r in lsh_topk_multitable(
+            emb, q, k=10, n_planes=6, n_tables=3, multiprobe=1
+        ).collect()
+    ]
+    assert [(r.vec_id, r.cosine_sim) for r in topk.collect()] == adhoc
