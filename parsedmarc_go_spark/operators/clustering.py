@@ -217,6 +217,69 @@ def ivf_topk_indexed(
     return brute_force_topk(corpus, query, k, id_col, vec_col)
 
 
+def ivf_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """Batch probe of a persisted IVF index — top-k for a whole
+    (query_id, q) table in ONE job, the shape a retrieval pipeline
+    actually runs (per-query jobs pay a scheduler round trip each).
+
+    Cell ranking stays driver-side (Q query vectors × the k×dim
+    centroid matrix — no Spark job), producing a broadcast
+    (query_id, cell, q) probe table of Q·nprobe rows. The corpus read
+    is filtered to the UNION of probed cells (``cell IN (…)`` on the
+    partition column → PartitionFilters, same pruning as the per-query
+    probe), the equi-join on cell hands each candidate row to exactly
+    the queries probing its cell, and ranking is one row_number window
+    over candidates partitioned by query_id. Per-query results pinned
+    identical to ivf_topk_indexed in tests/test_kmeans.py."""
+    from pyspark.sql import Window
+
+    from parsedmarc_go_spark.operators.similarity import cosine
+
+    if cents is None:
+        cents = load_ivf_centroids(spark, path)
+    qrows = queries.collect()  # bounded query batch, driver-side by design
+    probe_rows = []
+    for r in qrows:
+        qv = _unit(list(r["q"]))
+        ranked = sorted(
+            range(len(cents)),
+            key=lambda i: (-sum(a * b for a, b in zip(cents[i], qv)), i),
+        )
+        for c in ranked[:nprobe]:
+            probe_rows.append((int(r["query_id"]), int(c), [float(x) for x in r["q"]]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, q array<double>"
+    )
+    all_cells = sorted({c for _, c, _ in probe_rows})
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            id_col,
+            "label",
+            F.round(
+                cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "q"), 4
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def ivf_topk_trained(
     vectors: DataFrame,
     query: DataFrame,

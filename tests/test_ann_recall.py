@@ -224,3 +224,25 @@ def test_multitable_indexed_matches_adhoc_and_prunes(spark, tmp_path):
         ).collect()
     ]
     assert [(r.vec_id, r.cosine_sim) for r in topk.collect()] == adhoc
+
+
+def test_multitable_adhoc_is_single_corpus_scan(spark):
+    """The OR-amplified ad-hoc probe must evaluate all L bucket
+    expressions in ONE pass over the corpus — L scans (or a shuffle
+    join) would defeat the point at 100 TB."""
+    from parsedmarc_go_spark.operators.similarity import lsh_topk_multitable
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    q = query_vector(emb, 0)
+    plan = (
+        lsh_topk_multitable(emb, q, k=10, n_planes=8, n_tables=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    corpus_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "embeddings" in ln
+    ]
+    # corpus once + the 1-row query-vector lookup once
+    assert len(corpus_scans) == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan and "SortMergeJoin" not in plan

@@ -144,3 +144,50 @@ def test_ivf_index_build_once_prunes_partitions(spark, tmp_path):
 
     all_cells = {d for d in os.listdir(path) if d.startswith("cell=")}
     assert len(all_cells) > 4, "index should have written one dir per non-empty cell"
+
+
+def test_ivf_batch_matches_per_query_and_prunes(spark, tmp_path):
+    """ivf_topk_batch: one job for a whole query batch, per-query
+    results identical to ivf_topk_indexed, probe read still pruned to
+    the union of probed cells at PLAN level."""
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.operators.clustering import (
+        build_ivf_index,
+        ivf_topk_batch,
+        ivf_topk_indexed,
+    )
+    from parsedmarc_go_spark.operators.similarity import query_vector
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, path, n_cells=8, max_iters=3)
+
+    qids = [0, 5, 11]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q"),
+    )
+    batch = ivf_topk_batch(spark, path, queries, k=10, nprobe=3)
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters: [cell" in ln and " IN (" in ln
+    ]
+    assert pruned, plan
+
+    rows = batch.collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (-r.cosine_sim, r.vec_id)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cosine_sim))
+    for qid in qids:
+        solo = [
+            (r.vec_id, r.cosine_sim)
+            for r in ivf_topk_indexed(
+                spark, path, query_vector(emb, qid), k=10, nprobe=3
+            ).collect()
+        ]
+        assert by_q[qid] == solo, f"batch != per-query for query {qid}"
