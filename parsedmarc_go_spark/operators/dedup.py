@@ -450,6 +450,8 @@ def simhash_banded_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     bands: int | None = None,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Banded blocking + exact Hamming verify over a precomputed
     (id, simhash) frame.
@@ -459,7 +461,19 @@ def simhash_banded_pairs(
     bands >= max_hamming + 1 (the default) pigeonhole guarantees the
     pair agrees exactly on at least one band and is generated as a
     candidate. bands <= max_hamming would silently miss pairs at
-    distance bands..max_hamming and is rejected."""
+    distance bands..max_hamming and is rejected.
+
+    ``max_bucket`` is the 100 TB hot-bucket guard, motivated by a real
+    sf1 finding (SCALE.md): on low-entropy corpora simhash band values
+    concentrate and the Σ|bucket|² candidate term balloons (measured
+    ~258 s vs ~1 s for minhash over the same 50k docs). With the cap
+    set, (band, val) buckets larger than ``max_bucket`` generate no
+    candidates. This is LOSSY — a pair whose every agreeing band is
+    oversized is dropped, weakening the pigeonhole guarantee to
+    small-bucket bands only — so it is off by default and NEVER silent:
+    pass ``stats`` to receive {skipped_buckets, skipped_rows}. (Run
+    exact dedup first; identical docs are the most common cause of
+    giant buckets and don't need simhash to find.)"""
     if bands is None:
         bands = max_hamming + 1
     if bands <= max_hamming:
@@ -482,6 +496,18 @@ def simhash_banded_pairs(
             )
         ).alias("bv"),
     ).select("doc", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "val").agg(F.count("*").alias("__bn"))
+        if stats is not None:
+            sk = sizes.filter(F.col("__bn") > max_bucket).agg(
+                F.count("*").alias("nb"), F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr")
+            ).collect()[0]
+            stats["skipped_buckets"] = int(sk["nb"])
+            stats["skipped_rows"] = int(sk["nr"])
+        keep = sizes.filter(F.col("__bn") <= max_bucket).select("band", "val")
+        # no broadcast hint: the keep-list scales with distinct band values
+        # (GBs at corpus scale); AQE picks broadcast when it actually fits
+        banded = banded.join(keep, ["band", "val"])
     left = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "val")
     right = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "val")
     return (
@@ -499,10 +525,18 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 6,
     bands: int | None = None,
+    max_bucket: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on bands (bands defaults to
     max_hamming + 1 so pigeonhole guarantees full recall at the declared
-    distance), then verify with bit_count(xor)."""
+    distance), then verify with bit_count(xor). ``max_bucket``/``stats``
+    are the observable hot-bucket guard — see simhash_banded_pairs."""
     return simhash_banded_pairs(
-        with_simhash(docs, id_col, text_col), id_col, max_hamming=max_hamming, bands=bands
+        with_simhash(docs, id_col, text_col),
+        id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
+        stats=stats,
     )

@@ -322,3 +322,29 @@ def test_chunked_cosine_pairs_identical_to_blocked(spark):
     blocked = rows("dedup_embedding_cosine")
     chunked = rows("dedup_embedding_cosine_chunked")
     assert blocked == chunked and len(blocked) > 0
+
+
+def test_simhash_hot_bucket_guard_is_lossy_but_observable(spark):
+    """The sf1 finding's executable guard: 60 byte-identical docs share
+    every band bucket; with max_bucket=10 those buckets generate no
+    candidates (bounding the |bucket|² term), the skip is REPORTED via
+    stats, and pairs living in small buckets still come through."""
+    from parsedmarc_go_spark.operators.dedup import simhash_pairs
+
+    clones = [(i, "alpha beta gamma delta epsilon zeta") for i in range(60)]
+    near = [
+        (100, "one two three four five six seven eight nine ten eleven twelve"),
+        (101, "one two three four five six seven eight nine ten eleven dozen"),
+    ]
+    docs = spark.createDataFrame(clones + near, "doc_id long, text string")
+
+    uncapped = simhash_pairs(docs, max_hamming=6).collect()
+    assert len(uncapped) >= 60 * 59 // 2  # the clone clique dominates
+
+    stats: dict = {}
+    capped = simhash_pairs(docs, max_hamming=6, max_bucket=10, stats=stats).collect()
+    got = {(r.doc_a, r.doc_b) for r in capped}
+    assert (100, 101) in got, "small-bucket pair must survive the cap"
+    assert not any(a < 100 and b < 100 for a, b in got), "clone clique must be skipped"
+    assert stats["skipped_buckets"] >= 7  # every band bucket of the clique
+    assert stats["skipped_rows"] >= 60 * 7
