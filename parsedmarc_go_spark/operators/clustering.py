@@ -145,7 +145,7 @@ def kmeans_fit(
 def build_ivf_index(
     vectors: DataFrame,
     path: str,
-    n_cells: int = 8,
+    n_cells: int | None = 8,
     max_iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -162,7 +162,16 @@ def build_ivf_index(
     ``load_ivf_centroids`` alone. Layout note: n_cells here is a COARSE
     quantizer (dozens-to-thousands of cells), so one directory per cell
     is object-store-friendly; each cell's files stay many-GB chunky at
-    corpus scale rather than small-file spray."""
+    corpus scale rather than small-file spray.
+
+    ``n_cells=None`` auto-sizes to ≈√N (clamped to [8, 4096]) — the
+    standard IVF rule that keeps per-cell scan cost AND cell-boundary
+    recall loss controlled as the corpus grows; the 10× recall run
+    (SCALE.md) measured exactly the boundary loss a fixed cell count
+    develops (nprobe=1 recall 0.945 → 0.78 at 10× N)."""
+    if n_cells is None:
+        n = vectors.count()
+        n_cells = max(8, min(4096, int(math.sqrt(n))))
     cents, _ = kmeans_fit(
         vectors, k=n_cells, max_iters=max_iters, vec_col=vec_col, id_col=id_col
     )

@@ -191,3 +191,19 @@ def test_ivf_batch_matches_per_query_and_prunes(spark, tmp_path):
             ).collect()
         ]
         assert by_q[qid] == solo, f"batch != per-query for query {qid}"
+
+
+def test_build_ivf_index_auto_sizes_cells(spark, tmp_path):
+    """n_cells=None sizes the coarse quantizer to ~sqrt(N), floored at 8
+    (the SCALE.md rule the 10x recall run motivated)."""
+    from parsedmarc_go_spark.operators.clustering import (
+        build_ivf_index,
+        load_ivf_centroids,
+    )
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")  # N=500 -> 22
+    path = str(tmp_path / "auto_idx")
+    cents = build_ivf_index(emb, path, n_cells=None, max_iters=2)
+    assert len(cents) == 22
+    assert len(load_ivf_centroids(spark, path)) == 22
