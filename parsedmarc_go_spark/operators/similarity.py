@@ -528,17 +528,38 @@ def cosine_neardup_pairs_lsh(
     vectors: DataFrame,
     threshold: float = 0.4,
     n_planes: int = 4,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs blocked by hyperplane LSH buckets — the
-    label-free variant for corpora with no natural cells. High-cosine
-    pairs agree on hyperplane signs with probability (1 - θ/π)^planes,
-    so near-duplicates nearly always share the bucket; the miss rate is
-    the usual LSH recall trade against the |bucket|² work bound."""
-    bucketed = with_hyperplane_buckets(vectors, n_planes, vec_col).withColumnRenamed(
-        "hp_bucket", "__block"
-    )
-    return cosine_neardup_pairs(
-        bucketed, threshold=threshold, block_col="__block", id_col=id_col, vec_col=vec_col
-    )
+    label-free variant for corpora with no natural cells. A pair is
+    found only when BOTH endpoints share a bucket, so per-table pair
+    recall is (1 - θ/π)^planes — measured 0.55/0.47/0.39 at 2/3/4
+    planes on the planted harness (SCALE.md). ``n_tables`` = L is the
+    OR-amplification fix: run the blocked finder over L disjoint plane
+    families and union the pair sets (recall → 1-(1-p)^L for L× the
+    block work); the same pair found by several tables carries the
+    same rounded cosine, so the union dedups exactly. Precision stays
+    exact either way — every emitted pair passed the within-block
+    verify."""
+    parts = []
+    for t in range(n_tables):
+        bucketed = with_hyperplane_buckets(
+            vectors, n_planes, vec_col, "hp_bucket", t * n_planes
+        ).withColumnRenamed("hp_bucket", "__block")
+        parts.append(
+            cosine_neardup_pairs(
+                bucketed,
+                threshold=threshold,
+                block_col="__block",
+                id_col=id_col,
+                vec_col=vec_col,
+                chunk_rows=chunk_rows,
+            ).drop("block")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["vec_a", "vec_b"]) if n_tables > 1 else out

@@ -241,23 +241,28 @@ def main() -> None:
         (int(a), int(b))
         for a, b in zip(iu[0][C[iu] >= thr], iu[1][C[iu] >= thr])
     }
-    for n_planes in (2, 3, 4):
+    for n_planes, n_tables in ((2, 1), (3, 1), (4, 1), (4, 2), (4, 4), (3, 4)):
         found = {
             (int(r.vec_a), int(r.vec_b))
             for r in cosine_neardup_pairs_lsh(
-                corpus, threshold=thr, n_planes=n_planes
+                corpus, threshold=thr, n_planes=n_planes, n_tables=n_tables
             ).collect()
         }
         assert found <= true_pairs, "verify step must keep precision exact"
-        # work proxy: Σ|bucket|² over the blocking key, relative to N²
-        b = with_hyperplane_buckets(corpus, n_planes, "embedding")
-        sizes = [r["n"] for r in b.groupBy("hp_bucket").agg(F.count("*").alias("n")).collect()]
+        # work proxy: Σ over tables of Σ|bucket|², relative to N²
+        work = 0
+        for t in range(n_tables):
+            b = with_hyperplane_buckets(corpus, n_planes, "embedding", "hp_bucket", t * n_planes)
+            sizes = [
+                r["n"] for r in b.groupBy("hp_bucket").agg(F.count("*").alias("n")).collect()
+            ]
+            work += sum(s * s for s in sizes)
         results.append(
             {
                 "operator": "cosine_neardup_pairs_lsh",
-                "config": f"n_planes={n_planes} threshold={thr}",
+                "config": f"n_planes={n_planes} n_tables={n_tables} threshold={thr}",
                 "pair_recall": round(len(found) / max(len(true_pairs), 1), 3),
-                "pairwork_frac": round(sum(s * s for s in sizes) / len(U) ** 2, 3),
+                "pairwork_frac": round(work / len(U) ** 2, 3),
             }
         )
 

@@ -348,3 +348,21 @@ def test_simhash_hot_bucket_guard_is_lossy_but_observable(spark):
     assert not any(a < 100 and b < 100 for a, b in got), "clone clique must be skipped"
     assert stats["skipped_buckets"] >= 7  # every band bucket of the clique
     assert stats["skipped_rows"] >= 60 * 7
+
+
+def test_lsh_pair_finder_multitable_unions_and_stays_exact(spark):
+    """OR-amplified pair finding: n_tables=4 must find a strict
+    superset of the single-table pairs (same planes), every emitted
+    cosine must still clear the threshold (precision is the verify
+    step's, not the blocker's), and the union must carry no duplicate
+    pairs."""
+    from parsedmarc_go_spark.operators.similarity import cosine_neardup_pairs_lsh
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    one = cosine_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4, n_tables=1).collect()
+    four = cosine_neardup_pairs_lsh(emb, threshold=0.3, n_planes=4, n_tables=4).collect()
+    p1 = {(r.vec_a, r.vec_b) for r in one}
+    p4 = {(r.vec_a, r.vec_b) for r in four}
+    assert p1 < p4, (len(p1), len(p4))
+    assert len(p4) == len(four), "union must dedup pairs found by several tables"
+    assert all(r.cosine_sim >= 0.3 for r in four)
