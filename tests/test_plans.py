@@ -27,6 +27,7 @@ def plans(spark):
             "j1_fact_dim_join",
             "j2_enrichment_lookup",
             "j3_range_join",
+            "j3b_geoip_range_join",
             "f9_time_range_filter",
             "ann_topk_bruteforce",
         ]
@@ -67,6 +68,16 @@ def test_j3_broadcast_nested_loop(plans):
     p = plans["j3_range_join"]
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_j3b_geoip_is_bucketed_hash_join(plans):
+    # the REAL GeoIP shape must be the bucketed equi-join (each interval
+    # exploded to the /16 buckets it spans, range check residual) — a
+    # BroadcastNestedLoopJoin here would be O(|fact| x |dim|) against
+    # the ~3M-interval production dim
+    p = plans["j3b_geoip_range_join"]
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
 def test_f9_scan_reads_needed_columns_only(plans):
