@@ -189,6 +189,25 @@ def build_ivf_index(
     return cents
 
 
+def append_to_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for a build_ivf_index index: assign the
+    NEW vectors against the PERSISTED centroids (no retraining — the
+    quantizer is frozen, the standard IVF maintenance contract) and
+    append under the same cell partition layout. Probing an appended
+    index equals probing a from-scratch index assigned with the same
+    centroids (pinned in test_kmeans); retrain + rebuild remains the
+    periodic job once drift between corpus and centroids accumulates."""
+    spark = vectors.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    assign_cells(vectors, cents, vec_col, "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
 def load_ivf_centroids(spark, path: str) -> list[list[float]]:
     rows = spark.read.parquet(path.rstrip("/") + ".centroids").orderBy("cell").collect()
     return [list(r["centroid"]) for r in rows]

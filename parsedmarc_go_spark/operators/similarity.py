@@ -375,6 +375,23 @@ def build_lsh_index(vectors: DataFrame, path: str, n_planes: int = 6, vec_col: s
     )
 
 
+def append_to_lsh_index(vectors: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    """Incremental maintenance for a build_lsh_index index: bucket the
+    NEW vectors with the stored plane count and append their rows to
+    the same partition layout. Because the planes are derived from
+    seedless hashes, an appended index is bit-identical in bucket
+    assignment to a full rebuild over the union (pinned in
+    test_ann_recall) — so a 100 TB corpus takes daily increments
+    without ever re-hashing the existing data. Dynamic partition
+    overwrite is NOT used: append adds files inside existing bucket
+    directories, never touching other buckets' files."""
+    spark = vectors.sparkSession
+    (meta,) = spark.read.parquet(path.rstrip("/") + ".meta").collect()
+    with_hyperplane_buckets(vectors, int(meta["n_planes"]), vec_col).write.mode(
+        "append"
+    ).partitionBy("hp_bucket").parquet(path)
+
+
 def lsh_topk_indexed(
     spark,
     path: str,

@@ -246,3 +246,27 @@ def test_multitable_adhoc_is_single_corpus_scan(spark):
     # corpus once + the 1-row query-vector lookup once
     assert len(corpus_scans) == 2, plan
     assert "BroadcastNestedLoopJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_lsh_index_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental index maintenance: build on half the corpus, append
+    the other half — probes must return exactly what a full rebuild
+    over the union returns (seedless planes make bucket assignment
+    reproducible across sessions and builds)."""
+    from parsedmarc_go_spark.operators.similarity import append_to_lsh_index
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+
+    inc = str(tmp_path / "inc_idx")
+    build_lsh_index(first, inc, n_planes=6)
+    append_to_lsh_index(rest, inc)
+
+    full = str(tmp_path / "full_idx")
+    build_lsh_index(emb, full, n_planes=6)
+
+    q = query_vector(emb, 0)
+    got_inc = [(r.vec_id, r.cosine_sim) for r in lsh_topk_indexed(spark, inc, q, k=10, multiprobe=1).collect()]
+    got_full = [(r.vec_id, r.cosine_sim) for r in lsh_topk_indexed(spark, full, q, k=10, multiprobe=1).collect()]
+    assert got_inc == got_full and got_inc[0][0] == 0

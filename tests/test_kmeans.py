@@ -207,3 +207,44 @@ def test_build_ivf_index_auto_sizes_cells(spark, tmp_path):
     cents = build_ivf_index(emb, path, n_cells=None, max_iters=2)
     assert len(cents) == 22
     assert len(load_ivf_centroids(spark, path)) == 22
+
+
+def test_ivf_index_append_equals_frozen_quantizer_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance: appended rows are assigned with the
+    PERSISTED centroids, so probing the appended index equals probing a
+    full index assigned with those same centroids."""
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.operators.clustering import (
+        append_to_ivf_index,
+        assign_cells,
+        build_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+    )
+    from parsedmarc_go_spark.operators.similarity import query_vector
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+
+    inc = str(tmp_path / "inc_ivf")
+    build_ivf_index(first, inc, n_cells=8, max_iters=3)
+    cents = load_ivf_centroids(spark, inc)
+    append_to_ivf_index(rest, inc)
+
+    # reference: the union assigned with the SAME frozen centroids
+    ref = str(tmp_path / "ref_ivf")
+    assign_cells(emb, cents, "embedding", "cell").write.partitionBy("cell").parquet(ref)
+
+    q = query_vector(emb, 0)
+    got_inc = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_topk_indexed(spark, inc, q, k=10, nprobe=3).collect()
+    ]
+    got_ref = [
+        (r.vec_id, r.cosine_sim)
+        for r in ivf_topk_indexed(spark, ref, q, k=10, nprobe=3, cents=cents).collect()
+    ]
+    assert got_inc == got_ref and got_inc[0][0] == 0
