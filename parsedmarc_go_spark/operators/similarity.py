@@ -541,6 +541,54 @@ def lsh_topk_indexed_multitable(
     return brute_force_topk(cands.dropDuplicates([id_col]), query, k, id_col, vec_col)
 
 
+def lsh_topk_indexed_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch probe of a PERSISTED LSH index (build_lsh_index): compute
+    every query's bucket driver-side with the stored plane count, read
+    the corpus once filtered to the UNION of all probed buckets
+    (``hp_bucket IN (…)`` → PartitionFilters), join candidates to the
+    broadcast (query_id, probe bucket, q) table on hp_bucket, rank per
+    query with one row_number window. The IVF twin is
+    clustering.ivf_topk_batch; per-query results pinned identical to
+    lsh_topk_indexed in tests."""
+    (meta,) = spark.read.parquet(path.rstrip("/") + ".meta").collect()
+    n_planes = int(meta["n_planes"])
+    qb = with_hyperplane_buckets(
+        queries.select("query_id", F.col("q").alias(vec_col)), n_planes, vec_col
+    ).collect()  # bounded query batch, driver-side by design
+    probe_rows = [
+        (int(r["query_id"]), int(b), [float(x) for x in r[vec_col]])
+        for r in qb
+        for b in hamming_probe_buckets(int(r["hp_bucket"]), n_planes, multiprobe)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, hp_bucket long, q array<double>"
+    )
+    all_buckets = sorted({b for _, b, _ in probe_rows})
+    corpus = spark.read.parquet(path).filter(F.col("hp_bucket").isin(all_buckets))
+    scored = corpus.join(F.broadcast(probes), "hp_bucket").select(
+        "query_id",
+        id_col,
+        "label",
+        F.round(
+            cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "q"), 4
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def cosine_neardup_pairs_lsh(
     vectors: DataFrame,
     threshold: float = 0.4,

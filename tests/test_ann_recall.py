@@ -270,3 +270,36 @@ def test_lsh_index_append_equals_full_rebuild(spark, tmp_path):
     got_inc = [(r.vec_id, r.cosine_sim) for r in lsh_topk_indexed(spark, inc, q, k=10, multiprobe=1).collect()]
     got_full = [(r.vec_id, r.cosine_sim) for r in lsh_topk_indexed(spark, full, q, k=10, multiprobe=1).collect()]
     assert got_inc == got_full and got_inc[0][0] == 0
+
+
+def test_lsh_indexed_batch_matches_per_query(spark, tmp_path):
+    """Batch probe over the persisted index: one pruned read for the
+    whole batch, per-query results identical to lsh_topk_indexed."""
+    from parsedmarc_go_spark.operators.similarity import lsh_topk_indexed_batch
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "b_idx")
+    build_lsh_index(emb, path, n_planes=6)
+    qids = [0, 9, 23]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q"),
+    )
+    batch = lsh_topk_indexed_batch(spark, path, queries, k=10, multiprobe=1)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters: [hp_bucket" in ln and (" IN (" in ln or " INSET " in ln)
+        for ln in plan.splitlines()
+    ), plan
+    rows = batch.collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (-r.cosine_sim, r.vec_id)):
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cosine_sim))
+    for qid in qids:
+        solo = [
+            (r.vec_id, r.cosine_sim)
+            for r in lsh_topk_indexed(
+                spark, path, query_vector(emb, qid), k=10, multiprobe=1
+            ).collect()
+        ]
+        assert by_q[qid] == solo, f"batch != per-query for query {qid}"
