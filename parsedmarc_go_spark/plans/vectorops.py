@@ -121,6 +121,21 @@ def ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_quantize_int8")
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4× storage play for a 100 TB embedding corpus. Rows-only
+    (TINYINT arrays hash differently across engines' type systems);
+    the error bound that matters — quantized top-10 matches exact
+    top-10 ≥9/10 with per-pair cosine error ≤ 0.005 — is pinned in
+    tests/test_ann_recall.py."""
+    from parsedmarc_go_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "q_scale", "embedding_q"
+    )
+
+
 def _lsh_index_path(sf_dir: str) -> str:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     return f"/tmp/spark_graft_idx/lsh_{tag}_p6"

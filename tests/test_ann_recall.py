@@ -303,3 +303,34 @@ def test_lsh_indexed_batch_matches_per_query(spark, tmp_path):
             ).collect()
         ]
         assert by_q[qid] == solo, f"batch != per-query for query {qid}"
+
+
+def test_int8_quantization_roundtrip_error_bound(spark):
+    """Symmetric int8 quantization must keep cosine distortion below
+    the 4-decimal rounding the similarity layer applies: top-10 under
+    quantized vectors matches exact top-10 in >= 9 of 10 positions and
+    per-pair cosine error stays under 0.005 on the corpus."""
+    from parsedmarc_go_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load(spark, SF_CORRECT, "embeddings")
+    q8 = quantize_embeddings(emb)
+    # codes are genuine int8 and within the symmetric range
+    row = q8.first()
+    assert all(-127 <= v <= 127 for v in row["embedding_q"])
+    deq = dequantize_embeddings(q8.drop("embedding"))
+
+    qv = query_vector(emb, 0)
+    exact = [(r.vec_id, r.cosine_sim) for r in brute_force_topk(emb, qv, k=10).collect()]
+    approx = [(r.vec_id, r.cosine_sim) for r in brute_force_topk(deq, qv, k=10).collect()]
+    shared = {i for i, _ in exact} & {i for i, _ in approx}
+    assert len(shared) >= 9, (exact, approx)
+    ex, ap = dict(exact), dict(approx)
+    assert all(abs(ex[i] - ap[i]) <= 0.005 for i in shared)
+
+    # zero vector: scale 0, all-zero code, survives dequant as zeros
+    z = spark.createDataFrame([(0, 0, [0.0] * 8)], "vec_id long, label int, embedding array<double>")
+    zr = dequantize_embeddings(quantize_embeddings(z).drop("embedding")).first()
+    assert zr["q_scale"] == 0.0 and zr["embedding"] == [0.0] * 8
