@@ -149,6 +149,7 @@ def build_ivf_index(
     max_iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: bool = False,
 ) -> list[list[float]]:
     """Index-build-ONCE for IVF: train centroids, assign every row, and
     persist the corpus ``partitionBy("cell")`` so probing is PARTITION
@@ -168,16 +169,25 @@ def build_ivf_index(
     standard IVF rule that keeps per-cell scan cost AND cell-boundary
     recall loss controlled as the corpus grows; the 10× recall run
     (SCALE.md) measured exactly the boundary loss a fixed cell count
-    develops (nprobe=1 recall 0.945 → 0.78 at 10× N)."""
+    develops (nprobe=1 recall 0.945 → 0.78 at 10× N).
+
+    ``quantize=True`` stores the residing vectors int8-quantized
+    (IVF-SQ8: cell assignment still happens on the full-precision
+    vectors, only the STORED copy is compressed) — a 4× smaller index;
+    probes dequantize transparently (the readers detect the quantized
+    layout) at the bound-tested ≤0.005 cosine distortion."""
     if n_cells is None:
         n = vectors.count()
         n_cells = max(8, min(4096, int(math.sqrt(n))))
     cents, _ = kmeans_fit(
         vectors, k=n_cells, max_iters=max_iters, vec_col=vec_col, id_col=id_col
     )
-    assign_cells(vectors, cents, vec_col, "cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
+    assigned = assign_cells(vectors, cents, vec_col, "cell")
+    if quantize:
+        from parsedmarc_go_spark.operators.similarity import quantize_embeddings
+
+        assigned = quantize_embeddings(assigned, vec_col).drop(vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     spark = vectors.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     (
@@ -203,9 +213,23 @@ def append_to_ivf_index(
     periodic job once drift between corpus and centroids accumulates."""
     spark = vectors.sparkSession
     cents = load_ivf_centroids(spark, path)
-    assign_cells(vectors, cents, vec_col, "cell").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(path)
+    assigned = assign_cells(vectors, cents, vec_col, "cell")
+    if "embedding_q" in spark.read.parquet(path).columns:  # IVF-SQ8 layout
+        from parsedmarc_go_spark.operators.similarity import quantize_embeddings
+
+        assigned = quantize_embeddings(assigned, vec_col).drop(vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
+def _read_ivf_corpus(spark, path: str, vec_col: str):
+    """Open an IVF index directory, transparently dequantizing an
+    IVF-SQ8 layout (embedding_q + q_scale) back to ``vec_col``."""
+    df = spark.read.parquet(path)
+    if "embedding_q" in df.columns and vec_col not in df.columns:
+        from parsedmarc_go_spark.operators.similarity import dequantize_embeddings
+
+        df = dequantize_embeddings(df, out_col=vec_col).drop("embedding_q", "q_scale")
+    return df
 
 
 def load_ivf_centroids(spark, path: str) -> list[list[float]]:
@@ -241,7 +265,9 @@ def ivf_topk_indexed(
         key=lambda i: (-sum(a * b for a, b in zip(cents[i], qv)), i),
     )
     probed = [int(i) for i in ranked[:nprobe]]
-    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed)).drop("cell")
+    corpus = _read_ivf_corpus(spark, path, vec_col).filter(
+        F.col("cell").isin(probed)
+    ).drop("cell")
     return brute_force_topk(corpus, query, k, id_col, vec_col)
 
 
@@ -288,7 +314,7 @@ def ivf_topk_batch(
         probe_rows, "query_id long, cell int, q array<double>"
     )
     all_cells = sorted({c for _, c, _ in probe_rows})
-    corpus = spark.read.parquet(path).filter(F.col("cell").isin(all_cells))
+    corpus = _read_ivf_corpus(spark, path, vec_col).filter(F.col("cell").isin(all_cells))
     scored = (
         corpus.join(F.broadcast(probes), "cell")
         .select(

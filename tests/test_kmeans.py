@@ -248,3 +248,41 @@ def test_ivf_index_append_equals_frozen_quantizer_rebuild(spark, tmp_path):
         for r in ivf_topk_indexed(spark, ref, q, k=10, nprobe=3, cents=cents).collect()
     ]
     assert got_inc == got_ref and got_inc[0][0] == 0
+
+
+def test_ivf_sq8_index_smaller_and_agrees(spark, tmp_path):
+    """IVF-SQ8: quantize=True stores int8 codes (index data ~4x smaller
+    on the embedding payload), probes dequantize transparently and
+    agree with the full-precision index in >=9/10 of top-10."""
+    import os
+
+    from parsedmarc_go_spark.operators.clustering import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from parsedmarc_go_spark.operators.similarity import query_vector
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    fp = str(tmp_path / "fp_idx")
+    sq = str(tmp_path / "sq_idx")
+    build_ivf_index(emb, fp, n_cells=8, max_iters=3)
+    build_ivf_index(emb, sq, n_cells=8, max_iters=3, quantize=True)
+
+    def payload_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert payload_bytes(sq) < 0.55 * payload_bytes(fp), (
+        payload_bytes(sq),
+        payload_bytes(fp),
+    )
+
+    q = query_vector(emb, 0)
+    full = [r.vec_id for r in ivf_topk_indexed(spark, fp, q, k=10, nprobe=3).collect()]
+    sq8 = [r.vec_id for r in ivf_topk_indexed(spark, sq, q, k=10, nprobe=3).collect()]
+    assert len(set(full) & set(sq8)) >= 9 and sq8[0] == 0
