@@ -9,11 +9,11 @@ these utilities cover the cases AQE does not:
   hot key still lands every partial row in one reducer; salting spreads
   the partials over `n_salts` reducers first. Worth it only for truly
   pathological keys (one org emitting most of the reports).
-- `salted_broadcast_left`: replicate-broadcast join for a skewed fact
-  key against a small dim (the dim is broadcast anyway, so skew cannot
-  hurt — included to document the pattern where the dim is NOT small:
-  explode dim rows × n_salts, salt the fact side, equi-join on
-  (key, salt)).
+- `salted_join`: replicate-dim join for a skewed fact key against a
+  dim too big to broadcast — the dim explodes × n_salts, the fact side
+  salts deterministically from a row hash, and the equi-join on
+  (key, salt) spreads each hot key over n_salts reducers instead of
+  one. Results proven equal to the plain join in test_skew.
 """
 
 from __future__ import annotations
@@ -55,3 +55,32 @@ def salted_agg(
         final_exprs.append(final_fn(f"__p_{out}").alias(out))
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for a dim too large to broadcast: every dim
+    row replicates to n_salts (key, salt) copies, every fact row takes
+    ONE deterministic salt from its row hash, and the shuffle keys on
+    (key, salt) — a hot fact key's rows now land on n_salts reducers
+    instead of one, at the price of shuffling the dim n_salts×. Use
+    when AQE's skew splitting can't help (e.g. the skew is in the
+    partition the OptimizeSkewedJoin rule can't subdivide further) and
+    the dim side is the smaller one. Supports 'inner' and 'left'
+    (every fact row has exactly one salt, so left semantics are
+    preserved verbatim); output columns = fact ∪ (dim minus key),
+    matching a plain equi-join."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    f = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")
