@@ -1,0 +1,165 @@
+"""Training-data curation operators: PII redaction, Gopher-style
+repetition statistics, and benchmark n-gram decontamination.
+
+These are the standard hygiene passes an LLM training-data pipeline
+runs between ingest and dedup (cf. Gopher/MassiveText repetition
+filters, Rae et al. 2021 §A.1.1, and the n-gram overlap
+decontamination used by GPT-3 §C / Llama 2 §A.6 — public papers).
+
+All three are pure DataFrame compositions — codegen'd regex/array
+expressions plus at most one hash shuffle keyed by ``doc_id`` — so
+they scale the same way the rest of the text stack does: no Python in
+the hot path, no driver-side collection, and the decontamination join
+broadcasts the (small) benchmark side so the corpus never shuffles for
+the probe itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Redaction patterns restricted to the syntax Java regex and RE2
+# (DuckDB) interpret identically: character classes, bounded repeats,
+# and ASCII \b word boundaries — no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace emails, then phone numbers, then IPv4 literals with typed
+    placeholders. Order matters: the email pattern can span dots and
+    digits that the later patterns would otherwise bite into."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return out
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) found in ``text`` — counted on the
+    un-redacted input so the counts and the redaction agree."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)),
+        F.regexp_count(text, F.lit(PII_IPV4_RE)),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition metrics.
+
+    Returns one row per input row: ``doc_id, n_tokens, dup_token_frac,
+    top_token_frac, top_bigram_frac``. ``top_*_frac`` is the frequency
+    share of the single most common token / bigram — the signal the
+    MassiveText filters threshold on (e.g. drop if top 2-gram > 0.2).
+
+    Shape: two explode→count aggregations (tokens, bigrams), both
+    shuffled on ``doc_id`` so the final join is co-partitioned. All
+    divisions are one exact-int / exact-int double division, so the
+    values are bit-identical to the DuckDB oracle.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    )
+    with_bi = toks.withColumn(
+        "bigrams",
+        F.expr(
+            "CASE WHEN size(toks) < 2 THEN array() ELSE "
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
+        ),
+    )
+    tstat = (
+        with_bi.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bstat = (
+        with_bi.select("doc_id", F.explode("bigrams").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("nb"), F.max("c").alias("top_bc"))
+    )
+    return (
+        tstat.join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_token_frac"),
+            (F.col("top_c").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "top_token_frac"
+            ),
+            (F.col("top_bc").cast("double") / F.col("nb").cast("double")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents sharing any token ``n``-gram with the
+    benchmark set (the GPT-3 / Llama decontamination primitive).
+
+    Returns ``doc_id, n_distinct_ngrams, n_overlap, contam_frac`` for
+    EVERY corpus document (zero-overlap docs included), where
+    ``n_overlap`` counts distinct contaminated n-grams.
+
+    Scale shape: n-grams are deduplicated per document with
+    ``array_distinct`` BEFORE the explode, so no corpus-wide distinct
+    shuffle exists; the benchmark side (small by construction — eval
+    sets are thousands of documents, not billions) is broadcast, so the
+    only corpus shuffle is the final ``doc_id`` count aggregation.
+    """
+
+    def with_ngrams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
+        ).select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(toks) < {n} THEN array() ELSE "
+                f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> array_join(slice(toks, i, {n}), ' '))) END"
+            ).alias("ngrams"),
+        )
+
+    bench_ngrams = (
+        with_ngrams(benchmark).select(F.explode("ngrams").alias("ng")).distinct()
+    )
+    corpus_ngrams = with_ngrams(corpus)
+    hits = (
+        corpus_ngrams.select("doc_id", F.explode("ngrams").alias("ng"))
+        .join(F.broadcast(bench_ngrams), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        corpus_ngrams.select("doc_id", F.size("ngrams").alias("n_distinct_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_ngrams",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.nullif(F.col("n_distinct_ngrams").cast("double"), F.lit(0.0))
+            ).alias("contam_frac"),
+        )
+    )

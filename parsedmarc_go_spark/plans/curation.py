@@ -1,0 +1,163 @@
+"""Curation-pass queries over `documents`: PII redaction, repetition
+stats, benchmark decontamination — each with a full DuckDB oracle.
+
+The PII gate injects deterministic doc_id-derived PII (email / IPv4 /
+phone) into every document on BOTH engines before redacting, so the
+redaction regexes are exercised on every row instead of no-op'ing on
+the synthetic corpus. Patterns stay inside the Java-regex ∩ RE2 common
+subset (see operators/curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parsedmarc_go_spark.operators.curation import (
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    ngram_decontaminate,
+    pii_counts,
+    pii_redact,
+    repetition_stats,
+)
+from parsedmarc_go_spark.plans.registry import query
+from parsedmarc_go_spark.tables import load
+
+# SQL string literals: patterns contain backslashes only (no quotes);
+# DuckDB non-E'' strings keep backslashes literal.
+_PII_ORACLE = (
+    """
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+                  || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS itext
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(itext, '"""
+    + PII_EMAIL_RE
+    + """')) AS n_emails,
+           len(regexp_extract_all(itext, '"""
+    + PII_PHONE_RE
+    + """')) AS n_phones,
+           len(regexp_extract_all(itext, '"""
+    + PII_IPV4_RE
+    + """')) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(itext,
+               '"""
+    + PII_EMAIL_RE
+    + """', '<EMAIL>', 'g'),
+               '"""
+    + PII_PHONE_RE
+    + """', '<PHONE>', 'g'),
+               '"""
+    + PII_IPV4_RE
+    + """', '<IP>', 'g') AS redacted
+    FROM t
+    """
+)
+
+
+@query("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub as a codegen'd regexp_replace chain (no UDF). The
+    injected suffix makes every row carry one email, one IPv4, one
+    phone — both engines build the identical string, so the gate
+    value-checks counts AND the redacted text."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com from 10."),
+        (d % 200).cast("string"),
+        F.lit(".0."),
+        ((d % 250) + 1).cast("string"),
+        F.lit(" call 555-867-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    t = docs.select("doc_id", injected.alias("itext"))
+    n_emails, n_phones, n_ips = pii_counts(F.col("itext"))
+    return t.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        pii_redact(F.col("itext")).alias("redacted"),
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    tb AS (SELECT doc_id, toks,
+           CASE WHEN len(toks) < 2 THEN [] ELSE
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           END AS bigrams
+           FROM t),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM tb),
+    tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+    ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct, max(c) AS top_c
+           FROM tc GROUP BY doc_id),
+    big AS (SELECT doc_id, unnest(bigrams) AS b FROM tb),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b),
+    bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS top_bc
+           FROM bc GROUP BY doc_id)
+    SELECT ts.doc_id, n_tokens,
+           CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+           CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac,
+           CAST(top_bc AS DOUBLE) / CAST(nb AS DOUBLE) AS top_bigram_frac
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021 §A.1.1):
+    duplicate-token fraction and top token / bigram frequency share."""
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "decontaminate_ngram",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+          CASE WHEN len(toks) < 8 THEN [] ELSE
+            list_distinct(list_transform(range(1, len(toks) - 6),
+                                         i -> array_to_string(toks[i:i+7], ' ')))
+          END AS ngrams
+          FROM t),
+    ev AS (SELECT DISTINCT unnest(ngrams) AS ng FROM g WHERE doc_id % 50 = 0),
+    corp AS (SELECT doc_id, ngrams FROM g WHERE doc_id % 50 <> 0),
+    cg AS (SELECT doc_id, unnest(ngrams) AS ng FROM corp),
+    hits AS (SELECT doc_id, count(*) AS n_overlap
+             FROM cg JOIN ev USING (ng) GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(len(c.ngrams) AS BIGINT) AS n_distinct_ngrams,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+             / NULLIF(CAST(len(c.ngrams) AS DOUBLE), 0.0) AS contam_frac
+    FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 stand in
+    for the held-out eval set; every other doc reports how many of its
+    distinct 8-grams the eval set contains (GPT-3 §C / Llama 2 §A.6
+    style). Eval side broadcasts; corpus shuffles once on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = ngram_decontaminate(corpus, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_distinct_ngrams").cast("long").alias("n_distinct_ngrams"),
+        "n_overlap",
+        "contam_frac",
+    )

@@ -1,0 +1,96 @@
+"""Planted-fixture tests for the curation operators (PII redaction,
+repetition stats, n-gram decontamination). The corpus-level value
+oracles live in test_queries_vs_duckdb via the registry; these tests
+pin the semantics on handcrafted rows where the expected values are
+computable by eye."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parsedmarc_go_spark.operators.curation import (
+    ngram_decontaminate,
+    pii_counts,
+    pii_redact,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pii_redact_planted(spark):
+    rows = [
+        (1, "mail bob.smith+x@sub.example.co.uk now"),
+        (2, "srv at 192.168.001.5, call 555-123-4567"),
+        (3, "two mails a@b.io c@d.org and ip 10.0.0.1"),
+        (4, "no pii here, just 1234 and 12.5 percent"),
+    ]
+    df = _docs(spark, rows)
+    n_e, n_p, n_i = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            n_e.alias("e"),
+            n_p.alias("p"),
+            n_i.alias("i"),
+            pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> now"
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 0, 0)
+    assert out[2]["red"] == "srv at <IP>, call <PHONE>"
+    assert (out[2]["e"], out[2]["p"], out[2]["i"]) == (0, 1, 1)
+    assert out[3]["red"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    assert out[3]["e"] == 2
+    # decimals and plain numbers must survive untouched
+    assert out[4]["red"] == rows[3][1]
+    assert (out[4]["e"], out[4]["p"], out[4]["i"]) == (0, 0, 0)
+
+
+def test_repetition_stats_planted(spark):
+    # "a a a b": 4 tokens, 2 distinct -> dup 0.5, top token a=3/4;
+    # bigrams [a a, a a, a b] -> top bigram 2/3
+    df = _docs(spark, [(1, "a a a b"), (2, "x")])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_token_frac"] == 0.5
+    assert r1["top_token_frac"] == 0.75
+    assert r1["top_bigram_frac"] == 2.0 / 3.0
+    # single-token doc: no bigrams -> NULL fraction, not a crash
+    r2 = out[2]
+    assert r2["n_tokens"] == 1 and r2["top_bigram_frac"] is None
+
+
+def test_ngram_decontaminate_planted(spark):
+    shared = "one two three four five six seven eight"
+    bench = _docs(spark, [(100, f"{shared} tail words here")])
+    corpus = _docs(
+        spark,
+        [
+            # contains the shared 8-gram once (plus unshared ones)
+            (1, f"prefix {shared} suffix"),
+            # same tokens, different order: no shared 8-gram
+            (2, "eight seven six five four three two one"),
+            # too short for any 8-gram
+            (3, "tiny doc"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in ngram_decontaminate(corpus, bench, n=8).collect()}
+    assert out[1]["n_overlap"] == 1
+    assert out[1]["n_distinct_ngrams"] == 3
+    assert out[1]["contam_frac"] == 1.0 / 3.0
+    assert out[2]["n_overlap"] == 0 and out[2]["contam_frac"] == 0.0
+    assert out[3]["n_distinct_ngrams"] == 0
+    # zero denominator -> NULL, not a division error
+    assert out[3]["contam_frac"] is None
+
+
+def test_ngram_decontaminate_broadcasts_benchmark(spark):
+    bench = _docs(spark, [(100, "one two three four five six seven eight")])
+    corpus = _docs(spark, [(1, "one two three four five six seven eight nine")])
+    plan = ngram_decontaminate(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
