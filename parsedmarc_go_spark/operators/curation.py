@@ -108,6 +108,56 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _hash_order_key(df: DataFrame) -> Column:
+    """Deterministic pseudo-random order: md5 of the stringified
+    doc_id. Both Spark and DuckDB emit lowercase hex for the same
+    bytes, so sample membership is identical across engines and across
+    runs — the property `rand(seed)` cannot give (its value depends on
+    partition layout)."""
+    return F.md5(F.col("doc_id").cast("string").cast("binary"))
+
+
+def sample_stratified(docs: DataFrame, strata_col: str, k: int) -> DataFrame:
+    """Uniform-without-replacement sample of ``k`` docs per stratum
+    (source / language / domain quota — the data-mixing primitive).
+
+    One shuffle, keyed by the stratum; rank by the md5 hash order so
+    the sample is reproducible and engine-independent. At 100 TB a
+    hot stratum makes this window skewed — for per-stratum quotas in
+    the millions switch to the threshold form (keep rows with
+    hash < quota/stratum_count), which needs no window at all; the
+    exact-k window form is for modest quotas.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(_hash_order_key(docs), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sample_token_budget(docs: DataFrame, strata_col: str, size_col: str, budget: int) -> DataFrame:
+    """Greedy per-stratum budget sample: walk each stratum in hash
+    order, keep documents while the running ``size_col`` total stays
+    within ``budget`` (per-source token/char quotas when assembling a
+    training mix). Same single-shuffle window shape as
+    ``sample_stratified``; the running sum is exact-int so the cut
+    point is engine-identical."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(_hash_order_key(docs), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_size", F.sum(size_col).over(w))
+        .filter(F.col("cum_size") <= budget)
+    )
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

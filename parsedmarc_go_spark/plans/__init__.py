@@ -18,16 +18,25 @@ from parsedmarc_go_spark.plans import vectorops as _vectorops  # noqa: E402,F401
 # with an oracle precedes every query without one, regardless of module
 # import order. In-place so existing imports of QUERIES keep working.
 #
-# With 53 oracle-bearing queries and a 50-slot driver window, three
+# With 55 oracle-bearing queries and a 50-slot driver window, five
 # must sit outside it. _WINDOW_DEMOTED picks them explicitly: simple
-# filters/CASE gates whose shapes are already hash-checked by siblings
-# in the window (f9/f5 cover the filter family, a12 covers multi-way
-# CASE). They keep their oracles — pytest (test_queries_vs_duckdb)
-# value-checks ALL oracle-bearing queries at sf0.001 and sf0.01 every
-# run — they just yield their driver slots to the round-7 curation
-# gates (PII redact / repetition stats / decontamination), which have
-# no in-window sibling coverage.
-_WINDOW_DEMOTED = ("a5_case_bucket", "f10_exclude_category", "f11_flag_filter")
+# filter/CASE gates whose shapes are already hash-checked by siblings
+# in the window (f9/f5 cover the filter family, a12/p16 cover
+# multi-way CASE — p16 itself yields to a5's sibling argument), plus
+# sample_token_budget, whose window shape is hash-checked by its
+# in-window twin sample_stratified. They all keep their oracles —
+# pytest (test_queries_vs_duckdb) value-checks ALL oracle-bearing
+# queries at sf0.001 and sf0.01 every run — they just yield their
+# driver slots to the round-7 curation gates (PII redact / repetition
+# stats / decontamination / stratified sampling), which have no
+# in-window sibling coverage.
+_WINDOW_DEMOTED = (
+    "a5_case_bucket",
+    "f10_exclude_category",
+    "f11_flag_filter",
+    "p16_contains_bucket",
+    "sample_token_budget",
+)
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 _ordered = (
     [n for n in QUERIES if n in ORACLES and n not in _WINDOW_DEMOTED]

@@ -21,6 +21,8 @@ from parsedmarc_go_spark.operators.curation import (
     pii_counts,
     pii_redact,
     repetition_stats,
+    sample_stratified,
+    sample_token_budget,
 )
 from parsedmarc_go_spark.plans.registry import query
 from parsedmarc_go_spark.tables import load
@@ -160,4 +162,44 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct_ngrams").cast("long").alias("n_distinct_ngrams"),
         "n_overlap",
         "contam_frac",
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 10
+    """,
+)
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sample (10 docs/source) in deterministic md5
+    hash order — the data-mixing primitive. One shuffle on `source`."""
+    docs = load(spark, sf_dir, "documents")
+    return sample_stratified(docs, "source", 10).select("doc_id", "source")
+
+
+@query(
+    "sample_token_budget",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_size
+      FROM documents)
+    SELECT doc_id, source, n_chars, cum_size FROM r WHERE cum_size <= 3000
+    """,
+)
+def sample_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source char-budget sample (3,000 chars/source) in the
+    same hash order; exact-int running sum so the cut is engine-stable."""
+    docs = load(spark, sf_dir, "documents")
+    return sample_token_budget(docs, "source", "n_chars", 3000).select(
+        "doc_id", "source", "n_chars", F.col("cum_size").cast("long").alias("cum_size")
     )

@@ -94,3 +94,30 @@ def test_ngram_decontaminate_broadcasts_benchmark(spark):
     corpus = _docs(spark, [(1, "one two three four five six seven eight nine")])
     plan = ngram_decontaminate(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sample_stratified_planted(spark):
+    from parsedmarc_go_spark.operators.curation import sample_stratified
+
+    rows = [(i, f"doc {i}", f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = sample_stratified(df, "source", 4)
+    got = out.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"s0": 4, "s1": 4, "s2": 4}
+    # deterministic: same membership on a re-run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in sample_stratified(df, "source", 4).collect())
+    assert ids1 == ids2
+
+
+def test_sample_token_budget_planted(spark):
+    from parsedmarc_go_spark.operators.curation import sample_token_budget
+
+    rows = [(i, f"s{i % 2}", 40) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    out = sample_token_budget(df, "source", "n_chars", 100).collect()
+    # 40-char docs under a 100 budget -> exactly 2 kept per stratum
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["cum_size"])
+    assert {s: sorted(v) for s, v in per.items()} == {"s0": [40, 80], "s1": [40, 80]}
