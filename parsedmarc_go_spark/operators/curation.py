@@ -138,6 +138,23 @@ def sample_stratified(docs: DataFrame, strata_col: str, k: int) -> DataFrame:
     )
 
 
+def sample_hash_threshold(docs: DataFrame, frac: float) -> DataFrame:
+    """The windowless sampler the quota forms defer to at scale: keep a
+    row iff the first 8 hex chars of its md5 order key sort below the
+    threshold ``hex(floor(frac · 16⁸))``. A pure filter — no window, no
+    shuffle, no skew sensitivity — so it survives any stratum size; the
+    trade is an expected (not exact) per-stratum rate. The comparison
+    stays on lowercase-hex STRINGS, which Spark and DuckDB order
+    identically, so membership is engine-independent."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    cut = int(frac * 16**8)
+    if cut >= 16**8:  # frac=1: a 9-char threshold would compare wrong
+        return docs
+    threshold = format(cut, "08x")
+    return docs.filter(F.substring(_hash_order_key(docs), 1, 8) < threshold)
+
+
 def sample_token_budget(docs: DataFrame, strata_col: str, size_col: str, budget: int) -> DataFrame:
     """Greedy per-stratum budget sample: walk each stratum in hash
     order, keep documents while the running ``size_col`` total stays

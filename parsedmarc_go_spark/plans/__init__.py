@@ -36,6 +36,8 @@ _WINDOW_DEMOTED = (
     "f11_flag_filter",
     "p16_contains_bucket",
     "sample_token_budget",
+    # same md5-order membership machinery as in-window sample_stratified
+    "sample_hash_threshold",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 _ordered = (

@@ -203,3 +203,20 @@ def sample_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_token_budget(docs, "source", "n_chars", 3000).select(
         "doc_id", "source", "n_chars", F.col("cum_size").cast("long").alias("cum_size")
     )
+
+
+@query(
+    "sample_hash_threshold",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '26666666'
+    """,
+)
+def sample_hash_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~15% corpus sample as a pure filter (no window, no shuffle) —
+    the form the quota samplers defer to for hot strata; '26666666' is
+    hex(floor(0.15 * 16^8))."""
+    from parsedmarc_go_spark.operators.curation import sample_hash_threshold
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_hash_threshold(docs, 0.15).select("doc_id", "source")

@@ -121,3 +121,19 @@ def test_sample_token_budget_planted(spark):
     for r in out:
         per.setdefault(r["source"], []).append(r["cum_size"])
     assert {s: sorted(v) for s, v in per.items()} == {"s0": [40, 80], "s1": [40, 80]}
+
+
+def test_sample_hash_threshold_planted(spark):
+    from parsedmarc_go_spark.operators.curation import sample_hash_threshold
+
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    n = sample_hash_threshold(df, 0.15).count()
+    # expected rate with binomial slack (p=0.15, n=2000 -> sd ~ 16)
+    assert 220 <= n <= 380
+    # boundary semantics: frac=0 keeps nothing, frac=1 keeps everything
+    assert sample_hash_threshold(df, 0.0).count() == 0
+    assert sample_hash_threshold(df, 1.0).count() == 2000
+    # no shuffle in the plan: a pure filter over the scan
+    plan = sample_hash_threshold(df, 0.15)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

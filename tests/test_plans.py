@@ -197,11 +197,15 @@ def test_a20_approx_median_within_bound(spark):
 
 def test_registry_oracles_form_checked_prefix():
     # the driver hash-checks only the FIRST 50 registered queries: every
-    # oracle-bearing query must precede every rows-only one, and the
-    # oracle count must fit the window (ADVICE r3: enforce outside
-    # import time so a late registration fails loudly here)
-    from parsedmarc_go_spark.plans import ORACLES, QUERIES as Q
+    # oracle-bearing query must precede every rows-only one, the window
+    # itself must be entirely oracle-bearing, and oracle-bearing
+    # queries beyond the window must be explicitly demoted (ADVICE r3:
+    # enforce outside import time so a late registration fails loudly)
+    from parsedmarc_go_spark.plans import _WINDOW_DEMOTED, ORACLES, QUERIES as Q
 
     names = list(Q)
     assert names[: len(ORACLES)] == [n for n in names if n in ORACLES]
-    assert len(ORACLES) <= 50
+    assert all(n in ORACLES for n in names[:50])
+    assert len(ORACLES) - len(_WINDOW_DEMOTED) <= 50
+    # demoted gates sit immediately after the window, before rows-only
+    assert set(names[50 : len(ORACLES)]) == set(_WINDOW_DEMOTED)
