@@ -45,6 +45,11 @@ HEADLINE = [
     # read — the per-query cost an index exists to bound
     "ann_lsh_indexed",
     "text_quality_score",
+    # the curation family's representative (r7): benchmark n-gram
+    # decontamination — explode-heavy transform + broadcast probe +
+    # one doc_id shuffle; the op whose sf1 run caught the inherited
+    # scan-partitioning bug, tracked here so it can't regress quietly
+    "decontaminate_ngram",
 ]
 
 
@@ -140,8 +145,9 @@ def main() -> None:
                 "session": session,
                 # mix lineage so cross-round totals compare like-for-like:
                 # r5 swapped j3_range_join → j3b_geoip_range_join (heavier,
-                # hash-matched); r7 added ann_lsh_indexed
-                "mix_version": "r7",
+                # hash-matched); r7 added ann_lsh_indexed, then
+                # decontaminate_ngram (curation family representative)
+                "mix_version": "r7.1",
                 "mix": HEADLINE,
             }
         )
