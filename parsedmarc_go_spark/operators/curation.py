@@ -108,6 +108,42 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def canonical_url(url: Column) -> Column:
+    """Crawl-pipeline URL canonicalization as pure string expressions
+    (no UDF, no parser library): strip the fragment, lowercase the
+    scheme://host[:port] prefix (path case is preserved — it is
+    significant), drop default ports (:80 for http, :443 for https),
+    remove tracking parameters (utm_*, fbclid, gclid), and sort the
+    surviving query parameters so param order never splits a URL into
+    two dedup keys. Every step is a regexp/substring/array op with an
+    exact DuckDB twin, so the operator carries a full value oracle."""
+    nofrag = F.regexp_replace(url, "#.*", "")
+    prefix = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    lowpre = F.regexp_replace(
+        F.regexp_replace(F.lower(prefix), r"^(http://[^/?#:]*):80$", "$1"),
+        r"^(https://[^/?#:]*):443$",
+        "$1",
+    )
+    big = F.lit(1_000_000)  # "to end of string" for the 2-arg substr form
+    rest = nofrag.substr(F.length(prefix) + F.lit(1), big)
+    qpos = F.instr(rest, "?")
+    path = F.when(qpos > 0, rest.substr(F.lit(1), qpos - F.lit(1))).otherwise(rest)
+    query = F.when(qpos > 0, rest.substr(qpos + F.lit(1), big)).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & (p.substr(F.lit(1), F.lit(4)) != "utm_")
+        & (p.substr(F.lit(1), F.lit(7)) != "fbclid=")
+        & (p.substr(F.lit(1), F.lit(6)) != "gclid="),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        lowpre,
+        path,
+        F.when(sorted_q == "", "").otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
 def _hash_order_key(df: DataFrame) -> Column:
     """Deterministic pseudo-random order: md5 of the stringified
     doc_id. Both Spark and DuckDB emit lowercase hex for the same

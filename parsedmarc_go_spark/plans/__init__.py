@@ -38,6 +38,9 @@ _WINDOW_DEMOTED = (
     "sample_token_budget",
     # same md5-order membership machinery as in-window sample_stratified
     "sample_hash_threshold",
+    # pure string-expression pipeline; the regexp/substring machinery is
+    # hash-checked in-window by text_pii_redact
+    "url_canonicalize",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 _ordered = (

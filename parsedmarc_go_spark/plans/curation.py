@@ -220,3 +220,90 @@ def sample_hash_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return sample_hash_threshold(docs, 0.15).select("doc_id", "source")
+
+
+@query(
+    "url_canonicalize",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.COM:80/p/' || CAST(doc_id AS VARCHAR)
+                           || '?z=9&utm_source=f&a=1#frag'
+               WHEN 1 THEN 'https://Sub.Example' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.com:443/q/' || CAST(doc_id AS VARCHAR)
+               ELSE 'http://example' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.com:8080/r?gclid=x&b=2&a=10'
+             END AS url
+      FROM documents),
+    s AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*', '') AS nofrag,
+             regexp_extract(regexp_replace(url, '#.*', ''),
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix
+      FROM t),
+    p AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(lower(prefix),
+                 '^(http://[^/?#:]*):80$', '\1'),
+                 '^(https://[^/?#:]*):443$', '\1') AS lowpre,
+             substr(nofrag, len(prefix) + 1) AS rest
+      FROM s),
+    q AS (
+      SELECT doc_id, url, lowpre,
+             CASE WHEN instr(rest, '?') > 0
+                  THEN substr(rest, 1, instr(rest, '?') - 1) ELSE rest END AS path,
+             CASE WHEN instr(rest, '?') > 0
+                  THEN substr(rest, instr(rest, '?') + 1) ELSE '' END AS query
+      FROM p),
+    f AS (
+      SELECT doc_id, url, lowpre, path,
+             -- COALESCE: DuckDB's list_sort/array_to_string yield NULL
+             -- for an EMPTY list where Spark yields '' (the ADVICE-r6
+             -- all-NULL-group quirk, same root)
+             COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+               x -> len(x) > 0 AND substr(x, 1, 4) <> 'utm_'
+                    AND substr(x, 1, 7) <> 'fbclid=' AND substr(x, 1, 6) <> 'gclid=')),
+               '&'), '') AS sorted_q
+      FROM q)
+    SELECT doc_id, url,
+           lowpre || path || CASE WHEN sorted_q = '' THEN '' ELSE '?' || sorted_q END
+             AS canon_url
+    FROM f
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl hygiene: canonicalize deterministic doc_id-derived messy
+    URLs (case-mixed host, default/odd ports, tracking params,
+    fragments, unordered query) identically on both engines, then
+    value-check the canonical form cell-for-cell."""
+    from parsedmarc_go_spark.operators.curation import canonical_url
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(
+            (d % 3) == 0,
+            F.concat(
+                F.lit("HTTP://Example"), (d % 7).cast("string"),
+                F.lit(".COM:80/p/"), ds, F.lit("?z=9&utm_source=f&a=1#frag"),
+            ),
+        )
+        .when(
+            (d % 3) == 1,
+            F.concat(
+                F.lit("https://Sub.Example"), (d % 7).cast("string"),
+                F.lit(".com:443/q/"), ds,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://example"), (d % 7).cast("string"),
+                F.lit(".com:8080/r?gclid=x&b=2&a=10"),
+            )
+        )
+    )
+    t = docs.select("doc_id", url.alias("url"))
+    return t.select("doc_id", "url", canonical_url(F.col("url")).alias("canon_url"))

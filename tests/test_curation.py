@@ -137,3 +137,26 @@ def test_sample_hash_threshold_planted(spark):
     # no shuffle in the plan: a pure filter over the scan
     plan = sample_hash_threshold(df, 0.15)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_canonical_url_planted(spark):
+    from parsedmarc_go_spark.operators.curation import canonical_url
+
+    cases = [
+        # case-mixed prefix lowered, default port dropped, tracking
+        # params removed, rest sorted, fragment stripped
+        ("HTTP://Ex.COM:80/A/b?z=1&utm_source=f&a=2#x", "http://ex.com/A/b?a=2&z=1"),
+        ("https://A.B.c:443/p", "https://a.b.c/p"),
+        # non-default port preserved; path case preserved
+        ("http://h:8080/Path?b=2&a=10&fbclid=abc", "http://h:8080/Path?a=10&b=2"),
+        # bare '?' and empty params vanish
+        ("http://h/p?", "http://h/p"),
+        ("http://h/p?&&", "http://h/p"),
+        # non-http scheme: port logic untouched, host still lowered
+        ("FTP://H.com:21/Q", "ftp://h.com:21/Q"),
+        # utm param sorted OUT even when last
+        ("http://h/p?a=1&utm_campaign=z", "http://h/p?a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
