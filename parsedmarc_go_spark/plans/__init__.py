@@ -41,6 +41,9 @@ _WINDOW_DEMOTED = (
     # pure string-expression pipeline; the regexp/substring machinery is
     # hash-checked in-window by text_pii_redact
     "url_canonicalize",
+    # explode→count→same-key-join shape hash-checked in-window by
+    # decontaminate_ngram + text_tfidf_topk
+    "boilerplate_chunks",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 _ordered = (

@@ -307,3 +307,62 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = docs.select("doc_id", url.alias("url"))
     return t.select("doc_id", "url", canonical_url(F.col("url")).alias("canon_url"))
+
+
+@query(
+    "boilerplate_chunks",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, unnest(range(0, len(toks), 32)) AS start, toks FROM d),
+    c AS (SELECT doc_id, array_to_string(toks[start+1:start+32], ' ') AS chunk_text FROM s),
+    h AS (SELECT chunk_text, count(DISTINCT doc_id) AS nd FROM c GROUP BY chunk_text)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(count(*) FILTER (WHERE h.nd >= 2) AS BIGINT) AS n_boiler_chunks,
+           CAST(count(*) FILTER (WHERE h.nd >= 2) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS boiler_frac
+    FROM c JOIN h USING (chunk_text)
+    GROUP BY c.doc_id
+    """,
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate detection: a disjoint 32-token
+    block that appears in >=2 distinct documents is boilerplate (nav
+    bars, license headers, templated footers in crawl data); each doc
+    reports its boilerplate-block fraction.
+
+    Scale shape: the chunks frame is shuffled on chunk_text twice —
+    once under the distinct-doc count, once as the join probe — but
+    the two exchanges are byte-identical (same child, same
+    partitioning), which is exactly the shape AQE's shuffle-stage
+    reuse deduplicates at runtime; the final doc_id aggregation is the
+    third exchange. At 100 TB the count table is as large as the
+    distinct-chunk space — this stays a shuffle join by design
+    (broadcasting it is the mistake)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.lower("text"), " ")
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(32))
+    chunks = (
+        docs.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .filter(F.col("start") < F.size("toks"))
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", F.col("start") + 1, 32), " ").alias("chunk_text"),
+        )
+    )
+    counts = chunks.groupBy("chunk_text").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(counts, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_boiler_chunks"),
+            (
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )

@@ -160,3 +160,27 @@ def test_canonical_url_planted(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_boilerplate_chunks_planted(spark):
+    from parsedmarc_go_spark.plans.curation import boilerplate_chunks
+    import tempfile, os
+
+    # 40-token docs -> chunks [0:32] and [32:40]; docs 1 and 2 share
+    # their first 32 tokens exactly (boilerplate header), doc 3 is
+    # fully unique
+    header = " ".join(f"h{i}" for i in range(32))
+    rows = [
+        (1, header + " " + " ".join(f"a{i}" for i in range(8))),
+        (2, header + " " + " ".join(f"b{i}" for i in range(8))),
+        (3, " ".join(f"c{i}" for i in range(40))),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        out = {r["doc_id"]: r for r in boilerplate_chunks(spark, td).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_boiler_chunks"] == 1
+    assert out[1]["boiler_frac"] == 0.5
+    assert out[2]["n_boiler_chunks"] == 1
+    assert out[3]["n_boiler_chunks"] == 0 and out[3]["boiler_frac"] == 0.0
