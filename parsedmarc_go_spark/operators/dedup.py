@@ -542,3 +542,78 @@ def simhash_pairs(
         max_bucket=max_bucket,
         stats=stats,
     )
+
+
+# paragraph keep-first ordering key: doc_id * _PARA_KEY_BASE + pos must
+# be collision-free and fit a long, so pos is bounded (1e12 docs ×
+# 1e6 paragraphs/doc still fits in int64)
+_PARA_KEY_BASE = 1_000_000
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020 §3.1
+    — public paper): split each document into paragraphs on ``sep``,
+    keep only the FIRST corpus-wide occurrence of each distinct
+    paragraph, and re-assemble each document from its surviving
+    paragraphs in original order.
+
+    "First occurrence" is the smallest ``(doc_id, pos)`` pair, encoded
+    as the exact-int key ``doc_id * 1_000_000 + pos`` so the winner is
+    engine-independent (requires < 1e6 paragraphs per document; the
+    reference pipeline has no sub-document dedup at all — this is the
+    LLM-pipeline staple layered on the dedup_exact machinery,
+    dedup.py:24-58).
+
+    Returns one row per input document: ``doc_id, n_paras, n_kept,
+    para_frac_removed, dedup_text`` (empty paragraphs are dropped on
+    both sides of the stat, and a document whose every paragraph is a
+    repeat keeps ``n_kept = 0`` and an empty ``dedup_text``).
+
+    Scale shape (the 100 TB contract): the keep-first aggregation
+    groups on the 32-byte sha256 of the paragraph — fixed-width
+    HashAggregate buffers (min long, count long), exactly the
+    dedup_exact shape — and the winner join is a shuffle join keyed on
+    the same digest, so work scales with distinct paragraphs, never
+    |corpus|². The re-assembly is one further shuffle keyed on
+    ``doc_id`` with ``array_sort(collect_list(struct(pos, para)))``
+    restoring order without a window. ``sep`` is a Java regex.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.length("para") > 0)
+        .withColumn(
+            "okey", F.col(id_col).cast("long") * _PARA_KEY_BASE + F.col("pos")
+        )
+        .withColumn("ph", F.sha2(F.col("para"), 256))
+    )
+    firsts = paras.groupBy("ph").agg(F.min("okey").alias("first_key"))
+    kept = paras.join(firsts, "ph").filter(F.col("okey") == F.col("first_key"))
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("dedup_text"),
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("double")
+            / F.col("n_paras").cast("double")
+        ).alias("para_frac_removed"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )

@@ -18,18 +18,19 @@ from parsedmarc_go_spark.plans import vectorops as _vectorops  # noqa: E402,F401
 # with an oracle precedes every query without one, regardless of module
 # import order. In-place so existing imports of QUERIES keep working.
 #
-# With 55 oracle-bearing queries and a 50-slot driver window, five
-# must sit outside it. _WINDOW_DEMOTED picks them explicitly: simple
-# filter/CASE gates whose shapes are already hash-checked by siblings
-# in the window (f9/f5 cover the filter family, a12/p16 cover
+# len(ORACLES) oracle-bearing queries compete for the 50-slot driver
+# window, so len(ORACLES) - 50 must sit outside it (the counts are
+# asserted dynamically below and in test_plans — ADVICE r7 retired the
+# hardcoded ones). _WINDOW_DEMOTED picks the outsiders explicitly:
+# simple filter/CASE gates whose shapes are already hash-checked by
+# siblings in the window (f9/f5 cover the filter family, a12/p16 cover
 # multi-way CASE — p16 itself yields to a5's sibling argument), plus
 # sample_token_budget, whose window shape is hash-checked by its
 # in-window twin sample_stratified. They all keep their oracles —
 # pytest (test_queries_vs_duckdb) value-checks ALL oracle-bearing
 # queries at sf0.001 and sf0.01 every run — they just yield their
-# driver slots to the round-7 curation gates (PII redact / repetition
-# stats / decontamination / stratified sampling), which have no
-# in-window sibling coverage.
+# driver slots to gates with no in-window sibling coverage (the r7
+# curation family; r8's dedup_paragraph).
 _WINDOW_DEMOTED = (
     "a5_case_bucket",
     "f10_exclude_category",
@@ -44,6 +45,11 @@ _WINDOW_DEMOTED = (
     # explode→count→same-key-join shape hash-checked in-window by
     # decontaminate_ngram + text_tfidf_topk
     "boilerplate_chunks",
+    # same exact-Jaccard oracle SQL as in-window dedup_minhash_lsh
+    # (thresholds 0.6 vs 0.7; the minhash gate's candidate-verify step
+    # computes the identical shingle+Jaccard machinery) — yields its
+    # slot to r8's dedup_paragraph, which has no in-window sibling
+    "dedup_ngram_jaccard",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 _ordered = (

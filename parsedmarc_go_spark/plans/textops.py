@@ -27,6 +27,7 @@ from parsedmarc_go_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_pairs,
 )
 from parsedmarc_go_spark.plans.registry import query
@@ -201,6 +202,67 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsedmarc_go_spark.functions.text import winnowing_fingerprints
 
     return winnowing_fingerprints(load(spark, sf_dir, "documents"))
+
+
+# Paragraph-level dedup gate: the synthetic documents have no paragraph
+# structure, so BOTH engines assemble the identical 4-paragraph text per
+# document (the text_pii_redact injection template): two boilerplate
+# paragraphs shared across doc_id % 5 / % 4 classes (so keep-first
+# removes ~all of them) interleaved with two slices of the document's
+# own text (mostly unique). Keep-first winner = min(doc_id*1e6 + pos),
+# re-assembly order = pos — both exact-int, so the gate value-checks
+# the re-assembled text cell-for-cell.
+_PARAGRAPH_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             'intro-' || CAST(doc_id % 5 AS VARCHAR) AS p0,
+             substr(text, 1, 120) AS p1,
+             'footer-' || CAST(doc_id % 4 AS VARCHAR) AS p2,
+             substr(text, 121, 160) AS p3
+      FROM documents),
+    p AS (
+      SELECT doc_id, pos, para FROM (
+        SELECT doc_id, 0 AS pos, p0 AS para FROM base
+        UNION ALL SELECT doc_id, 1, p1 FROM base
+        UNION ALL SELECT doc_id, 2, p2 FROM base
+        UNION ALL SELECT doc_id, 3, p3 FROM base)
+      WHERE len(para) > 0),
+    firsts AS (SELECT para, min(doc_id * 1000000 + pos) AS first_key
+               FROM p GROUP BY para),
+    kept AS (SELECT p.doc_id, p.pos, p.para
+             FROM p JOIN firsts ON p.para = firsts.para
+             WHERE p.doc_id * 1000000 + p.pos = firsts.first_key),
+    tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+    ka AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(para, '<P>' ORDER BY pos) AS dedup_text
+           FROM kept GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_paras,
+           COALESCE(ka.n_kept, 0) AS n_kept,
+           CAST(tot.n_paras - COALESCE(ka.n_kept, 0) AS DOUBLE)
+             / CAST(tot.n_paras AS DOUBLE) AS para_frac_removed,
+           COALESCE(ka.dedup_text, '') AS dedup_text
+    FROM tot LEFT JOIN ka USING (doc_id)
+"""
+
+
+@query("dedup_paragraph", oracle=_PARAGRAPH_ORACLE)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup end-to-end: explode →
+    keep-first corpus-wide on the paragraph sha256 → re-assemble in
+    original order, plus the paragraph-fraction-removed stat (the CCNet
+    shard-dedup signal). See operators/dedup.py:paragraph_dedup for the
+    100 TB shape."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    itext = F.concat_ws(
+        "<P>",
+        F.concat(F.lit("intro-"), (d % 5).cast("string")),
+        F.substring("text", 1, 120),
+        F.concat(F.lit("footer-"), (d % 4).cast("string")),
+        F.substring("text", 121, 160),
+    )
+    t = docs.select("doc_id", itext.alias("text"))
+    return paragraph_dedup(t, "doc_id", "text", sep="<P>")
 
 
 # ---------------------------------------------------------------------------

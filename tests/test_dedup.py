@@ -366,3 +366,46 @@ def test_lsh_pair_finder_multitable_unions_and_stays_exact(spark):
     assert p1 < p4, (len(p1), len(p4))
     assert len(p4) == len(four), "union must dedup pairs found by several tables"
     assert all(r.cosine_sim >= 0.3 for r in four)
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    # hand-built corpus: doc 1 owns every paragraph; doc 2 repeats 1's
+    # "shared" paragraph between two unique ones; doc 3 is ALL repeats
+    from parsedmarc_go_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nshared\n\nbeta"),
+            (2, "gamma\n\nshared\n\ndelta"),
+            (3, "shared\n\nalpha"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, sep="\n\n").collect()
+    }
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["dedup_text"] == "alpha\n\nshared\n\nbeta"
+    # doc 2 loses only the shared paragraph, order preserved
+    assert out[2]["n_kept"] == 2
+    assert out[2]["dedup_text"] == "gamma\n\ndelta"
+    assert abs(out[2]["para_frac_removed"] - 1 / 3) < 1e-12
+    # doc 3: every paragraph already seen earlier -> empty survivor set
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+    assert out[3]["para_frac_removed"] == 1.0
+
+
+def test_paragraph_dedup_within_doc_repeat_and_empty_paras(spark):
+    from parsedmarc_go_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        # doubled separator makes an empty paragraph (dropped from both
+        # stats); "x" repeats WITHIN the doc -> keep only pos 0
+        [(7, "x\n\n\n\nx\n\ny")],
+        ["doc_id", "text"],
+    )
+    row = paragraph_dedup(docs, sep="\n\n").collect()[0]
+    assert row["n_paras"] == 3  # x, x, y (empty dropped)
+    assert row["n_kept"] == 2
+    assert row["dedup_text"] == "x\n\ny"
