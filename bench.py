@@ -1,6 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], writes the
+full record to BENCH_LOCAL.json, prints it as one JSON line, then
+prints a compact {"metric", "value", "unit", "queries", "sf"} line
+LAST (the driver keeps only the tail of stdout — see main()).
 
 Each query is fully materialized with collect() (count() would let
 Catalyst prune the projections we mean to measure). Per-query numbers
@@ -132,6 +134,34 @@ def main() -> None:
     }
 
     total = round(sum(times.values()), 3)
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "spread": spread,
+        "repeat_medians": repeat_medians,
+        "session": session,
+        # mix lineage so cross-round totals compare like-for-like:
+        # r5 swapped j3_range_join → j3b_geoip_range_join (heavier,
+        # hash-matched); r7 added ann_lsh_indexed, then
+        # decontaminate_ngram (curation family representative)
+        "mix_version": "r7.1",
+        "mix": HEADLINE,
+    }
+    # The driver records only the TAIL of stdout (~4 KB): in round 7 the
+    # full JSON line outgrew it and the recorded artifact lost its front
+    # ("parsed": null — VERDICT r7 task 2). Persist the full record to a
+    # file, then print it, then print a COMPACT line LAST so whatever
+    # JSON line the tail capture keeps intact is machine-readable.
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LOCAL.json" if sf <= 0.1
+                              else f"BENCH_LOCAL_sf{sf:g}.json")
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(full))
     print(
         json.dumps(
             {
@@ -140,15 +170,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "spread": spread,
-                "repeat_medians": repeat_medians,
-                "session": session,
-                # mix lineage so cross-round totals compare like-for-like:
-                # r5 swapped j3_range_join → j3b_geoip_range_join (heavier,
-                # hash-matched); r7 added ann_lsh_indexed, then
-                # decontaminate_ngram (curation family representative)
-                "mix_version": "r7.1",
-                "mix": HEADLINE,
+                "mix_version": full["mix_version"],
+                "detail": os.path.basename(local_path),
             }
         )
     )
