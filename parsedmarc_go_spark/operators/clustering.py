@@ -221,6 +221,18 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(path)
 
 
+def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> tuple[int, int]:
+    """Maintenance merge for an incrementally-appended IVF index (see
+    append_to_ivf_index): collapse each cell directory's append spray
+    back to chunky files, preserving the partitionBy("cell") layout and
+    the .centroids sidecar. Probe-result identity and the file-count
+    collapse are pinned in test_index_compaction. Returns
+    (files_before, files_after)."""
+    from parsedmarc_go_spark.storage import compact_partitioned_index
+
+    return compact_partitioned_index(spark, path, "cell", target_file_mb)
+
+
 def _read_ivf_corpus(spark, path: str, vec_col: str):
     """Open an IVF index directory, transparently dequantizing an
     IVF-SQ8 layout (embedding_q + q_scale) back to ``vec_col``."""

@@ -431,6 +431,29 @@ def append_to_lsh_index(vectors: DataFrame, path: str, vec_col: str = "embedding
     ).partitionBy("hp_bucket").parquet(path)
 
 
+def compact_lsh_index(spark, path: str, target_file_mb: int = 256) -> tuple[int, int]:
+    """Maintenance merge for an incrementally-appended LSH index (see
+    append_to_lsh_index): collapse each hp_bucket directory's append
+    spray back to one chunky file per bucket, preserving the
+    partitionBy("hp_bucket") layout and the .meta sidecar. A
+    multi-table index (build_lsh_index_multitable) compacts each
+    table=<t> copy independently — same layout contract per table.
+    Returns summed (files_before, files_after)."""
+    from parsedmarc_go_spark.storage import compact_partitioned_index
+
+    (meta,) = spark.read.parquet(path.rstrip("/") + ".meta").collect()
+    tables = (
+        [f"{path.rstrip('/')}/table={t}" for t in range(int(meta["n_tables"]))]
+        if "n_tables" in meta.asDict()
+        else [path]
+    )
+    before, after = 0, 0
+    for t in tables:
+        b, a = compact_partitioned_index(spark, t, "hp_bucket", target_file_mb)
+        before, after = before + b, after + a
+    return before, after
+
+
 def lsh_topk_indexed(
     spark,
     path: str,
