@@ -277,6 +277,16 @@ def ivf_topk_indexed(
         key=lambda i: (-sum(a * b for a, b in zip(cents[i], qv)), i),
     )
     probed = [int(i) for i in ranked[:nprobe]]
+    raw = spark.read.parquet(path)
+    if "embedding_q" in raw.columns and vec_col not in raw.columns:
+        # IVF-SQ8: score the tinyint codes directly — the per-vector
+        # scale cancels in cosine, so no array<double> dequantization
+        # buffer is ever materialized (8× the stored bytes per probed
+        # row at large cells; see brute_force_topk_q)
+        from parsedmarc_go_spark.operators.similarity import brute_force_topk_q
+
+        corpus = raw.filter(F.col("cell").isin(probed)).drop("cell")
+        return brute_force_topk_q(corpus, query, k, id_col)
     corpus = _read_ivf_corpus(spark, path, vec_col).filter(
         F.col("cell").isin(probed)
     ).drop("cell")

@@ -57,6 +57,41 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def brute_force_topk_q(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_col: str = "embedding_q",
+) -> DataFrame:
+    """brute_force_topk over int8-QUANTIZED vectors WITHOUT
+    dequantizing (VERDICT r7 finding 4: the dequantize-then-score path
+    materializes a transient array<double> 8× the stored size for every
+    probed row). The symmetric per-vector scale CANCELS in cosine —
+    cos(q·s·x̂, y) = (Σ x̂ᵢyᵢ) / (√(Σ x̂ᵢ²)·|y|) for s > 0 — so scoring
+    runs on the stored tinyint codes directly; a zero vector (s = 0)
+    yields the same 0/0 → NaN as the dequantized path. Ranking
+    agreement with dequantize-then-score is pinned in test_kmeans
+    (differences are below the 4-decimal rounding both paths share)."""
+    dotq = F.expr(
+        f"aggregate(zip_with({q_col}, q, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    s2 = F.expr(
+        f"aggregate({q_col}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    scored = (
+        vectors.select(id_col, "label", q_col)
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            "label",
+            F.round(dotq / (F.sqrt(s2) * norm("q")), 4).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def query_vector(vectors: DataFrame, vec_id: int, vec_col: str = "embedding") -> DataFrame:
     return vectors.filter(F.col("vec_id") == vec_id).select(
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("q")

@@ -286,3 +286,62 @@ def test_ivf_sq8_index_smaller_and_agrees(spark, tmp_path):
     full = [r.vec_id for r in ivf_topk_indexed(spark, fp, q, k=10, nprobe=3).collect()]
     sq8 = [r.vec_id for r in ivf_topk_indexed(spark, sq, q, k=10, nprobe=3).collect()]
     assert len(set(full) & set(sq8)) >= 9 and sq8[0] == 0
+
+
+def test_ivf_sq8_probe_scores_int8_direct(spark, tmp_path):
+    """The SQ8 probe must (a) rank identically to dequantize-then-score
+    (the scale cancels in cosine; both round to 4 decimals), and (b)
+    never read q_scale at all — proof at PLAN level that no
+    array<double> dequantization buffer exists on the probe path."""
+    from parsedmarc_go_spark.operators.clustering import (
+        _read_ivf_corpus,
+        build_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+    )
+    from parsedmarc_go_spark.operators.similarity import (
+        brute_force_topk,
+        query_vector,
+    )
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    path = str(tmp_path / "sq8_direct")
+    build_ivf_index(emb, path, n_cells=8, max_iters=3, quantize=True)
+    cents = load_ivf_centroids(spark, path)
+
+    for vid in (0, 7, 42):
+        q = query_vector(emb, vid)
+        probe = ivf_topk_indexed(spark, path, q, k=10, nprobe=3, cents=cents)
+        got = [(r.vec_id, r.cosine_sim) for r in probe.collect()]
+
+        # reference: the old dequantize-then-score path over ALL cells'
+        # worth of the same index, restricted to the probed set by
+        # reproducing the driver-side cell ranking
+        (qrow,) = q.collect()
+        qv = list(qrow.q)
+        n = sum(x * x for x in qv) ** 0.5
+        uv = [x / n for x in qv]
+        ranked = sorted(
+            range(len(cents)),
+            key=lambda i: (-sum(a * b for a, b in zip(cents[i], uv)), i),
+        )
+        probed = [int(i) for i in ranked[:3]]
+        deq = _read_ivf_corpus(spark, path, "embedding").filter(
+            F.col("cell").isin(probed)
+        ).drop("cell")
+        ref = [
+            (r.vec_id, r.cosine_sim)
+            for r in brute_force_topk(deq, q, k=10).collect()
+        ]
+        assert got == ref, (vid, got, ref)
+
+    # plan-level: the probe scan projects embedding_q but NOT q_scale
+    plan = (
+        ivf_topk_indexed(spark, path, query_vector(emb, 0), k=10, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "embedding_q" in ln]
+    assert scans and all("q_scale" not in ln.split("ReadSchema")[1] for ln in scans), plan
