@@ -211,18 +211,47 @@ def sample_token_budget(docs: DataFrame, strata_col: str, size_col: str, budget:
     )
 
 
+def _with_ngrams(df: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, ngrams) with per-doc DISTINCT token n-grams — the
+    array_distinct happens inside the row, so no corpus-wide distinct
+    shuffle ever exists."""
+    return df.select(
+        "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(toks) < {n} THEN array() ELSE "
+            f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> array_join(slice(toks, i, {n}), ' '))) END"
+        ).alias("ngrams"),
+    )
+
+
+def benchmark_ngrams(benchmark: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+    """Single-column (ng) frame of the benchmark set's distinct token
+    n-grams — precompute (and cache) this once when decontaminating
+    many corpus shards against the same eval set, e.g. per micro-batch
+    in the streaming curation stage."""
+    return _with_ngrams(benchmark, n, text_col).select(
+        F.explode("ngrams").alias("ng")
+    ).distinct()
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     n: int = 8,
     text_col: str = "text",
+    bench_ngrams: DataFrame | None = None,
 ) -> DataFrame:
     """Flag corpus documents sharing any token ``n``-gram with the
     benchmark set (the GPT-3 / Llama decontamination primitive).
 
     Returns ``doc_id, n_distinct_ngrams, n_overlap, contam_frac`` for
     EVERY corpus document (zero-overlap docs included), where
-    ``n_overlap`` counts distinct contaminated n-grams.
+    ``n_overlap`` counts distinct contaminated n-grams. Pass either the
+    raw ``benchmark`` docs or a precomputed ``bench_ngrams`` frame
+    (see benchmark_ngrams).
 
     Scale shape: n-grams are deduplicated per document with
     ``array_distinct`` BEFORE the explode, so no corpus-wide distinct
@@ -230,22 +259,13 @@ def ngram_decontaminate(
     sets are thousands of documents, not billions) is broadcast, so the
     only corpus shuffle is the final ``doc_id`` count aggregation.
     """
+    if bench_ngrams is None:
+        if benchmark is None:
+            raise ValueError("pass benchmark docs or a precomputed bench_ngrams")
+        bench_ngrams = benchmark_ngrams(benchmark, n, text_col)
 
     def with_ngrams(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
-        ).select(
-            "doc_id",
-            F.expr(
-                f"CASE WHEN size(toks) < {n} THEN array() ELSE "
-                f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
-                f"i -> array_join(slice(toks, i, {n}), ' '))) END"
-            ).alias("ngrams"),
-        )
-
-    bench_ngrams = (
-        with_ngrams(benchmark).select(F.explode("ngrams").alias("ng")).distinct()
-    )
+        return _with_ngrams(df, n, text_col)
     # The n-gram transform is the CPU-heavy step and parquet scans of a
     # few large files give few input partitions (one sf1 file = 2
     # tasks on 32 cores, measured 40 s → 4 s after this). Shuffle the

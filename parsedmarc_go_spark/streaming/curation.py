@@ -1,0 +1,102 @@
+"""Continuous curation: the batch curation passes (PII redaction,
+Gopher repetition stats, benchmark n-gram decontamination —
+operators/curation.py) run as a Structured Streaming stage over
+arriving document shards.
+
+A training-data pipeline does not curate once: shards arrive
+continuously (crawl dumps, ingest landings) and each must pass the same
+hygiene stack before joining the corpus. Every pass here is per-document
+math against a FIXED reference (the benchmark n-gram set), so
+stream-over-shards equals batch-over-the-union exactly — pinned in
+tests/test_streaming_curation.py on a two-trigger run.
+
+The commit protocol is the daemon's (streaming/daemon.py): each output
+table write is an idempotent dynamic-partition overwrite of the batch's
+own ``__batch_id`` partition, so a crash-and-replay of batch N replaces
+exactly N's files. The benchmark n-gram frame is computed ONCE at
+processor build (the stream-static pattern) and broadcast into every
+micro-batch's probe join — the eval set never re-tokenizes per trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from parsedmarc_go_spark.operators.curation import (
+    benchmark_ngrams,
+    ngram_decontaminate,
+    pii_redact,
+    repetition_stats,
+)
+from parsedmarc_go_spark.streaming.daemon import _write_table
+
+CURATION_TABLES = ("docs_redacted", "repetition_stats", "decontamination")
+
+
+def make_curation_processor(
+    out_dir: str,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+):
+    """foreachBatch body for the curation stage, factored out (like the
+    daemon's make_batch_processor) so idempotence and parity are
+    directly testable without a streaming harness."""
+    bench_ngrams = benchmark_ngrams(benchmark, n, text_col).cache()
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            outputs = {
+                "docs_redacted": batch.select(
+                    "doc_id", pii_redact(F.col(text_col)).alias(text_col)
+                ),
+                "repetition_stats": repetition_stats(batch, text_col),
+                "decontamination": ngram_decontaminate(
+                    batch, n=n, text_col=text_col, bench_ngrams=bench_ngrams
+                ),
+            }
+            for name, df in outputs.items():
+                _write_table(df, out_dir, name, batch_id)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return process_batch
+
+
+def stream_curation(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    schema=None,
+    max_files_per_trigger: int = 1000,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """readStream(parquet document shards) → curation passes →
+    foreachBatch writing the three curation tables. ``schema`` defaults
+    to the benchmark frame's schema (shards and eval set share the
+    documents layout); ``maxFilesPerTrigger`` is the backpressure knob,
+    as in the ingest daemon."""
+    docs = (
+        spark.readStream.schema(schema or benchmark.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(landing_dir)
+    )
+    writer = docs.writeStream.foreachBatch(
+        make_curation_processor(out_dir, benchmark, n, text_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

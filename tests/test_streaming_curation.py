@@ -1,0 +1,78 @@
+"""Stream-vs-batch parity for the curation stage
+(streaming/curation.py): two triggers over two document shards must
+produce exactly the tables the batch operators produce over the union,
+and a replayed batch_id must leave every table unchanged."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df, key="doc_id"):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_stream_curation_two_trigger_parity(spark, tmp_path):
+    from parsedmarc_go_spark.operators.curation import (
+        ngram_decontaminate,
+        pii_redact,
+        repetition_stats,
+    )
+    from parsedmarc_go_spark.streaming.curation import stream_curation
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    # trigger 1: first shard lands
+    docs.filter(F.col("doc_id") < 250).write.parquet(str(landing / "shard1"))
+    q = stream_curation(spark, str(landing), out, ckpt, benchmark)
+    q.awaitTermination(120)
+
+    # trigger 2: second shard lands, same checkpoint resumes
+    docs.filter(F.col("doc_id") >= 250).write.parquet(str(landing / "shard2"))
+    q = stream_curation(spark, str(landing), out, ckpt, benchmark)
+    q.awaitTermination(120)
+
+    got_red = read_stream_table(spark, out, "docs_redacted")
+    got_rep = read_stream_table(spark, out, "repetition_stats")
+    got_dec = read_stream_table(spark, out, "decontamination")
+
+    want_red = docs.select("doc_id", pii_redact(F.col("text")).alias("text"))
+    want_rep = repetition_stats(docs)
+    want_dec = ngram_decontaminate(docs, benchmark)
+
+    assert _rows(got_red) == _rows(want_red)
+    assert _rows(got_rep) == _rows(want_rep)
+    assert _rows(got_dec) == _rows(want_dec)
+
+
+def test_curation_processor_replay_idempotent(spark, tmp_path):
+    from parsedmarc_go_spark.streaming.curation import (
+        CURATION_TABLES,
+        make_curation_processor,
+    )
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    out = str(tmp_path / "curated")
+    proc = make_curation_processor(out, benchmark)
+
+    shard = docs.filter(F.col("doc_id") < 100)
+    proc(shard, 0)
+    before = {t: _rows(read_stream_table(spark, out, t)) for t in CURATION_TABLES}
+    proc(shard, 0)  # crash-and-replay of the same batch_id
+    after = {t: _rows(read_stream_table(spark, out, t)) for t in CURATION_TABLES}
+    assert before == after
