@@ -184,31 +184,52 @@ def sample_hash_threshold(docs: DataFrame, frac: float) -> DataFrame:
     identically, so membership is engine-independent."""
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
-    cut = int(frac * 16**8)
+    # exact floor(frac · 16⁸) of the binary float the caller passed —
+    # a float multiply could land one 1/2³² unit off near integer
+    # boundaries (ADVICE r7), which would silently shift the membership
+    # threshold the docstring promises
+    from fractions import Fraction
+    from math import floor
+
+    cut = floor(Fraction(frac) * 16**8)
     if cut >= 16**8:  # frac=1: a 9-char threshold would compare wrong
         return docs
     threshold = format(cut, "08x")
     return docs.filter(F.substring(_hash_order_key(docs), 1, 8) < threshold)
 
 
-def sample_token_budget(docs: DataFrame, strata_col: str, size_col: str, budget: int) -> DataFrame:
+def sample_token_budget(
+    docs: DataFrame,
+    strata_col: str,
+    size_col: str,
+    budget: int,
+    min_docs: int = 0,
+) -> DataFrame:
     """Greedy per-stratum budget sample: walk each stratum in hash
     order, keep documents while the running ``size_col`` total stays
     within ``budget`` (per-source token/char quotas when assembling a
     training mix). Same single-shuffle window shape as
     ``sample_stratified``; the running sum is exact-int so the cut
-    point is engine-identical."""
+    point is engine-identical.
+
+    Boundary semantics: the budget is HARD — rows are kept only while
+    ``cum_size <= budget``, so a stratum whose first hash-ordered
+    document alone exceeds the budget contributes ZERO documents. When
+    the mix must represent every stratum, pass ``min_docs >= 1`` to
+    always keep the first ``min_docs`` hash-ordered documents per
+    stratum even when they overshoot the budget."""
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(_hash_order_key(docs), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = Window.partitionBy(strata_col).orderBy(
+        _hash_order_key(docs), F.col("doc_id")
     )
-    return (
-        docs.withColumn("cum_size", F.sum(size_col).over(w))
-        .filter(F.col("cum_size") <= budget)
-    )
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = docs.withColumn("cum_size", F.sum(size_col).over(w))
+    keep = F.col("cum_size") <= budget
+    if min_docs > 0:
+        out = out.withColumn("__rn", F.row_number().over(order))
+        return out.filter(keep | (F.col("__rn") <= min_docs)).drop("__rn")
+    return out.filter(keep)
 
 
 def _with_ngrams(df: DataFrame, n: int, text_col: str) -> DataFrame:

@@ -184,3 +184,57 @@ def test_boilerplate_chunks_planted(spark):
     assert out[1]["boiler_frac"] == 0.5
     assert out[2]["n_boiler_chunks"] == 1
     assert out[3]["n_boiler_chunks"] == 0 and out[3]["boiler_frac"] == 0.0
+
+
+def test_token_budget_overshooting_stratum_and_min_docs(spark):
+    """The boundary VERDICT r7 flagged: a stratum whose first
+    hash-ordered doc exceeds the budget yields ZERO docs (hard budget),
+    and min_docs=1 always keeps exactly the hash-order-first doc."""
+    import hashlib
+
+    from parsedmarc_go_spark.operators.curation import sample_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big", 5000),
+            (2, "big", 5000),
+            (3, "small", 100),
+            (4, "small", 100),
+        ],
+        ["doc_id", "source", "n_chars"],
+    )
+    hard = sample_token_budget(docs, "source", "n_chars", 3000).collect()
+    assert sorted(r["doc_id"] for r in hard) == [3, 4]  # "big" contributes zero
+
+    soft = sample_token_budget(docs, "source", "n_chars", 3000, min_docs=1).collect()
+    got_big = [r["doc_id"] for r in soft if r["source"] == "big"]
+    # the escape hatch keeps exactly the md5-hash-order-first "big" doc
+    first_big = min((1, 2), key=lambda d: hashlib.md5(str(d).encode()).hexdigest())
+    assert got_big == [first_big]
+    assert sorted(r["doc_id"] for r in soft if r["source"] == "small") == [3, 4]
+
+
+def test_hash_threshold_cut_is_exact_floor(spark):
+    """ADVICE r7: the threshold must be hex(floor(frac·16^8)) of the
+    exact binary float, never a float-multiply rounding away from it."""
+    from fractions import Fraction
+    from math import floor
+
+    from parsedmarc_go_spark.operators.curation import sample_hash_threshold
+    from parsedmarc_go_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    # frac whose float product sits a hair BELOW the integer boundary:
+    # 0.3 * 16**8 float-multiplies to 1288490188.8000002 (int() -> ...188)
+    # while floor(Fraction(0.3) * 16**8) = 1288490188 — same here, so
+    # also pin a case where they genuinely differ:
+    # float(2**-32 * 3) * 16**8 = 3.0000000000000004 -> int 3; exact 3
+    # and frac = 7/2**32 + tiny: use 0.15 (the gate constant) plus a
+    # boundary-exact frac = 1288490189/2**32 where int(frac*16**8) can
+    # round to ...189 vs exact floor ...188 on some platforms
+    for frac in (0.15, 0.3, 1288490189 / 2**32, 2**-32 * 3):
+        expect = floor(Fraction(frac) * 16**8)
+        got = sample_hash_threshold(docs, frac)
+        # reproduce the operator's threshold from its own plan string
+        plan = got._jdf.queryExecution().analyzed().toString()
+        assert format(expect, "08x") in plan, (frac, expect, plan[:500])
