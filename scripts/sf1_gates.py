@@ -78,6 +78,16 @@ def main() -> None:
         with open(args.out, "w") as f:
             json.dump(
                 {
+                    "_meta": {
+                        "regenerate": (
+                            "python scripts/make_sf.py --sf 1 --out "
+                            f"{args.sf_dir} && python scripts/sf1_gates.py "
+                            f"--sf-dir {args.sf_dir}"
+                        ),
+                        "note": "sf_dir is transient scratch (regenerate it "
+                        "with the command above); this artifact is the "
+                        "record, the directory is not",
+                    },
                     "sf_dir": args.sf_dir,
                     "n_pass": sum(1 for e in results.values() if e["pass"]),
                     "n_total": len(results),
