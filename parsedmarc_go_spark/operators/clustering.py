@@ -394,3 +394,79 @@ def ivf_topk_trained(
         .drop("__cell")
     )
     return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    tau: float = 0.95,
+    max_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic deduplication over an embedding corpus, composed entirely
+    from machinery this engine already proves out —
+
+    1. spherical k-means cells (``kmeans_fit``, the IVF trainer), so
+       the pair space is |cell|² not |corpus|²;
+    2. within-cell cosine pairs ≥ ``tau`` (the blocked-BLAS
+       ``cosine_neardup_pairs`` with the cell as block key; pass
+       ``chunk_rows`` for hot cells);
+    3. connected components over the pair graph (``neardup_clusters``
+       — semantic-dup groups are blob-shaped);
+    4. per component keep the member LEAST similar to its cell
+       centroid — the paper's keep-low-similarity rule (retains the
+       least prototypical example); ties break to the smaller id.
+
+    Returns one row per input vector: ``vec_id, cell, centroid_sim,
+    cluster_id, keep`` (``cluster_id`` null for singletons, which are
+    trivially kept). No stage is new: the scale story is the cited
+    pieces' own — one shuffle to cells, BLAS per cell, O(rounds)
+    component joins, and a cluster-keyed window over only the docs that
+    appear in pairs."""
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters
+    from parsedmarc_go_spark.operators.similarity import (
+        cosine,
+        cosine_neardup_pairs,
+    )
+    from pyspark.sql import Window
+
+    cents, _ = kmeans_fit(
+        vectors, k=n_clusters, max_iters=max_iters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = assign_cells(vectors, cents, vec_col, "cell")
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, __centroid array<double>",
+    )
+    scored = (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .withColumn(
+            "centroid_sim",
+            F.round(cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "__centroid"), 4),
+        )
+        .drop("__centroid")
+    )
+    pairs = cosine_neardup_pairs(
+        assigned, threshold=tau, block_col="cell", id_col=id_col,
+        vec_col=vec_col, chunk_rows=chunk_rows,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = neardup_clusters(pairs).select(
+        F.col("doc").alias(id_col), "cluster_id"
+    )
+    out = scored.join(comp, id_col, "left")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.asc("centroid_sim"), F.asc(id_col)
+    )
+    return out.select(
+        id_col,
+        "cell",
+        "centroid_sim",
+        "cluster_id",
+        F.when(F.col("cluster_id").isNull(), F.lit(True))
+        .otherwise(F.row_number().over(w) == 1)
+        .alias("keep"),
+    )

@@ -324,3 +324,76 @@ def ngram_decontaminate(
             ).alias("contam_frac"),
         )
     )
+
+
+# Gopher rule defaults (Rae et al. 2021 §A.1.1 — public paper). The
+# corpus gate overrides max_mean_word_len downward so both keep and
+# drop rows exist on the synthetic corpus; the rule set is the point.
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_alpha_word_frac": 0.8,
+    "max_top_bigram_frac": 0.2,
+}
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    **thresholds,
+) -> DataFrame:
+    """The composed Gopher/MassiveText quality FILTER (the decision
+    layer over the stats the pipeline already computes): word-count
+    window, mean-word-length window, alphabetic-word fraction, and the
+    top-bigram repetition share, applied in documented rule order with
+    the FIRST failing rule recorded.
+
+    Returns ``doc_id, n_tokens, mean_word_len, alpha_word_frac,
+    top_bigram_frac, fail_reason, keep`` — ``fail_reason`` is null and
+    ``keep`` true for surviving docs. A doc too short to have bigrams
+    passes the repetition rule (null comparison), matching the oracle.
+
+    Shape: the three per-doc fractions are pure row expressions (no
+    shuffle); the bigram share joins ``repetition_stats`` co-partitioned
+    on ``doc_id`` — so the filter costs exactly one repetition pass
+    plus a narrow map, whatever the corpus size. All divisions are one
+    exact-int / exact-int IEEE op, so the rule comparisons are
+    bit-identical to the DuckDB oracle."""
+    thr = {**GOPHER_DEFAULTS, **thresholds}
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    )
+    stats = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            F.expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)").cast("double")
+            / F.size("toks").cast("double")
+        ).alias("mean_word_len"),
+        (
+            F.size(F.expr("filter(toks, x -> x rlike '[a-z]')")).cast("double")
+            / F.size("toks").cast("double")
+        ).alias("alpha_word_frac"),
+    )
+    rep = repetition_stats(docs, text_col).select("doc_id", "top_bigram_frac")
+    joined = stats.join(rep, "doc_id", "left")
+    fail = (
+        F.when(
+            (F.col("n_tokens") < thr["min_words"])
+            | (F.col("n_tokens") > thr["max_words"]),
+            F.lit("word_count"),
+        )
+        .when(
+            (F.col("mean_word_len") < thr["min_mean_word_len"])
+            | (F.col("mean_word_len") > thr["max_mean_word_len"]),
+            F.lit("mean_word_len"),
+        )
+        .when(F.col("alpha_word_frac") < thr["min_alpha_word_frac"], F.lit("alpha_words"))
+        .when(F.col("top_bigram_frac") > thr["max_top_bigram_frac"], F.lit("repetition"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return joined.withColumn("fail_reason", fail).withColumn(
+        "keep", F.col("fail_reason").isNull()
+    )

@@ -50,6 +50,11 @@ _WINDOW_DEMOTED = (
     # computes the identical shingle+Jaccard machinery) — yields its
     # slot to r8's dedup_paragraph, which has no in-window sibling
     "dedup_ngram_jaccard",
+    # a threshold layer OVER machinery hash-checked in-window twice:
+    # text_repetition_stats (the bigram share it joins) and the
+    # token/regex expression family (text_token_stats siblings) —
+    # born demoted, pytest value-checks it at two SFs like the rest
+    "gopher_quality_filter",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 _ordered = (

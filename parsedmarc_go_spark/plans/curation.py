@@ -17,6 +17,7 @@ from parsedmarc_go_spark.operators.curation import (
     PII_EMAIL_RE,
     PII_IPV4_RE,
     PII_PHONE_RE,
+    gopher_quality_filter,
     ngram_decontaminate,
     pii_counts,
     pii_redact,
@@ -365,4 +366,52 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("*").cast("double")
             ).alias("boiler_frac"),
         )
+    )
+
+
+@query(
+    "gopher_quality_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+            CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+            toks
+          FROM t),
+    tb AS (SELECT doc_id,
+           CASE WHEN len(toks) < 2 THEN [] ELSE
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           END AS bigrams
+           FROM s),
+    big AS (SELECT doc_id, unnest(bigrams) AS b FROM tb),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b),
+    bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS top_bc
+           FROM bc GROUP BY doc_id),
+    j AS (SELECT s.doc_id, n_tokens, mean_word_len, alpha_word_frac,
+                 CAST(top_bc AS DOUBLE) / CAST(nb AS DOUBLE) AS top_bigram_frac
+          FROM s LEFT JOIN bs ON s.doc_id = bs.doc_id),
+    r AS (SELECT *,
+            CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'word_count'
+                 WHEN mean_word_len < 3.0 OR mean_word_len > 4.5 THEN 'mean_word_len'
+                 WHEN alpha_word_frac < 0.8 THEN 'alpha_words'
+                 WHEN top_bigram_frac > 0.2 THEN 'repetition'
+                 ELSE NULL END AS fail_reason
+          FROM j)
+    SELECT doc_id, n_tokens, mean_word_len, alpha_word_frac, top_bigram_frac,
+           fail_reason, fail_reason IS NULL AS keep
+    FROM r
+    """,
+)
+def gopher_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Gopher rule set with the FIRST failing rule named
+    per doc (Rae et al. 2021 §A.1.1). The gate tightens
+    max_mean_word_len to 4.5 (corpus mean word lengths span 3.7-5.3,
+    word counts 10-99) so the synthetic corpus exercises keeps AND
+    every reachable fail_reason branch; the public defaults live on the
+    operator."""
+    return gopher_quality_filter(
+        load(spark, sf_dir, "documents"), max_mean_word_len=4.5
     )

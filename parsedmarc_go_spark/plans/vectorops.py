@@ -164,3 +164,15 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_lsh_index(emb, path, n_planes=6)
     return lsh_topk_indexed(spark, path, query_vector(emb, 0), k=10, multiprobe=1)
+
+
+@query("semdedup_embeddings")
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    cells → within-cell cosine groups at tau → keep the least
+    centroid-similar member per group. Rows-only (k-means init and the
+    BLAS pair stage have no DuckDB twin); the keep rule and planted
+    duplicate collapse are pinned in tests/test_semdedup.py."""
+    from parsedmarc_go_spark.operators.clustering import semdedup
+
+    return semdedup(load(spark, sf_dir, "embeddings"), n_clusters=8, tau=0.999)

@@ -1,0 +1,77 @@
+"""SemDeDup (operators/clustering.py::semdedup): semantic dedup over
+embeddings — planted exact/near duplicates must collapse to one keeper
+per group, the keeper must follow the keep-low-centroid-similarity
+rule, and untouched vectors must all survive."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _with_planted_dups(spark, emb, dup_ids, offset=100_000):
+    """Append an exact copy of each vector in dup_ids under id+offset —
+    cosine(copy, original) = 1.0, so any tau groups them."""
+    dups = (
+        emb.filter(F.col("vec_id").isin(dup_ids))
+        .withColumn("vec_id", F.col("vec_id") + offset)
+    )
+    return emb.unionByName(dups)
+
+
+def test_semdedup_collapses_planted_duplicates(spark):
+    from parsedmarc_go_spark.operators.clustering import semdedup
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    dup_ids = [0, 7, 42, 99]
+    corpus = _with_planted_dups(spark, emb, dup_ids)
+
+    out = semdedup(corpus, n_clusters=8, tau=0.9999, max_iters=3)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == n + len(dup_ids)  # one output row per input vector
+
+    for d in dup_ids:
+        a, b = rows[d], rows[d + 100_000]
+        # the copy pair is grouped: same cluster, exactly one kept
+        assert a["cluster_id"] == b["cluster_id"] and a["cluster_id"] is not None
+        assert {a["keep"], b["keep"]} == {True, False}
+        # identical vectors -> identical centroid_sim -> tie breaks to
+        # the smaller id: the ORIGINAL survives
+        assert a["keep"] and not b["keep"]
+
+    # survivors = everything minus one member per planted group (the
+    # corpus has no natural >=0.9999 near-dups at this SF)
+    n_kept = sum(1 for r in rows.values() if r["keep"])
+    assert n_kept == n
+
+
+def test_semdedup_keep_rule_prefers_low_centroid_similarity(spark):
+    """Non-tied case: a NEAR-duplicate (slightly perturbed copy) forms
+    a 2-group where the paper's rule keeps the member with the LOWER
+    cosine to its cell centroid."""
+    from parsedmarc_go_spark.operators.clustering import semdedup
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    # perturb vec 0 toward its own direction scaled — same direction =
+    # same cosine; instead blend with another vector for a real angle
+    (v0,) = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    (v1,) = emb.filter(F.col("vec_id") == 1).select("embedding").collect()
+    blended = [0.999 * a + 0.001 * b for a, b in zip(v0[0], v1[0])]
+    extra = emb.sparkSession.createDataFrame(
+        [(100_000, blended, -1)], ["vec_id", "embedding", "label"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>")).withColumn(
+        "label", F.col("label").cast("long")
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(extra)
+
+    out = semdedup(corpus, n_clusters=8, tau=0.999, max_iters=3)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    a, b = rows[0], rows[100_000]
+    assert a["cluster_id"] == b["cluster_id"] and a["cluster_id"] is not None
+    kept, dropped = (a, b) if a["keep"] else (b, a)
+    assert not dropped["keep"]
+    assert kept["centroid_sim"] <= dropped["centroid_sim"]
