@@ -397,3 +397,82 @@ def gopher_quality_filter(
     return joined.withColumn("fail_reason", fail).withColumn(
         "keep", F.col("fail_reason").isNull()
     )
+
+
+def pack_offsets(
+    docs: DataFrame,
+    size_col: str = "n_chars",
+    seq_len: int = 2048,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """GPT-style sequence-packing offsets: lay every document out on one
+    contiguous global tape (deterministic md5-hash order, the samplers'
+    order key) and report, per doc, its byte/token span and which
+    fixed-``seq_len`` training sequences it lands in —
+    ``doc_id, start_offset, end_offset, first_seq, last_seq``.
+
+    The naive formulation is a GLOBAL running sum — a single-partition
+    window, the canonical Spark scale trap (one task owns the corpus).
+    This runs as a two-phase distributed prefix sum instead:
+
+    1. one range-shuffle on the order key, so partition i holds a
+       contiguous ordered slice of the tape;
+    2. per-partition subtotals (one tiny aggregate, P rows) → exclusive
+       prefix bases on the driver — P values, driver-side by design —
+       broadcast back as a join map;
+    3. the running sum WITHIN each partition (window keyed by the
+       partition id — every partition's rows stay together, no
+       single-partition exchange anywhere) plus its partition's base.
+
+    Every quantity is exact-int, so the result is value-identical to
+    the one-window SQL a single-node engine would run — which is
+    exactly what the gate's DuckDB oracle checks. Requires
+    ``size_col >= 1`` per row (a zero-size doc has no span).
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    key = _hash_order_key(docs)
+    r = (
+        docs.select(
+            "doc_id", F.col(size_col).cast("long").alias("__sz"), key.alias("__k")
+        )
+        .repartitionByRange(n_ranges, F.col("__k"), F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    r = r.localCheckpoint(eager=True)  # pin the range placement: the
+    # subtotal job and the final job must see identical partitioning
+    totals = {
+        row["__pid"]: row["__t"]
+        for row in r.groupBy("__pid").agg(F.sum("__sz").alias("__t")).collect()
+    }  # P rows, driver-side by design
+    bases, acc = {}, 0
+    for pid in sorted(totals):
+        bases[pid] = acc
+        acc += totals[pid]
+    base_df = spark.createDataFrame(
+        [(pid, b) for pid, b in bases.items()], "__pid int, __base long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        r.withColumn("__cum", F.sum("__sz").over(w))
+        .join(F.broadcast(base_df), "__pid")
+        .select(
+            "doc_id",
+            (F.col("__base") + F.col("__cum") - F.col("__sz")).alias("start_offset"),
+            (F.col("__base") + F.col("__cum")).alias("end_offset"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "start_offset",
+        "end_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("long").alias("first_seq"),
+        F.floor((F.col("end_offset") - 1) / seq_len).cast("long").alias("last_seq"),
+    )

@@ -55,6 +55,12 @@ _WINDOW_DEMOTED = (
     # token/regex expression family (text_token_stats siblings) —
     # born demoted, pytest value-checks it at two SFs like the rest
     "gopher_quality_filter",
+    # running-total window machinery hash-checked in-window by
+    # a19_running_total; the hash-order key by sample_stratified —
+    # born demoted (what the gate adds is the two-phase prefix-sum
+    # decomposition, value-pinned against the one-window oracle here
+    # and in pytest at two SFs)
+    "pack_sequences",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 _ordered = (

@@ -415,3 +415,31 @@ def gopher_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(
         load(spark, sf_dir, "documents"), max_mean_word_len=4.5
     )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             CAST(sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM documents)
+    SELECT doc_id,
+           cum - n_chars AS start_offset,
+           cum AS end_offset,
+           CAST(floor(CAST(cum - n_chars AS DOUBLE) / 2048) AS BIGINT) AS first_seq,
+           CAST(floor(CAST(cum - 1 AS DOUBLE) / 2048) AS BIGINT) AS last_seq
+    FROM r
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing offsets on the md5-ordered global tape. The
+    oracle is the naive ONE-WINDOW running sum; the Spark side is the
+    two-phase distributed prefix sum (operators/curation.py::
+    pack_offsets) — the gate therefore proves the scale-safe
+    decomposition value-identical to the single-node formulation."""
+    from parsedmarc_go_spark.operators.curation import pack_offsets
+
+    return pack_offsets(load(spark, sf_dir, "documents"), "n_chars", 2048)

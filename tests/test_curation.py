@@ -238,3 +238,24 @@ def test_hash_threshold_cut_is_exact_floor(spark):
         # reproduce the operator's threshold from its own plan string
         plan = got._jdf.queryExecution().analyzed().toString()
         assert format(expect, "08x") in plan, (frac, expect, plan[:500])
+
+
+def test_pack_offsets_no_single_partition_exchange(spark):
+    """The whole point of the two-phase prefix sum: the plan must not
+    contain the global-window Exchange SinglePartition a naive running
+    sum would force (one task owning the corpus at 100 TB)."""
+    from parsedmarc_go_spark.plans import QUERIES
+
+    df = QUERIES["pack_sequences"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    rows = df.collect()
+    # spans tile the tape contiguously: sorted by start, each start ==
+    # previous end, and the tape length is the corpus size total
+    spans = sorted((r["start_offset"], r["end_offset"]) for r in rows)
+    assert spans[0][0] == 0
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    # seq ids consistent with the offsets
+    for r in rows:
+        assert r["first_seq"] == r["start_offset"] // 2048
+        assert r["last_seq"] == (r["end_offset"] - 1) // 2048
