@@ -52,6 +52,9 @@ HEADLINE = [
     # one doc_id shuffle; the op whose sf1 run caught the inherited
     # scan-partitioning bug, tracked here so it can't regress quietly
     "decontaminate_ngram",
+    # the r8 flagship: CCNet paragraph dedup — explode + digest-keyed
+    # keep-first + collect_list re-assembly, three distinct shuffles
+    "dedup_paragraph",
 ]
 
 
@@ -146,8 +149,9 @@ def main() -> None:
         # mix lineage so cross-round totals compare like-for-like:
         # r5 swapped j3_range_join → j3b_geoip_range_join (heavier,
         # hash-matched); r7 added ann_lsh_indexed, then
-        # decontaminate_ngram (curation family representative)
-        "mix_version": "r7.1",
+        # decontaminate_ngram (curation family representative);
+        # r8 added dedup_paragraph (the round's flagship)
+        "mix_version": "r8.1",
         "mix": HEADLINE,
     }
     # The driver records only the TAIL of stdout (~4 KB): in round 7 the

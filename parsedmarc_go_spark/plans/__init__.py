@@ -63,6 +63,28 @@ _WINDOW_DEMOTED = (
     "pack_sequences",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
+
+# External window selection (ADVICE r7: in-window coverage should not
+# be permanently self-chosen). SPARK_GRAFT_WINDOW_SWAP="out1:in1,..."
+# swaps a demoted gate INTO the window with a currently-in-window gate
+# taking its place outside — both sides must be oracle-bearing, the
+# "in" side currently demoted and the "out" side currently not, so any
+# externally-chosen swap preserves the all-oracle-bearing window
+# invariant. Default (unset) keeps the documented set above.
+import os as _os  # noqa: E402
+
+_swap_spec = _os.environ.get("SPARK_GRAFT_WINDOW_SWAP", "")
+if _swap_spec:
+    _demoted = list(_WINDOW_DEMOTED)
+    for _pair in _swap_spec.split(","):
+        _out, _in = (p.strip() for p in _pair.split(":"))
+        if _in not in _demoted:
+            raise ValueError(f"swap-in gate {_in!r} is not currently demoted")
+        if _out in _demoted or _out not in ORACLES:
+            raise ValueError(f"swap-out gate {_out!r} must be an in-window oracle gate")
+        _demoted[_demoted.index(_in)] = _out
+    _WINDOW_DEMOTED = tuple(_demoted)
+
 _ordered = (
     [n for n in QUERIES if n in ORACLES and n not in _WINDOW_DEMOTED]
     + [n for n in QUERIES if n in ORACLES and n in _WINDOW_DEMOTED]

@@ -213,3 +213,39 @@ def test_registry_oracles_form_checked_prefix():
     assert set(names[len(ORACLES) - len(_WINDOW_DEMOTED) : len(ORACLES)]) == set(
         _WINDOW_DEMOTED
     )
+
+
+def test_window_swap_env_rotates_demotions():
+    # ADVICE r7: external (driver/judge-chosen) window selection. A
+    # fresh interpreter re-imports the registry under the env var and
+    # must land the swapped-in gate inside the 50-slot window with the
+    # swapped-out gate demoted — and reject invalid swaps loudly.
+    import subprocess
+    import sys
+
+    code = (
+        "from parsedmarc_go_spark.plans import QUERIES, ORACLES, _WINDOW_DEMOTED\n"
+        "names = list(QUERIES)\n"
+        "w = names[:len(ORACLES) - len(_WINDOW_DEMOTED)]\n"
+        "assert 'dedup_ngram_jaccard' in w and 'dedup_minhash_lsh' not in w\n"
+        "assert 'dedup_minhash_lsh' in _WINDOW_DEMOTED\n"
+        "assert all(n in ORACLES for n in w)\n"
+        "print('SWAPOK')\n"
+    )
+    env = {
+        "SPARK_GRAFT_WINDOW_SWAP": "dedup_minhash_lsh:dedup_ngram_jaccard",
+        "PATH": "/usr/bin:/bin",
+    }
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        cwd="/root/repo",
+    )
+    assert "SWAPOK" in r.stdout, r.stderr
+
+    bad = subprocess.run(
+        [sys.executable, "-c", "import parsedmarc_go_spark.plans"],
+        capture_output=True, text=True,
+        env={"SPARK_GRAFT_WINDOW_SWAP": "nope:also_nope", "PATH": "/usr/bin:/bin"},
+        cwd="/root/repo",
+    )
+    assert bad.returncode != 0 and "not currently demoted" in bad.stderr
