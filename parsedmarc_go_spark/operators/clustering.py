@@ -457,16 +457,27 @@ def semdedup(
     comp = neardup_clusters(pairs).select(
         F.col("doc").alias(id_col), "cluster_id"
     )
-    out = scored.join(comp, id_col, "left")
+    # Keep rule over ONLY the paired subset: inner-join comp first, so
+    # singletons (the overwhelming majority at high tau) never enter
+    # the window — there is no null-key partition anywhere in the plan.
+    # The small keep frame is then left-joined back, defaulting to
+    # keep=true for unmatched (singleton) rows.
     w = Window.partitionBy("cluster_id").orderBy(
         F.asc("centroid_sim"), F.asc(id_col)
     )
-    return out.select(
+    keep_flags = (
+        scored.select(id_col, "centroid_sim")
+        .join(comp, id_col)
+        .select(
+            id_col,
+            "cluster_id",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
+    return scored.join(keep_flags, id_col, "left").select(
         id_col,
         "cell",
         "centroid_sim",
         "cluster_id",
-        F.when(F.col("cluster_id").isNull(), F.lit(True))
-        .otherwise(F.row_number().over(w) == 1)
-        .alias("keep"),
+        F.coalesce("keep", F.lit(True)).alias("keep"),
     )

@@ -75,3 +75,50 @@ def test_semdedup_keep_rule_prefers_low_centroid_similarity(spark):
     kept, dropped = (a, b) if a["keep"] else (b, a)
     assert not dropped["keep"]
     assert kept["centroid_sim"] <= dropped["centroid_sim"]
+
+
+def test_semdedup_window_never_sees_singletons(spark):
+    """Scale guard (round-9 fix): at high tau the overwhelming majority
+    of a real corpus is singletons (cluster_id null). The keep-rule
+    window must be computed over ONLY the paired subset — if singletons
+    entered it they would all hash to one null-key window partition, a
+    single task sorting nearly the whole corpus. Fixture is ~95%
+    singletons; the assert pins the plan shape, not just the values."""
+    from parsedmarc_go_spark.operators.clustering import semdedup
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    # plant dups for ~5% of ids -> ~95% of the corpus stays singleton
+    dup_ids = list(range(0, n, 20))
+    corpus = _with_planted_dups(spark, emb, dup_ids)
+
+    out = semdedup(corpus, n_clusters=8, tau=0.9999, max_iters=3)
+
+    # Plan pin: exactly one Window node; its subtree is the inner join
+    # onto the component frame (paired docs only), and the full-corpus
+    # LeftOuter join sits ABOVE it -- so no null cluster_id row can
+    # ever reach the window.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window [row_number()") == 1
+    left_outer_at = plan.index("Join LeftOuter, (vec_id")
+    window_at = plan.index("Window [row_number()")
+    assert left_outer_at < window_at, "keep window must be below the left join"
+    below_window = plan[window_at:]
+    assert "Join Inner, (vec_id" in below_window, (
+        "window input must be the paired-only inner join, not the full corpus"
+    )
+
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == n + len(dup_ids)
+    # every singleton survives with a null cluster
+    singles = [
+        r for vid, r in rows.items()
+        if vid < 100_000 and vid not in set(dup_ids)
+    ]
+    assert all(r["keep"] and r["cluster_id"] is None for r in singles)
+    # each planted pair collapses to exactly one keeper (tie -> lower id)
+    for d in dup_ids:
+        a, b = rows[d], rows[d + 100_000]
+        assert a["cluster_id"] == b["cluster_id"] is not None
+        assert a["keep"] and not b["keep"]
