@@ -15,7 +15,9 @@ only feasible per-block.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parsedmarc_go_spark.functions.text import normalized_text
@@ -550,11 +552,16 @@ def simhash_pairs(
 _PARA_KEY_BASE = 1_000_000
 
 
+_REGEX_META = re.compile(r"[.^$*+?()\[\]{}|\\]")
+
+
 def paragraph_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    join_sep: str | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020 §3.1
     — public paper): split each document into paragraphs on ``sep``,
@@ -564,25 +571,52 @@ def paragraph_dedup(
 
     "First occurrence" is the smallest ``(doc_id, pos)`` pair, encoded
     as the exact-int key ``doc_id * 1_000_000 + pos`` so the winner is
-    engine-independent (requires < 1e6 paragraphs per document; the
-    reference pipeline has no sub-document dedup at all — this is the
+    engine-independent. The < 1e6 paragraphs/doc bound is ENFORCED: a
+    document with ``pos >= 1_000_000`` raises at execution time rather
+    than silently corrupting the keep-first order (the reference
+    pipeline has no sub-document dedup at all — this is the
     LLM-pipeline staple layered on the dedup_exact machinery,
     dedup.py:24-58).
+
+    ``sep`` is a Java regex used for SPLITTING; re-assembly joins with
+    ``join_sep``, defaulting to ``sep`` taken literally. Because those
+    two uses differ, a ``sep`` containing regex metacharacters (e.g.
+    ``"\\n{2,}"``) requires an explicit ``join_sep`` — we raise rather
+    than silently gluing paragraphs with regex source text.
+
+    ``normalize=True`` is the fuzzy variant: the dedup KEY is the
+    whitespace-collapsed/trimmed/lowercased paragraph
+    (functions/text.py:normalized_text), so near-identical paragraphs
+    (spacing/case variants) collapse too — the RAW text of the first
+    occurrence is what survives into ``dedup_text``.
 
     Returns one row per input document: ``doc_id, n_paras, n_kept,
     para_frac_removed, dedup_text`` (empty paragraphs are dropped on
     both sides of the stat, and a document whose every paragraph is a
     repeat keeps ``n_kept = 0`` and an empty ``dedup_text``).
 
-    Scale shape (the 100 TB contract): the keep-first aggregation
-    groups on the 32-byte sha256 of the paragraph — fixed-width
-    HashAggregate buffers (min long, count long), exactly the
-    dedup_exact shape — and the winner join is a shuffle join keyed on
-    the same digest, so work scales with distinct paragraphs, never
-    |corpus|². The re-assembly is one further shuffle keyed on
-    ``doc_id`` with ``array_sort(collect_list(struct(pos, para)))``
-    restoring order without a window. ``sep`` is a Java regex.
+    Scale shape (the 100 TB contract, single-scan form — round 9): ONE
+    corpus scan + explode; keep-first is ``min(okey) OVER (PARTITION BY
+    ph)`` — a window keyed on the 32-byte paragraph sha256, which is
+    uniformly distributed with no null class, so one shuffle on the
+    digest replaces the previous agg + self-join pair of subtree
+    recomputes. Totals and re-assembly then ride a single further
+    shuffle keyed on ``doc_id``: ``count(*)`` gives n_paras,
+    ``sum(is_first)`` gives n_kept, and
+    ``collect_list(when(is_first, struct(pos, para)))`` (collect_list
+    skips nulls) + ``array_sort`` restores order without another
+    window. Two shuffles total, work scales with distinct paragraphs,
+    never |corpus|².
     """
+    if join_sep is None:
+        if _REGEX_META.search(sep):
+            raise ValueError(
+                "paragraph_dedup: sep %r contains regex metacharacters; "
+                "it is a split regex, so pass join_sep explicitly for "
+                "re-assembly" % (sep,)
+            )
+        join_sep = sep
+    key = F.sha2(normalized_text("para") if normalize else F.col("para"), 256)
     paras = (
         docs.select(
             F.col(id_col),
@@ -590,30 +624,51 @@ def paragraph_dedup(
         )
         .filter(F.length("para") > 0)
         .withColumn(
-            "okey", F.col(id_col).cast("long") * _PARA_KEY_BASE + F.col("pos")
+            "okey",
+            F.when(
+                F.col("pos") >= _PARA_KEY_BASE,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "paragraph_dedup: document "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            " has >= 1e6 paragraphs; keep-first key would overflow"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(
+                F.col(id_col).cast("long") * _PARA_KEY_BASE + F.col("pos")
+            ),
         )
-        .withColumn("ph", F.sha2(F.col("para"), 256))
+        .withColumn("ph", key)
     )
-    firsts = paras.groupBy("ph").agg(F.min("okey").alias("first_key"))
-    kept = paras.join(firsts, "ph").filter(F.col("okey") == F.col("first_key"))
-    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
-    reassembled = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
+    w = Window.partitionBy("ph")
+    flagged = paras.withColumn(
+        "is_first", F.col("okey") == F.min("okey").over(w)
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("is_first").cast("long")).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_first"), F.struct("pos", "para"))
+                    )
+                ),
                 lambda x: x["para"],
             ),
-            sep,
+            join_sep,
         ).alias("dedup_text"),
-    )
-    return totals.join(reassembled, id_col, "left").select(
+    ).select(
         id_col,
         "n_paras",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        "n_kept",
         (
-            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("double")
+            (F.col("n_paras") - F.col("n_kept")).cast("double")
             / F.col("n_paras").cast("double")
         ).alias("para_frac_removed"),
-        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        "dedup_text",
     )

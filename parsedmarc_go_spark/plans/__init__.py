@@ -61,6 +61,11 @@ _WINDOW_DEMOTED = (
     # decomposition, value-pinned against the one-window oracle here
     # and in pytest at two SFs)
     "pack_sequences",
+    # normalize=True layer over dedup_paragraph (in-window), which
+    # hash-checks the entire explode/keep-first/re-assemble machinery;
+    # the only delta is the normalized_text key expression — born
+    # demoted, value-checked by pytest at two SFs like the rest
+    "dedup_paragraph_fuzzy",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -265,6 +265,63 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(t, "doc_id", "text", sep="<P>")
 
 
+# Fuzzy paragraph dedup gate (round 9): near-identical paragraphs —
+# case/whitespace variants of a shared header planted per doc_id % 3
+# class — must collapse under normalize=True. Both engines use the
+# identical normalization (collapse \\s+ to one space, trim, lower), so
+# the gate value-checks the surviving RAW text cell-for-cell. Born
+# demoted: its machinery is dedup_paragraph (in-window) + the
+# normalized_text expression family; pytest value-checks it at two SFs.
+_PARAGRAPH_FUZZY_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN upper('common header ' || CAST(doc_id % 3 AS VARCHAR))
+                  ELSE 'common  header ' || CAST(doc_id % 3 AS VARCHAR) END AS p0,
+             substr(text, 1, 120) AS p1
+      FROM documents),
+    p AS (
+      SELECT doc_id, pos, para FROM (
+        SELECT doc_id, 0 AS pos, p0 AS para FROM base
+        UNION ALL SELECT doc_id, 1, p1 FROM base)
+      WHERE len(para) > 0),
+    pn AS (SELECT doc_id, pos, para,
+                  lower(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS nk
+           FROM p),
+    firsts AS (SELECT nk, min(doc_id * 1000000 + pos) AS first_key
+               FROM pn GROUP BY nk),
+    kept AS (SELECT pn.doc_id, pn.pos, pn.para
+             FROM pn JOIN firsts ON pn.nk = firsts.nk
+             WHERE pn.doc_id * 1000000 + pn.pos = firsts.first_key),
+    tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id),
+    ka AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(para, '<P>' ORDER BY pos) AS dedup_text
+           FROM kept GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_paras,
+           COALESCE(ka.n_kept, 0) AS n_kept,
+           CAST(tot.n_paras - COALESCE(ka.n_kept, 0) AS DOUBLE)
+             / CAST(tot.n_paras AS DOUBLE) AS para_frac_removed,
+           COALESCE(ka.dedup_text, '') AS dedup_text
+    FROM tot LEFT JOIN ka USING (doc_id)
+"""
+
+
+@query("dedup_paragraph_fuzzy", oracle=_PARAGRAPH_FUZZY_ORACLE)
+def dedup_paragraph_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (normalized-key) paragraph dedup: spacing/case variants of
+    the same paragraph collapse to the first RAW occurrence. See
+    operators/dedup.py:paragraph_dedup(normalize=True)."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    cls = (d % 3).cast("string")
+    p0 = F.when(
+        d % 2 == 0, F.upper(F.concat(F.lit("common header "), cls))
+    ).otherwise(F.concat(F.lit("common  header "), cls))
+    itext = F.concat_ws("<P>", p0, F.substring("text", 1, 120))
+    t = docs.select("doc_id", itext.alias("text"))
+    return paragraph_dedup(t, "doc_id", "text", sep="<P>", normalize=True)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline additions (round 2): chunking, TF-IDF, cluster
 # components — each with a full DuckDB oracle.

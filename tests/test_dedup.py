@@ -409,3 +409,71 @@ def test_paragraph_dedup_within_doc_repeat_and_empty_paras(spark):
     assert row["n_paras"] == 3  # x, x, y (empty dropped)
     assert row["n_kept"] == 2
     assert row["dedup_text"] == "x\n\ny"
+
+
+def test_paragraph_dedup_regex_sep_requires_join_sep(spark):
+    """sep is a SPLIT regex but re-assembly joins literally — a
+    metachar sep without an explicit join_sep must raise, not glue
+    paragraphs with regex source text (round-9 ADVICE fix)."""
+    import pytest
+
+    from parsedmarc_go_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb\n\n\nc")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="join_sep"):
+        paragraph_dedup(docs, sep=r"\n{2,}")
+
+    # explicit join_sep: split on the regex, re-join with the literal
+    row = paragraph_dedup(docs, sep=r"\n{2,}", join_sep="\n\n").collect()[0]
+    assert row["n_paras"] == 3 and row["dedup_text"] == "a\n\nb\n\nc"
+
+
+def test_paragraph_dedup_okey_overflow_raises(spark, monkeypatch):
+    """The <1e6 paragraphs/doc keep-first-key bound is enforced at
+    execution time (round-9 ADVICE fix). Patch the base down so the
+    fixture can trip it cheaply."""
+    import pytest
+
+    from parsedmarc_go_spark.operators import dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "_PARA_KEY_BASE", 4)
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb\n\nc\n\nd\n\ne")], ["doc_id", "text"]  # pos 4 >= base 4
+    )
+    with pytest.raises(Exception, match="1e6 paragraphs|overflow"):
+        dedup_mod.paragraph_dedup(docs, sep="\n\n").collect()
+    # under the bound: fine
+    ok = spark.createDataFrame([(1, "a\n\nb\n\nc")], ["doc_id", "text"])
+    assert dedup_mod.paragraph_dedup(ok, sep="\n\n").count() == 1
+
+
+def test_paragraph_dedup_normalize_fuzzy(spark):
+    """normalize=True: spacing/case variants of a paragraph collapse
+    (key = normalized_text sha), and the RAW first occurrence is what
+    survives into dedup_text."""
+    from parsedmarc_go_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World\n\nunique one"),
+            (2, "hello world\n\nunique two"),   # variant of doc 1 para 0
+            (3, "HELLO\tWORLD\n\nunique three"),
+        ],
+        ["doc_id", "text"],
+    )
+    # exact mode: nothing collapses
+    exact = {r["doc_id"]: r for r in paragraph_dedup(docs, sep="\n\n").collect()}
+    assert all(exact[d]["n_kept"] == 2 for d in (1, 2, 3))
+
+    fuzzy = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, sep="\n\n", normalize=True).collect()
+    }
+    # doc 1 keeps the RAW original text of the first occurrence
+    assert fuzzy[1]["n_kept"] == 2
+    assert fuzzy[1]["dedup_text"] == "Hello  World\n\nunique one"
+    # docs 2 and 3 lose their variant paragraph
+    assert fuzzy[2]["n_kept"] == 1 and fuzzy[2]["dedup_text"] == "unique two"
+    assert fuzzy[3]["n_kept"] == 1 and fuzzy[3]["dedup_text"] == "unique three"
