@@ -562,6 +562,7 @@ def paragraph_dedup(
     sep: str = "\n\n",
     join_sep: str | None = None,
     normalize: bool = False,
+    seen_keys: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020 §3.1
     — public paper): split each document into paragraphs on ``sep``,
@@ -589,6 +590,14 @@ def paragraph_dedup(
     (functions/text.py:normalized_text), so near-identical paragraphs
     (spacing/case variants) collapse too — the RAW text of the first
     occurrence is what survives into ``dedup_text``.
+
+    ``seen_keys`` (a frame with a ``ph`` column of paragraph sha256
+    digests — the streaming fingerprint store, streaming/dedup.py)
+    makes the pass INCREMENTAL: a paragraph whose digest appears there
+    is dropped even as a first-in-this-corpus occurrence, while
+    ``n_paras`` still counts it, so stream-over-shards equals
+    batch-over-the-union exactly. Joined on the digest (shuffle keyed
+    on ph), never collected.
 
     Returns one row per input document: ``doc_id, n_paras, n_kept,
     para_frac_removed, dedup_text`` (empty paragraphs are dropped on
@@ -648,6 +657,13 @@ def paragraph_dedup(
     flagged = paras.withColumn(
         "is_first", F.col("okey") == F.min("okey").over(w)
     )
+    if seen_keys is not None:
+        seen = seen_keys.select("ph").distinct().withColumn(
+            "__seen", F.lit(True)
+        )
+        flagged = flagged.join(seen, "ph", "left").withColumn(
+            "is_first", F.col("is_first") & F.col("__seen").isNull()
+        )
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_paras"),
         F.sum(F.col("is_first").cast("long")).alias("n_kept"),
@@ -671,4 +687,26 @@ def paragraph_dedup(
             / F.col("n_paras").cast("double")
         ).alias("para_frac_removed"),
         "dedup_text",
+    )
+
+
+def paragraph_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    normalize: bool = False,
+) -> DataFrame:
+    """Distinct paragraph digests of a document frame — the unit the
+    streaming fingerprint store persists (streaming/dedup.py). Must use
+    the exact split/filter/key pipeline of ``paragraph_dedup`` so store
+    membership and dedup keys can never drift apart."""
+    key = F.sha2(normalized_text("para") if normalize else F.col("para"), 256)
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), sep)).alias("para")
+        )
+        .filter(F.length("para") > 0)
+        .select(key.alias("ph"))
+        .distinct()
     )

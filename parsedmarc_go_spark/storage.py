@@ -286,11 +286,28 @@ def compact_partitioned_index(
         .partitionBy(partition_col)
         .parquet(tmp)
     )
+    swap_directory(spark, tmp, path)
+    files_after, _ = _parquet_file_stats(spark, path)
+    return files_before, files_after
+
+
+def swap_directory(spark: SparkSession, tmp: str, path: str) -> None:
+    """Crash-safe directory swap (round-9 ADVICE fix): rename the live
+    dir ASIDE first, rename the rewrite into place, then delete the old
+    — every crash point leaves a complete directory at either ``path``
+    or ``path + ".old"`` (never nothing, as delete-then-rename did).
+    Readers must still be quiesced during the swap: one that opened
+    file handles under ``path`` before the rename races the final
+    delete. Shared by index compaction and the streaming fingerprint
+    store (streaming/dedup.py)."""
     jvm = spark._jvm
     hadoop_path = jvm.org.apache.hadoop.fs.Path
     fs = hadoop_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hadoop_path(path), True)
+    old = path.rstrip("/") + ".old"
+    fs.delete(hadoop_path(old), True)  # leftover from a prior crash
+    if not fs.rename(hadoop_path(path), hadoop_path(old)):
+        raise IOError(f"rename {path} -> {old} failed")
     if not fs.rename(hadoop_path(tmp), hadoop_path(path)):
-        raise IOError(f"rename {tmp} -> {path} failed")
-    files_after, _ = _parquet_file_stats(spark, path)
-    return files_before, files_after
+        fs.rename(hadoop_path(old), hadoop_path(path))  # roll back
+        raise IOError(f"rename {tmp} -> {path} failed (rolled back)")
+    fs.delete(hadoop_path(old), True)

@@ -1,0 +1,172 @@
+"""Incremental dedup against the persisted fingerprint store
+(streaming/dedup.py): stream-over-shards must equal batch-dedup-over-
+the-union, a replayed batch_id must be a no-op for BOTH the output
+table and the store, and store compaction must preserve digest
+membership and replay idempotence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    """Documents with paragraph structure and guaranteed CROSS-SHARD
+    duplicates: a shared header per doc_id % 7 class (classes span both
+    shards) plus a mostly-unique slice of the doc's own text."""
+    from parsedmarc_go_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    itext = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("shared-header-"), (d % 7).cast("string")),
+        F.substring("text", 1, 100),
+        F.concat(F.lit("shared-footer-"), (d % 4).cast("string")),
+    )
+    return docs.select("doc_id", itext.alias("text"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_paragraph_dedup_two_trigger_parity(spark, tmp_path):
+    from parsedmarc_go_spark.operators.dedup import paragraph_dedup
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import stream_dedup
+
+    docs = _corpus(spark)
+    landing = tmp_path / "landing"
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    # trigger 1: first shard (low doc_ids) lands
+    docs.filter(F.col("doc_id") < 250).write.parquet(str(landing / "shard1"))
+    q = stream_dedup(spark, str(landing), out, store, ckpt, docs.schema)
+    q.awaitTermination(120)
+
+    # trigger 2: second shard lands, same checkpoint + store resume
+    docs.filter(F.col("doc_id") >= 250).write.parquet(str(landing / "shard2"))
+    q = stream_dedup(spark, str(landing), out, store, ckpt, docs.schema)
+    q.awaitTermination(120)
+
+    got = read_stream_table(spark, out, "docs_deduped")
+    want = paragraph_dedup(docs, "doc_id", "text")
+    assert _rows(got) == _rows(want)
+
+    # the store now holds exactly the union's distinct paragraph digests
+    from parsedmarc_go_spark.operators.dedup import paragraph_keys
+    from parsedmarc_go_spark.streaming.dedup import read_fingerprints
+
+    store_phs = {r["ph"] for r in read_fingerprints(spark, store).collect()}
+    want_phs = {r["ph"] for r in paragraph_keys(docs).collect()}
+    assert store_phs == want_phs
+
+
+def test_dedup_processor_replay_idempotent(spark, tmp_path):
+    """Crash-and-replay of a batch_id rewrites identical files: the
+    dedup read excludes the batch's own store partition, so the replay
+    sees the store exactly as the first run did."""
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        make_dedup_processor,
+        read_fingerprints,
+    )
+
+    docs = _corpus(spark)
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store)
+
+    shard1 = docs.filter(F.col("doc_id") < 150)
+    shard2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    proc(shard1, 0)
+    proc(shard2, 1)
+    before_out = _rows(read_stream_table(spark, out, "docs_deduped"))
+    before_store = _rows(read_fingerprints(spark, store))
+
+    proc(shard2, 1)  # replay the latest batch
+    assert _rows(read_stream_table(spark, out, "docs_deduped")) == before_out
+    assert _rows(read_fingerprints(spark, store)) == before_store
+
+
+def test_stream_document_mode_matches_exact_dedup(spark, tmp_path):
+    """mode='document': streaming survivors across two batches are
+    exactly the keep_ids of batch exact dedup over the union."""
+    from parsedmarc_go_spark.operators.dedup import exact_dedup_groups
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import make_dedup_processor
+    from parsedmarc_go_spark.tables import load
+
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    # plant whole-document duplicates across the shard split: docs
+    # 400-449 are byte-identical copies of docs 0-49's text
+    low = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 400).alias("doc_id"), "text"
+    )
+    docs = base.filter(
+        (F.col("doc_id") < 400) | (F.col("doc_id") >= 450)
+    ).unionByName(low)
+
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store, mode="document")
+    proc(docs.filter(F.col("doc_id") < 250), 0)
+    proc(docs.filter(F.col("doc_id") >= 250), 1)
+
+    got_ids = sorted(
+        r["doc_id"]
+        for r in read_stream_table(spark, out, "docs_deduped").collect()
+    )
+    want_ids = sorted(
+        r["keep_id"]
+        for r in exact_dedup_groups(docs, "doc_id", "text", keep_text=False).collect()
+    )
+    assert got_ids == want_ids
+    # every planted copy lost to its original
+    assert all(i not in got_ids for i in range(400, 450))
+
+
+def test_fingerprint_store_compaction(spark, tmp_path):
+    """Folding old batch partitions into the -1 base preserves digest
+    membership, shrinks file count, and keeps the LATEST batch's replay
+    idempotent (only old, never-replayable batches are folded)."""
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        compact_fingerprint_store,
+        make_dedup_processor,
+        read_fingerprints,
+    )
+
+    docs = _corpus(spark)
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store)
+    for b in range(4):
+        proc(docs.filter((F.col("doc_id") % 4) == b), b)
+
+    before = {r["ph"] for r in read_fingerprints(spark, store).collect()}
+    files_before, files_after = compact_fingerprint_store(
+        spark, store, keep_last=1
+    )
+    assert files_after < files_before
+    after_df = read_fingerprints(spark, store)
+    assert {r["ph"] for r in after_df.collect()} == before
+    # batches 0-2 folded into the base; batch 3 partition intact
+    ids = {r[0] for r in after_df.select("__batch_id").distinct().collect()}
+    assert ids == {-1, 3}
+
+    # replay of the newest batch is still a no-op after compaction
+    out_before = _rows(read_stream_table(spark, out, "docs_deduped"))
+    store_phs_before = {r["ph"] for r in read_fingerprints(spark, store).collect()}
+    proc(docs.filter((F.col("doc_id") % 4) == 3), 3)
+    assert _rows(read_stream_table(spark, out, "docs_deduped")) == out_before
+    assert {
+        r["ph"] for r in read_fingerprints(spark, store).collect()
+    } == store_phs_before
