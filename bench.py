@@ -58,7 +58,18 @@ HEADLINE = [
 ]
 
 
+def _mem_available_mb() -> int:
+    with open("/proc/meminfo") as fh:
+        for line in fh:
+            if line.startswith("MemAvailable:"):
+                return int(line.split()[1]) // 1024
+    return -1
+
+
 def main() -> None:
+    # machine state BEFORE any Spark work — the contended-session signal
+    load_at_start = round(os.getloadavg()[0], 2)
+    mem_at_start = _mem_available_mb()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -134,6 +145,14 @@ def main() -> None:
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "python_worker_reuse": jconf.get("spark.python.worker.reuse", "true"),
         "cpus": cpus,
+        # machine-state stamps (round-9 task: BENCH_r08's uniform 1.35x
+        # session slowdown took a judge re-run to adjudicate; with load
+        # + free memory recorded at start AND after the timed passes,
+        # the next anomaly is self-diagnosing)
+        "loadavg_1m_start": load_at_start,
+        "mem_available_mb_start": mem_at_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        "mem_available_mb_end": _mem_available_mb(),
     }
 
     total = round(sum(times.values()), 3)
@@ -159,8 +178,11 @@ def main() -> None:
     # ("parsed": null — VERDICT r7 task 2). Persist the full record to a
     # file, then print it, then print a COMPACT line LAST so whatever
     # JSON line the tail capture keeps intact is machine-readable.
+    # the bare name is RESERVED for the canonical sf0.1 record: a quick
+    # run at sf0.001/sf0.01 must not silently overwrite it with a
+    # non-comparable measurement (round-9 ADVICE fix)
     local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BENCH_LOCAL.json" if sf <= 0.1
+                              "BENCH_LOCAL.json" if sf == 0.1
                               else f"BENCH_LOCAL_sf{sf:g}.json")
     with open(local_path, "w") as fh:
         json.dump(full, fh, indent=1)
