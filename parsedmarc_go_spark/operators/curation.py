@@ -252,10 +252,18 @@ def benchmark_ngrams(benchmark: DataFrame, n: int = 8, text_col: str = "text") -
     """Single-column (ng) frame of the benchmark set's distinct token
     n-grams — precompute (and cache) this once when decontaminating
     many corpus shards against the same eval set, e.g. per micro-batch
-    in the streaming curation stage."""
-    return _with_ngrams(benchmark, n, text_col).select(
-        F.explode("ngrams").alias("ng")
-    ).distinct()
+    in the streaming curation stage.
+
+    The ``n`` it was built with is recorded as column metadata on
+    ``ng`` so ``ngram_decontaminate`` can refuse a mismatched reuse —
+    a cached n=13 frame probed against an n=8 corpus side would
+    silently report zero overlaps (round-9 ADVICE fix)."""
+    return (
+        _with_ngrams(benchmark, n, text_col)
+        .select(F.explode("ngrams").alias("ng"))
+        .withMetadata("ng", {"ngram_n": n})
+        .distinct()
+    )
 
 
 def ngram_decontaminate(
@@ -284,6 +292,17 @@ def ngram_decontaminate(
         if benchmark is None:
             raise ValueError("pass benchmark docs or a precomputed bench_ngrams")
         bench_ngrams = benchmark_ngrams(benchmark, n, text_col)
+    else:
+        # a precomputed frame built at a different n than the corpus
+        # side would silently produce zero overlaps; benchmark_ngrams
+        # stamps its n as column metadata — validate when present
+        meta = dict(bench_ngrams.schema["ng"].metadata or {})
+        bench_n = meta.get("ngram_n")
+        if bench_n is not None and int(bench_n) != n:
+            raise ValueError(
+                f"bench_ngrams was built with n={int(bench_n)} but the "
+                f"corpus side uses n={n}; rebuild with benchmark_ngrams(..., n={n})"
+            )
 
     def with_ngrams(df: DataFrame) -> DataFrame:
         return _with_ngrams(df, n, text_col)

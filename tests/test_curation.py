@@ -259,3 +259,23 @@ def test_pack_offsets_no_single_partition_exchange(spark):
     for r in rows:
         assert r["first_seq"] == r["start_offset"] // 2048
         assert r["last_seq"] == (r["end_offset"] - 1) // 2048
+
+
+def test_decontaminate_rejects_mismatched_bench_ngrams(spark):
+    """A cached bench_ngrams frame built at a different n than the
+    corpus side must raise, not silently report zero overlaps."""
+    import pytest
+
+    from parsedmarc_go_spark.operators.curation import (
+        benchmark_ngrams,
+        ngram_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")], ["doc_id", "text"]
+    )
+    cached = benchmark_ngrams(docs, n=13)
+    with pytest.raises(ValueError, match="n=13.*n=8"):
+        ngram_decontaminate(docs, n=8, bench_ngrams=cached)
+    # matching n passes through
+    assert ngram_decontaminate(docs, n=13, bench_ngrams=cached).count() == 1
