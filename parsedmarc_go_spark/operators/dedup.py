@@ -153,6 +153,48 @@ def ngram_jaccard_pairs(
     return _pairs_with_jaccard(index).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_band_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    ensure_parallelism: bool = True,
+) -> DataFrame:
+    """(doc, band, sig) banded MinHash bucket keys — the LSH collision
+    unit, factored out so batch pair-finding (minhash_lsh_pairs) and
+    the streaming fingerprint store (streaming/dedup.py, which persists
+    these as history and drops arriving docs whose band collides) share
+    one definition and can never drift.
+
+    K independent salted xxhash64 permutations. (A cheaper affine /
+    double-hashing family was measured here and rejected: its
+    permutations correlate — the same shingle tends to win adjacent k
+    — which collapses r=2 bands toward r=1 and bloats the bucket join.
+    The K hash evaluations are <1 s at bench SF; the join is what
+    matters.)"""
+    rows = num_hashes // bands
+    stream = _shingle_stream(docs, id_col, n, ensure_parallelism=ensure_parallelism)
+    mins = stream.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(f"mh{k}"), F.col("shingle"))).alias(f"mh_{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return mins.select("doc", F.explode(band_structs).alias("bs")).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -189,31 +231,7 @@ def minhash_lsh_pairs(
     # candidate shingle stream on both sides of its pair join and paid
     # a ~1.9 s physical-plan conversion probing partition counts on the
     # joined verify input.
-    stream = _shingle_stream(docs, id_col, n)
-    # K independent salted xxhash64 permutations. (A cheaper affine /
-    # double-hashing family was measured here and rejected: its
-    # permutations correlate — the same shingle tends to win adjacent k
-    # — which collapses r=2 bands toward r=1 and bloats the bucket join.
-    # The K hash evaluations are <1 s at bench SF; the join is what
-    # matters.)
-    mins = stream.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.lit(f"mh{k}"), F.col("shingle"))).alias(f"mh_{k}")
-            for k in range(num_hashes)
-        ]
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = mins.select("doc", F.explode(band_structs).alias("bs")).select(
-        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    buckets = minhash_band_signatures(docs, id_col, n, num_hashes, bands)
     # bucket self-join: both sides are the same canonical subplan, so
     # Spark computes the (band, sig) exchange ONCE and reuses it
     # (ReusedExchange / AQE stage reuse) — the shingle+minhash pipeline

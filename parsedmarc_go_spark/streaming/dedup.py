@@ -51,7 +51,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from parsedmarc_go_spark.functions.text import normalized_text
-from parsedmarc_go_spark.operators.dedup import paragraph_dedup, paragraph_keys
+from parsedmarc_go_spark.operators.dedup import (
+    minhash_band_signatures,
+    neardup_clusters,
+    paragraph_dedup,
+    paragraph_keys,
+)
 from parsedmarc_go_spark.storage import _parquet_file_stats, swap_directory
 from parsedmarc_go_spark.streaming.daemon import _write_table
 
@@ -96,9 +101,24 @@ def make_dedup_processor(
     digests. ``mode="document"``: whole-document exact dedup on the
     normalized-text sha256 (the exact_dedup_groups key,
     operators/dedup.py:26-60) — the output table keeps the surviving
-    input rows and the store holds document digests."""
-    if mode not in ("paragraph", "document"):
-        raise ValueError(f"mode must be 'paragraph' or 'document', got {mode!r}")
+    input rows and the store holds document digests.
+
+    ``mode="minhash"``: incremental NEAR-dup dedup. The store holds
+    banded MinHash bucket keys (``band:sig`` strings from
+    minhash_band_signatures) of the documents RETAINED so far; an
+    arriving doc is dropped if ANY of its bands collides with history
+    (probabilistic, no exact verify against history — the historical
+    text is not stored, only 16 fixed-width keys per doc; with the
+    default K=32/b=16/r=2 S-curve a false drop needs a 2-hash
+    collision, P ≈ 1e-5 per band for unrelated docs). Within the
+    batch, candidate pairs ARE exact-verified (minhash_lsh_pairs) and
+    each near-dup component keeps its smallest id. Only SURVIVORS'
+    band keys append to the store — a dropped doc's buckets are
+    covered by the retained near-duplicate it collided with."""
+    if mode not in ("paragraph", "document", "minhash"):
+        raise ValueError(
+            f"mode must be 'paragraph', 'document' or 'minhash', got {mode!r}"
+        )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -107,6 +127,7 @@ def make_dedup_processor(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             seen = read_fingerprints(spark, store_dir, exclude_batch_id=batch_id)
             batch = batch.persist()  # scanned by both the output and the store append
+            extra_persists: list[DataFrame] = []
             if mode == "paragraph":
                 out = paragraph_dedup(
                     batch, id_col, text_col, sep=sep,
@@ -114,6 +135,48 @@ def make_dedup_processor(
                 )
                 keys = paragraph_keys(
                     batch, id_col, text_col, sep=sep, normalize=normalize
+                )
+            elif mode == "minhash":
+                from parsedmarc_go_spark.operators.dedup import minhash_lsh_pairs
+
+                # the shingle pipeline reads the column literally named
+                # "text" (operators/dedup.py:_shingle_stream)
+                mb = (
+                    batch
+                    if text_col == "text"
+                    else batch.withColumnRenamed(text_col, "text")
+                )
+                sigs = minhash_band_signatures(mb, id_col).select(
+                    F.col("doc").alias(id_col),
+                    F.concat_ws(":", "band", "sig").alias("ph"),
+                )
+                near_seen = (
+                    sigs.join(seen.select("ph").distinct(), "ph")
+                    .select(id_col)
+                    .distinct()
+                )
+                remaining = mb.join(near_seen, id_col, "left_anti").persist()
+                extra_persists.append(remaining)
+                # within-batch: exact-verified pairs -> components ->
+                # keep the smallest id of each near-dup group
+                pairs = minhash_lsh_pairs(remaining, id_col)
+                dropped = (
+                    neardup_clusters(
+                        pairs.select(
+                            F.col("doc_a").alias("doc_a"),
+                            F.col("doc_b").alias("doc_b"),
+                        )
+                    )
+                    .filter(F.col("doc") != F.col("cluster_id"))
+                    .select(F.col("doc").alias(id_col))
+                )
+                out = remaining.join(dropped, id_col, "left_anti")
+                if text_col != "text":
+                    out = out.withColumnRenamed("text", text_col)
+                keys = (
+                    sigs.join(
+                        out.select(id_col), id_col
+                    ).select("ph").distinct()
                 )
             else:
                 fps = batch.withColumn(
@@ -141,6 +204,8 @@ def make_dedup_processor(
             ).localCheckpoint()
             _write_table(out, out_dir, "docs_deduped", batch_id)
             _write_table(new_keys, store_dir, STORE_TABLE, batch_id)
+            for df in extra_persists:
+                df.unpersist()
             batch.unpersist()
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -170,3 +170,69 @@ def test_fingerprint_store_compaction(spark, tmp_path):
     assert {
         r["ph"] for r in read_fingerprints(spark, store).collect()
     } == store_phs_before
+
+
+def test_stream_minhash_mode_drops_near_dups_across_batches(spark, tmp_path):
+    """mode='minhash': an arriving doc whose band signatures collide
+    with RETAINED history is dropped (near-dup vs a past batch, no
+    text stored — only band:sig keys); within a batch, exact-verified
+    near-dup groups keep their smallest id; distinct docs survive; and
+    replay of the latest batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        make_dedup_processor,
+        read_fingerprints,
+    )
+
+    # Synthetic corpus with DISJOINT token vocabularies per doc, so the
+    # only near-dups are the planted ones (the natural sf0.001 docs
+    # contain real near-dups, which would entangle the assertions):
+    def toks(prefix, n=40):
+        return " ".join(f"{prefix}t{j}" for j in range(n))
+
+    b0_rows = [(i, toks(f"d{i}")) for i in range(100)]
+    # near-copies of docs 0-9: last 4 of 40 tokens replaced (shingle
+    # jaccard ~0.85 -> some of the 16 r=2 bands collide with history;
+    # deterministic because all hashing is of fixed strings)
+    near = [
+        (1000 + d, toks(f"d{d}", 36) + " " + toks(f"mut{d}", 4))
+        for d in range(10)
+    ]
+    fresh = [(1100 + i, toks(f"f{i}")) for i in range(50)]
+    twins = [(2000, toks("twin")), (2001, toks("twin"))]
+    b0 = spark.createDataFrame(b0_rows, ["doc_id", "text"])
+    b1 = spark.createDataFrame(near + fresh + twins, ["doc_id", "text"])
+
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store, mode="minhash")
+    proc(b0, 0)
+    proc(b1, 1)
+
+    got_ids = sorted(
+        r["doc_id"]
+        for r in read_stream_table(spark, out, "docs_deduped").collect()
+    )
+    # batch 0 survives in full (mutually disjoint vocabularies)
+    assert [i for i in got_ids if i < 1000] == list(range(100))
+    # near-copies of retained history: all dropped via band collision
+    assert not [i for i in got_ids if 1000 <= i < 1010]
+    # fresh distinct docs: all retained
+    assert [i for i in got_ids if 1100 <= i < 1150] == list(range(1100, 1150))
+    # within-batch twin pair: smallest id survives
+    assert 2000 in got_ids and 2001 not in got_ids
+
+    # replay of the latest batch: output and store unchanged
+    before_out = sorted(
+        tuple(r) for r in read_stream_table(spark, out, "docs_deduped").collect()
+    )
+    before_store = {r["ph"] for r in read_fingerprints(spark, store).collect()}
+    proc(b1, 1)
+    assert sorted(
+        tuple(r) for r in read_stream_table(spark, out, "docs_deduped").collect()
+    ) == before_out
+    assert {
+        r["ph"] for r in read_fingerprints(spark, store).collect()
+    } == before_store
