@@ -19,7 +19,10 @@ the store:
 - **dedup** = the batch operators themselves run per micro-batch with
   the store as ``seen_keys`` (operators/dedup.py:paragraph_dedup), so
   stream-over-shards equals batch-over-the-union EXACTLY — pinned in
-  tests/test_streaming_dedup.py on a two-trigger run.
+  tests/test_streaming_dedup.py on a two-trigger run. A third mode
+  (``minhash``) persists banded MinHash bucket keys instead, extending
+  the store to NEAR-dup history at 16 fixed-width keys per retained
+  document (see make_dedup_processor for its probabilistic contract).
 - **idempotence** = both the output table and the store append are
   dynamic-partition overwrites of the batch's own ``__batch_id``
   partition, and the dedup read EXCLUDES the current batch's own
