@@ -89,14 +89,17 @@ def kmeans_fit(
     tol: float = 1e-4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Train k unit centroids; returns (centroids, per-iteration max
     centroid shift as 1 - cos(old, new)).
 
     Deterministic end to end: init picks the k rows with the smallest
     xxhash64(id) (a seedless uniform sample — same rows on every run
-    and every executor count), assignment ties break to the lowest
-    cell, and the update's dot/sum order only moves centroids at
+    and every executor count; ``seed`` salts the hash to get a
+    DIFFERENT-but-still-deterministic init, the lever semdedup's
+    multi-pass boundary recovery turns), assignment ties break to the
+    lowest cell, and the update's dot/sum order only moves centroids at
     float-associativity noise, below any tol worth setting. Stops when
     the largest centroid shift drops under ``tol``.
 
@@ -106,7 +109,12 @@ def kmeans_fit(
         F.col(id_col).alias("__id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
     )
-    init = base.orderBy(F.xxhash64(F.col("__id")), F.col("__id")).limit(k).collect()
+    order = (
+        F.xxhash64(F.col("__id"))
+        if seed is None
+        else F.xxhash64(F.lit(seed), F.col("__id"))
+    )
+    init = base.orderBy(order, F.col("__id")).limit(k).collect()
     cents = [_unit(list(r["__v"])) for r in init]
     if not cents:
         raise ValueError("kmeans_fit on an empty vectors frame")
@@ -404,6 +412,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk_rows: int | None = None,
+    n_passes: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication over an embedding corpus, composed entirely
@@ -419,6 +428,16 @@ def semdedup(
     4. per component keep the member LEAST similar to its cell
        centroid — the paper's keep-low-similarity rule (retains the
        least prototypical example); ties break to the smaller id.
+
+    ``n_passes > 1`` is the measured boundary-recovery lever
+    (scripts/semdedup_recall.py): single-pass cell blocking loses the
+    ~12% of true pairs that straddle a Voronoi face, near-independent
+    of cell count; each extra pass re-runs steps 1-2 with re-SEEDED
+    centroids (kmeans_fit's salted init) and unions the pair sets
+    before components, so a pair is lost only if it straddles a
+    boundary in EVERY pass. Cost is linear in passes (one cells fit +
+    one blocked-BLAS sweep each); the reported ``cell`` /
+    ``centroid_sim`` columns are pass 0's.
 
     Returns one row per input vector: ``vec_id, cell, centroid_sim,
     cluster_id, keep`` (``cluster_id`` null for singletons, which are
@@ -450,10 +469,29 @@ def semdedup(
         )
         .drop("__centroid")
     )
-    pairs = cosine_neardup_pairs(
-        assigned, threshold=tau, block_col="cell", id_col=id_col,
-        vec_col=vec_col, chunk_rows=chunk_rows,
-    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    pair_frames = []
+    for p in range(max(1, n_passes)):
+        if p == 0:
+            asg = assigned
+        else:
+            cts, _ = kmeans_fit(
+                vectors, k=n_clusters, max_iters=max_iters,
+                vec_col=vec_col, id_col=id_col, seed=p,
+            )
+            asg = assign_cells(vectors, cts, vec_col, "cell")
+        pair_frames.append(
+            cosine_neardup_pairs(
+                asg, threshold=tau, block_col="cell", id_col=id_col,
+                vec_col=vec_col, chunk_rows=chunk_rows,
+            ).select(
+                F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+            )
+        )
+    pairs = pair_frames[0]
+    for extra in pair_frames[1:]:
+        pairs = pairs.unionByName(extra)
+    if len(pair_frames) > 1:
+        pairs = pairs.distinct()
     comp = neardup_clusters(pairs).select(
         F.col("doc").alias(id_col), "cluster_id"
     )

@@ -122,3 +122,25 @@ def test_semdedup_window_never_sees_singletons(spark):
         a, b = rows[d], rows[d + 100_000]
         assert a["cluster_id"] == b["cluster_id"] is not None
         assert a["keep"] and not b["keep"]
+
+
+def test_semdedup_multipass_keeps_invariants_and_adds_only_pairs(spark):
+    """n_passes=2: re-seeded second blocking can only ADD pairs (union
+    before components), so every single-pass dup group still collapses,
+    the keep rule is unchanged, and output stays one row per vector."""
+    from parsedmarc_go_spark.operators.clustering import semdedup
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    dup_ids = [0, 7, 42, 99]
+    corpus = _with_planted_dups(spark, emb, dup_ids)
+
+    out = semdedup(corpus, n_clusters=8, tau=0.9999, max_iters=3, n_passes=2)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == n + len(dup_ids)
+    for d in dup_ids:
+        a, b = rows[d], rows[d + 100_000]
+        assert a["cluster_id"] == b["cluster_id"] and a["cluster_id"] is not None
+        assert a["keep"] and not b["keep"]
+    assert sum(1 for r in rows.values() if r["keep"]) == n
