@@ -1,0 +1,184 @@
+"""CCNet-style language-model quality scoring (Wenzek et al. 2020 §3.2
+— public paper).
+
+CCNet scores every document with a KenLM 5-gram model trained on a
+reference corpus (Wikipedia) and buckets the corpus into head/middle/
+tail by perplexity percentile. The Spark-first form here keeps that
+pipeline shape with an add-alpha-smoothed BIGRAM model — the model
+order is a parameter of quality, not of the distributed shape, and a
+bigram table is exactly reproducible in the DuckDB oracle where a
+KenLM binary is not:
+
+  1. ``train_bigram_lm``: one pass over the reference slice produces
+     the bigram count table (w1, w2, c12); history counts derive from
+     it by a w1 roll-up and the vocabulary size rides as a broadcast
+     1-row frame — the LM is DataFrames all the way down, never a
+     driver-side dict.
+  2. ``lm_score``: explode each corpus document's adjacent token pairs,
+     broadcast-join the LM tables, and compute the add-alpha log
+     probability per pair:
+
+        log p(w2 | w1) = ln( (c12 + a) / (c1 + a * (V + 1)) )
+
+     with c12/c1 = 0 for unseen pairs/histories (the +1 is the OOV
+     pseudo-type). Per-pair log-probs are quantized to a 1e-4 grid
+     BEFORE summing (the registry's fixed-point rule: double sums are
+     order-sensitive; a per-row grid + integer sum is exact on any
+     engine, and 1e-4 nats/token is far below any quality-signal
+     noise floor). Output per doc: ``n_bigrams`` and ``nll`` (average
+     negative log prob per pair — monotone with perplexity
+     ``exp(nll)``, left un-exponentiated so the value is grid-exact).
+  3. ``ppl_buckets``: head/middle/tail labels from corpus-level
+     ``nll`` quantile thresholds — computed with percentile_approx as
+     a broadcast 1-row frame, NOT a global ntile window (a single
+     ORDER BY partition over the whole corpus is exactly the
+     singleton-window scale-killer the semdedup fix removed).
+
+Scale shape (100 TB contract): a real reference LM table is millions
+of bigrams — broadcastable; ``broadcast_lm=False`` switches both
+probe joins to hash-shuffle joins keyed on (w1, w2)/(w1) for an LM
+too large to broadcast. The corpus side is one scan + pair explode +
+one doc_id aggregation; the repartition-before-transform idiom from
+ngram_decontaminate applies (few giant parquet files otherwise give
+few transform tasks). No driver-side model state, no per-row Python.
+
+Reference parity note: the reference pipeline has no statistical
+quality model — this is an LLM-pipeline staple layered on the same
+explode/broadcast-join machinery as ngram_decontaminate
+(operators/curation.py:269).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# per-pair log-prob quantization grid (nats): integer sums of the
+# quantized values are order-independent and engine-exact
+_LP_SCALE = 10_000.0
+
+
+def _token_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pair stream, lowercase single-space
+    tokenization (the corpus-wide convention). Documents with < 2
+    tokens emit nothing; the scorer restores them with n_bigrams=0.
+    Pure slice/zip expressions — no shuffle, no interpreted lambdas in
+    the splitter."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    pairs = F.arrays_zip(
+        F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+        F.expr("slice(toks, 2, size(toks) - 1)").alias("w2"),
+    )
+    return toks.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def train_bigram_lm(
+    ref: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the bigram count model on a reference corpus. Returns
+    ``(bigrams, histories, vocab)``:
+
+    - ``bigrams``: (w1, w2, c12) pair counts,
+    - ``histories``: (w1, c1) with c1 = sum of c12 over w2 — derived
+      from the bigram frame so normalization can never drift from it,
+    - ``vocab``: broadcast-sized 1-row frame (v) of the reference's
+      distinct token count (the smoothing denominator's type count).
+
+    All three stay DataFrames; nothing is collected."""
+    pairs = _token_pairs(ref, id_col, text_col)
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    histories = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        ref.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return bigrams, histories, vocab
+
+
+def lm_score(
+    corpus: DataFrame,
+    bigrams: DataFrame,
+    histories: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score every corpus document against the trained LM. Returns one
+    row per input document: ``doc_id, n_bigrams, nll`` where ``nll``
+    is the average negative log probability per adjacent-token pair
+    (natural log, 1e-4-grid exact) and is NULL for documents with
+    fewer than two tokens.
+
+    ``broadcast_lm=True`` broadcasts both LM tables (the real-corpus
+    default — reference LMs are MBs–GBs, corpus is TBs); ``False``
+    falls back to shuffle hash joins keyed on the pair/history for an
+    LM that outgrows the driver."""
+    sc = corpus.sparkSession.sparkContext
+    mark = F.broadcast if broadcast_lm else (lambda df: df)
+    pairs = _token_pairs(
+        corpus.repartition(sc.defaultParallelism), id_col, text_col
+    )
+    scored = (
+        pairs.join(mark(bigrams), ["w1", "w2"], "left")
+        .join(mark(histories), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    num = F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(alpha)
+    den = F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(alpha) * (
+        F.col("v").cast("double") + F.lit(1.0)
+    )
+    lp_fp = F.floor(F.log(num / den) * F.lit(_LP_SCALE) + F.lit(0.5)).cast("long")
+    per_doc = (
+        scored.select(F.col(id_col), lp_fp.alias("lp_fp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                -(F.sum("lp_fp").cast("double") / F.lit(_LP_SCALE))
+                / F.count("*").cast("double")
+            ).alias("nll"),
+        )
+    )
+    # restore <2-token documents (they emitted no pairs) with NULL nll
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            "nll",
+        )
+    )
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    nll_col: str = "nll",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet head/middle/tail labels from corpus-level nll quantiles.
+
+    Thresholds come from ``percentile_approx`` on a single aggregation
+    (broadcast 1-row frame) — never a global ORDER BY window, which
+    would funnel the whole corpus through one task. Approximate
+    thresholds shift only boundary documents between adjacent buckets
+    (the CCNet cut is itself a heuristic); documents with NULL nll
+    (< 2 tokens) land in ``tail``. Adds a ``ppl_bucket`` column."""
+    t = scored.agg(
+        F.percentile_approx(nll_col, list(probs), 100_000).alias("__t")
+    )
+    out = scored.crossJoin(F.broadcast(t))
+    nll = F.col(nll_col)
+    return out.select(
+        *scored.columns,
+        F.when(nll <= F.col("__t")[0], F.lit("head"))
+        .when(nll <= F.col("__t")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

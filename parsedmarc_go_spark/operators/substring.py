@@ -1,0 +1,225 @@
+"""Exact duplicated-substring detection and removal (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better" — public
+paper, the ExactSubstr operator).
+
+The paper's single-machine form builds a corpus-wide suffix array; the
+Spark-first decomposition used here is the standard rolling-window
+equivalent deployed in large-pipeline practice: any duplicated
+substring of >= k tokens necessarily contains a duplicated k-token
+gram, so
+
+  1. slide a k-token gram window over every document (codegen'd
+     slice/arrays-zip expressions — the `_shingle_stream` lesson from
+     operators/dedup.py applies: HOF lambdas evaluate interpreted),
+  2. count gram occurrences corpus-wide keyed on the 32-byte sha256 of
+     the gram (fixed-width shuffle key, never the text),
+  3. keep-first: the occurrence with the smallest exact-int
+     ``doc_id * 1e6 + pos`` key survives, every other occurrence of a
+     duplicated gram is REMOVABLE (mirrors paragraph_dedup's winner
+     rule, dedup.py:576),
+  4. merge each document's removable gram positions into maximal
+     duplicated SPANS with a gaps-and-islands pass (lag + running sum
+     windows partitioned by doc_id — per-doc state only),
+  5. optionally strip the spans' tokens from the text.
+
+Scale shape (100 TB contract): the gram stream is one scan + explode
+(k× row amplification, same as MinHash shingling); the occurrence
+count + winner rule is ONE window keyed on the uniformly-distributed
+digest (no null class, no agg+self-join subtree recompute — the
+single-scan paragraph_dedup form); islands shuffle once on doc_id and
+the per-doc window state is only that document's duplicated positions.
+Nothing is ever |corpus|²; work scales with duplicated grams. Span
+REMOVAL joins spans back to docs and rewrites tokens only for
+documents that have at least one span (inner join + union of the
+untouched remainder), so the interpreted-lambda rewrite cost is paid
+solely on affected documents.
+
+Reference parity note: the reference pipeline (parsedmarc-go) has no
+sub-document dedup at all — this is an LLM-pipeline staple layered on
+the dedup machinery, like paragraph_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# keep-first ordering key: doc_id * _KEY_BASE + pos must be
+# collision-free in an int64 (1e12 docs x 1e6 gram positions/doc)
+_KEY_BASE = 1_000_000
+
+
+def _gram_stream(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, gh) stream of k-token gram digests, one row per
+    gram position, 0-based ``pos``. Tokenization is lowercase +
+    single-space split (the text_chunking / decontamination convention,
+    so the same tokens feed every sub-document operator). Documents
+    shorter than k tokens emit nothing. All of split/slice/concat stays
+    inside whole-stage codegen; no shuffle happens here — gram rows
+    inherit the scan partitioning."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> array_join(slice(toks, i, {k}), ' '))"
+    )
+    return toks.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    ).select(id_col, "pos", F.sha2("gram", 256).alias("gh"))
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    A k-token gram is *duplicated* when it occurs more than once
+    corpus-wide (across documents or repeated within one). With
+    ``keep_first=True`` (the ExactSubstr semantic) the first occurrence
+    — smallest ``(doc_id, pos)`` — is exempt, so exactly one copy of
+    every duplicated substring survives removal; ``keep_first=False``
+    marks every occurrence (the "flag all duplicated text" audit view).
+
+    Overlapping / adjacent removable grams merge into islands: grams at
+    positions p1 < p2 belong to one span when ``p2 - p1 <= k`` (their
+    token coverage [p, p+k) overlaps or touches). Returns one row per
+    span: ``doc_id, span_start, span_end, n_dup_grams`` with token
+    indices, ``span_end`` exclusive.
+
+    The < 1e6 grams/doc bound of the keep-first key is enforced per
+    GROUP in the island aggregation (the paragraph_dedup guard idiom —
+    a per-row guard on the hot gram stream measured far worse there).
+    """
+    g = _gram_stream(docs, id_col, text_col, k).withColumn(
+        "okey", F.col(id_col).cast("long") * _KEY_BASE + F.col("pos")
+    )
+    # one digest-keyed window gives both the duplicate test and the
+    # winner rule — no count-agg + self-join subtree recompute
+    w = Window.partitionBy("gh")
+    flagged = g.select(
+        id_col,
+        "pos",
+        (F.count("*").over(w) >= 2).alias("is_dup"),
+        (F.col("okey") == F.min("okey").over(w)).alias("is_winner"),
+    )
+    removable = flagged.filter(
+        F.col("is_dup") & (~F.col("is_winner") if keep_first else F.lit(True))
+    )
+    dw = Window.partitionBy(id_col).orderBy("pos")
+    islands = removable.select(
+        id_col,
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(dw) <= k, 0)
+        .otherwise(1)
+        .alias("brk"),
+    ).withColumn(
+        "island", F.sum("brk").over(dw.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("span_end") - k >= _KEY_BASE,
+                F.raise_error(
+                    F.concat(
+                        F.lit("duplicated_spans: document "),
+                        F.col(id_col).cast("string"),
+                        F.lit(" has >= 1e6 gram positions; keep-first key overflows"),
+                    )
+                ).cast("int"),
+            )
+            .otherwise(F.col("span_start"))
+            .alias("span_start"),
+            "span_end",
+            "n_dup_grams",
+        )
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans' tokens removed.
+
+    ``spans`` is the ``duplicated_spans`` output (token-index
+    [span_start, span_end) intervals, disjoint per document by
+    construction). Returns ``doc_id, dedup_text, n_tokens,
+    n_tokens_removed`` for EVERY input document — untouched documents
+    pass through without paying the rewrite.
+
+    The rewrite joins the per-doc span list (collect_list of disjoint
+    intervals — bounded by n_tokens/k per doc) onto only the AFFECTED
+    documents and drops tokens whose position falls inside any span
+    with a filter-over-positions expression; the untouched remainder
+    unions back with zero rewrite cost. Tokenization matches
+    duplicated_spans (lowercase, single-space split) so indices line
+    up."""
+    doc_spans = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("__span_tokens"),
+    )
+    toks = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    )
+    hit = toks.join(doc_spans, id_col, "inner")
+    # spans never extend past the token count, so removed = span length;
+    # the exists() lambda is interpreted, but runs only on affected docs
+    rewritten = hit.select(
+        id_col,
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.transform(
+                        F.col("toks"),
+                        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+                    ),
+                    lambda s: ~F.exists(
+                        F.col("spans"),
+                        lambda sp: (s["i"] >= sp["span_start"])
+                        & (s["i"] < sp["span_end"]),
+                    ),
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.size("toks").alias("n_tokens"),
+        F.col("__span_tokens").cast("long").alias("n_tokens_removed"),
+    )
+    untouched = toks.join(doc_spans.select(id_col), id_col, "left_anti").select(
+        id_col,
+        F.array_join("toks", " ").alias("dedup_text"),
+        F.size("toks").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_tokens_removed"),
+    )
+    return rewritten.unionByName(untouched)
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr end-to-end: detect duplicated >= k-token spans with
+    the keep-first rule and strip them, leaving exactly one occurrence
+    of every duplicated substring corpus-wide. Composition of
+    ``duplicated_spans`` + ``strip_duplicated_spans``."""
+    spans = duplicated_spans(docs, id_col, text_col, k=k, keep_first=True)
+    return strip_duplicated_spans(docs, spans, id_col, text_col)

@@ -66,6 +66,17 @@ _WINDOW_DEMOTED = (
     # the only delta is the normalized_text key expression — born
     # demoted, value-checked by pytest at two SFs like the rest
     "dedup_paragraph_fuzzy",
+    # ExactSubstr spans (round 9): machinery hash-checked in-window
+    # piecewise — slice/transform grams by text_chunking +
+    # decontaminate_ngram, keep-first winner key by dedup_paragraph,
+    # lag/running-sum islands by e1_sessionize + a19_running_total —
+    # born demoted, pytest value-checks the composed gate at two SFs
+    "dedup_substring_spans",
+    # CCNet bigram-LM scoring (round 9): pair explode + broadcast
+    # probe hash-checked in-window by decontaminate_ngram, bigram
+    # grouping by text_repetition_stats, fixed-point sums by the
+    # a-family — born demoted, pytest value-checks it at two SFs
+    "quality_lm_score",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -443,3 +443,58 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsedmarc_go_spark.operators.curation import pack_offsets
 
     return pack_offsets(load(spark, sf_dir, "documents"), "n_chars", 2048)
+
+
+# CCNet LM-quality gate (round 9, Wenzek et al. 2020 §3.2): train the
+# add-alpha bigram LM on the doc_id % 10 == 0 reference slice and score
+# EVERY document. Per-pair log-probs are quantized to a 1e-4 grid
+# before the integer sum (registry fixed-point rule), so nll is
+# engine-exact; ln() itself may differ by ulps across libms but the
+# grid absorbs that except on measure-zero boundaries. Born demoted:
+# its machinery is hash-checked in-window piecewise — the pair
+# explode + broadcast-probe by decontaminate_ngram, the bigram
+# grouping by text_repetition_stats, the fixed-point agg by the
+# a-family sums; pytest value-checks the whole gate at two SFs.
+_LM_ORACLE = """
+    WITH ref AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents WHERE doc_id % 10 = 0),
+    rp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM ref, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY w1, w2),
+    hist AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM ref)),
+    cd AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    cp AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM cd, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+    sc AS (SELECT cp.doc_id,
+                  CAST(floor(ln((CAST(COALESCE(bg.c12, 0) AS DOUBLE) + 0.5)
+                                / (CAST(COALESCE(hist.c1, 0) AS DOUBLE)
+                                   + 0.5 * (CAST(v.v AS DOUBLE) + 1.0)))
+                             * 10000.0 + 0.5) AS BIGINT) AS lp_fp
+           FROM cp LEFT JOIN bg ON cp.w1 = bg.w1 AND cp.w2 = bg.w2
+                   LEFT JOIN hist ON cp.w1 = hist.w1
+                   CROSS JOIN v),
+    pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                  -(CAST(SUM(lp_fp) AS DOUBLE) / 10000.0)
+                    / CAST(count(*) AS DOUBLE) AS nll
+           FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams, pd.nll
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
+@query("quality_lm_score", oracle=_LM_ORACLE)
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: smoothed bigram LM trained on
+    the doc_id % 10 reference slice, every document scored with
+    grid-exact average negative log prob. See operators/lm.py for the
+    100 TB shape (broadcast LM probe, no global windows)."""
+    from parsedmarc_go_spark.operators.lm import lm_score, train_bigram_lm
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    bigrams, histories, vocab = train_bigram_lm(ref)
+    return lm_score(docs, bigrams, histories, vocab)

@@ -322,6 +322,74 @@ def dedup_paragraph_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(t, "doc_id", "text", sep="<P>", normalize=True)
 
 
+# Exact-substring dedup gate (round 9, Lee et al. 2021 ExactSubstr):
+# the synthetic documents share no natural >= 8-token runs, so both
+# engines plant an identical 10-token run (class = doc_id % 7) between
+# two slices of the document's own text. The duplicated-gram winner
+# rule and island merge are exact-int, so the gate value-checks every
+# span cell-for-cell. Born demoted: its machinery is hash-checked
+# in-window piecewise — the slice/transform gram family by
+# text_chunking + decontaminate_ngram, the keep-first winner key by
+# dedup_paragraph, the lag/running-sum island windows by
+# e1_sessionize + a19_running_total; pytest value-checks this gate
+# whole at two SFs like every oracle-bearing query.
+_SUBSTR_K = 8
+_SUBSTR_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(text, 1, 100)
+               || ' dupseg alpha bravo charlie delta echo foxtrot golf hotel class'
+               || CAST(doc_id % 7 AS VARCHAR) || ' '
+               || substr(text, 101, 100) AS text
+      FROM documents),
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM base),
+    g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 array_to_string(toks[i : i + {_SUBSTR_K - 1}], ' ') AS gram
+          FROM d, unnest(range(1, len(toks) - {_SUBSTR_K - 2})) AS t(i)
+          WHERE len(toks) >= {_SUBSTR_K}),
+    f AS (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY gram) AS cnt,
+                 min(doc_id * 1000000 + pos) OVER (PARTITION BY gram) AS wk,
+                 doc_id * 1000000 + pos AS okey
+          FROM g),
+    r AS (SELECT doc_id, pos FROM f WHERE cnt >= 2 AND okey <> wk),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           <= {_SUBSTR_K}
+                      THEN 0 ELSE 1 END AS brk
+          FROM r),
+    s AS (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM i)
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {_SUBSTR_K} AS INT) AS span_end,
+           count(*) AS n_dup_grams
+    FROM s GROUP BY doc_id, island
+"""
+
+
+@query("dedup_substring_spans", oracle=_SUBSTR_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-span detection: corpus-wide duplicated
+    k-token grams, keep-first winner exempt, overlapping grams merged
+    into maximal spans. See operators/substring.py for the 100 TB
+    shape (one digest-keyed window + one doc_id-keyed island pass)."""
+    from parsedmarc_go_spark.operators.substring import duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    itext = F.concat(
+        F.substring("text", 1, 100),
+        F.lit(
+            " dupseg alpha bravo charlie delta echo foxtrot golf hotel class"
+        ),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" "),
+        F.substring("text", 101, 100),
+    )
+    t = docs.select("doc_id", itext.alias("text"))
+    return duplicated_spans(t, "doc_id", "text", k=_SUBSTR_K)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline additions (round 2): chunking, TF-IDF, cluster
 # components — each with a full DuckDB oracle.

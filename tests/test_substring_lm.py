@@ -1,0 +1,174 @@
+"""Planted-fixture drives for the round-9 operators: ExactSubstr
+duplicated-span detection/removal (operators/substring.py) and
+CCNet-style bigram-LM quality scoring (operators/lm.py). The oracle
+gates (dedup_substring_spans, quality_lm_score) value-check the
+corpus-scale pipelines against DuckDB in test_queries_vs_duckdb; these
+tests pin the hand-checkable semantics the gates can't isolate:
+keep-first exemption, self-repetition, island adjacency, span
+stripping, the add-alpha formula against pure-Python math, and the
+broadcast/shuffle LM probe equivalence."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from parsedmarc_go_spark.operators.lm import (
+    lm_score,
+    ppl_buckets,
+    train_bigram_lm,
+)
+from parsedmarc_go_spark.operators.substring import (
+    duplicated_spans,
+    strip_duplicated_spans,
+    substring_dedup,
+)
+
+SHARED = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+
+
+@pytest.fixture(scope="module")
+def substring_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "zz0 " + SHARED + " tail0 a b c"),
+            (1, "yy1 kk1 " + SHARED + " tail1"),
+            (2, "unique words only here nothing repeats at all in this one"),
+            (3, SHARED + " " + SHARED),  # self-repetition
+            (4, "x y"),  # shorter than k -> no grams
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_duplicated_spans_keep_first(spark, substring_docs):
+    rows = {
+        (r.doc_id, r.span_start, r.span_end): r.n_dup_grams
+        for r in duplicated_spans(substring_docs, k=8).collect()
+    }
+    # doc 0 holds the first occurrence of every shared gram -> exempt;
+    # doc 1's copy sits at token positions 2..11 -> span [2, 12);
+    # doc 3 is wall-to-wall duplicated text (two shared copies whose
+    # prefix grams repeat) -> the islands merge into one [0, 20) span
+    assert rows == {(1, 2, 12): 3, (3, 0, 20): 6}
+
+
+def test_duplicated_spans_flag_all(spark, substring_docs):
+    # keep_first=False marks the doc-0 original too
+    by_doc = {}
+    for r in duplicated_spans(substring_docs, k=8, keep_first=False).collect():
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert (1, 11) in by_doc[0]  # shared run at positions 1..10
+    assert by_doc[1] == [(2, 12)]
+    assert 2 not in by_doc and 4 not in by_doc
+
+
+def test_strip_and_compose(spark, substring_docs):
+    out = {r.doc_id: r for r in substring_dedup(substring_docs, k=8).collect()}
+    assert out[0].n_tokens_removed == 0  # first occurrence survives
+    assert out[1].dedup_text == "yy1 kk1 tail1"
+    assert out[1].n_tokens_removed == 10
+    assert out[2].n_tokens_removed == 0
+    assert out[3].dedup_text == ""  # fully duplicated document
+    assert out[3].n_tokens_removed == 20
+    assert out[4].dedup_text == "x y"  # short doc passes through
+    # token accounting: removed + surviving == original count
+    for r in out.values():
+        survivors = len(r.dedup_text.split(" ")) if r.dedup_text else 0
+        assert survivors + r.n_tokens_removed == r.n_tokens
+
+
+def test_strip_rejects_nothing_without_spans(spark, substring_docs):
+    spans = duplicated_spans(substring_docs, k=8).filter("doc_id < 0")
+    out = strip_duplicated_spans(substring_docs, spans).collect()
+    assert all(r.n_tokens_removed == 0 for r in out)
+    assert len(out) == 5
+
+
+def test_island_adjacency_merges_touching_coverage(spark):
+    # two duplicated grams at positions p and p+k have touching token
+    # coverage -> one span, not two
+    filler_a = " ".join(f"fa{i}" for i in range(8))
+    filler_b = " ".join(f"fb{i}" for i in range(8))
+    run_a = " ".join(f"ra{i}" for i in range(8))
+    run_b = " ".join(f"rb{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{run_a} {run_b} start"),  # originals
+            (1, f"{filler_a} {run_a} {run_b} {filler_b}"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = [
+        (r.span_start, r.span_end)
+        for r in duplicated_spans(docs, k=8).filter("doc_id = 1").collect()
+    ]
+    assert spans == [(8, 24)]
+
+
+LM_REF = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the rug"),
+]
+LM_CORPUS = [
+    (10, "the cat sat on the mat"),
+    (11, "zz qq ww ee rr tt"),
+    (12, "x"),
+]
+
+
+def _python_lm_nll(ref_texts: list[str], text: str, alpha: float = 0.5) -> float:
+    """Pure-Python add-alpha bigram reference with the 1e-4 grid."""
+    bg: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    for t in ref_texts:
+        toks = t.lower().split(" ")
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), c in bg.items():
+        c1[a] = c1.get(a, 0) + c
+    v = len(vocab)
+    toks = text.lower().split(" ")
+    total = 0
+    pairs = list(zip(toks, toks[1:]))
+    for a, b in pairs:
+        lp = math.log(
+            (bg.get((a, b), 0) + alpha) / (c1.get(a, 0) + alpha * (v + 1))
+        )
+        total += math.floor(lp * 10000.0 + 0.5)
+    return -(total / 10000.0) / len(pairs)
+
+
+def test_lm_score_matches_python_reference(spark):
+    ref = spark.createDataFrame(LM_REF, ["doc_id", "text"])
+    corpus = spark.createDataFrame(LM_CORPUS, ["doc_id", "text"])
+    bigrams, histories, vocab = train_bigram_lm(ref)
+    out = {r.doc_id: r for r in lm_score(corpus, bigrams, histories, vocab).collect()}
+    ref_texts = [t for _, t in LM_REF]
+    assert out[10].n_bigrams == 5
+    assert out[10].nll == pytest.approx(_python_lm_nll(ref_texts, LM_CORPUS[0][1]), abs=1e-12)
+    assert out[11].nll == pytest.approx(_python_lm_nll(ref_texts, LM_CORPUS[1][1]), abs=1e-12)
+    assert out[10].nll < out[11].nll  # fluent text scores better than OOV soup
+    assert out[12].n_bigrams == 0 and out[12].nll is None
+
+
+def test_lm_score_shuffle_join_matches_broadcast(spark):
+    ref = spark.createDataFrame(LM_REF, ["doc_id", "text"])
+    corpus = spark.createDataFrame(LM_CORPUS, ["doc_id", "text"])
+    lm = train_bigram_lm(ref)
+    a = sorted(lm_score(corpus, *lm, broadcast_lm=True).collect())
+    b = sorted(lm_score(corpus, *lm, broadcast_lm=False).collect())
+    assert a == b
+
+
+def test_ppl_buckets_order_and_nulls(spark):
+    ref = spark.createDataFrame(LM_REF, ["doc_id", "text"])
+    corpus = spark.createDataFrame(LM_CORPUS, ["doc_id", "text"])
+    scored = lm_score(corpus, *train_bigram_lm(ref))
+    buckets = {r.doc_id: r.ppl_bucket for r in ppl_buckets(scored).collect()}
+    assert buckets[10] == "head"  # lowest nll
+    assert buckets[12] == "tail"  # NULL nll lands in tail
+    assert set(buckets.values()) <= {"head", "middle", "tail"}
