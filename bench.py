@@ -55,6 +55,11 @@ HEADLINE = [
     # the r8 flagship: CCNet paragraph dedup — explode + digest-keyed
     # keep-first + collect_list re-assembly, three distinct shuffles
     "dedup_paragraph",
+    # r9 additions: ExactSubstr span detection (gram explode + one
+    # digest-keyed window + doc_id island pass) and the CCNet bigram-LM
+    # scorer (pair explode + broadcast LM probe + fixed-point agg)
+    "dedup_substring_spans",
+    "quality_lm_score",
 ]
 
 
@@ -169,8 +174,10 @@ def main() -> None:
         # r5 swapped j3_range_join → j3b_geoip_range_join (heavier,
         # hash-matched); r7 added ann_lsh_indexed, then
         # decontaminate_ngram (curation family representative);
-        # r8 added dedup_paragraph (the round's flagship)
-        "mix_version": "r8.1",
+        # r8 added dedup_paragraph (the round's flagship); r9 added
+        # dedup_substring_spans + quality_lm_score (the round's two
+        # new operators) — r8.1 totals = r9.1 minus those two queries
+        "mix_version": "r9.1",
         "mix": HEADLINE,
     }
     # The driver records only the TAIL of stdout (~4 KB): in round 7 the
