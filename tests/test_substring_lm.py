@@ -172,3 +172,43 @@ def test_ppl_buckets_order_and_nulls(spark):
     assert buckets[10] == "head"  # lowest nll
     assert buckets[12] == "tail"  # NULL nll lands in tail
     assert set(buckets.values()) <= {"head", "middle", "tail"}
+
+
+def _final_plan(df) -> str:
+    df.collect()  # let AQE finalize
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan"
+    # after the final one — keep only the executed section or every
+    # node would be counted twice
+    return p.split("== Initial Plan ==")[0]
+
+
+def test_substring_plan_shape(spark):
+    """The 100 TB contract: exactly two hash exchanges — one on the
+    gram digest (count + winner in a single window pass), one on
+    doc_id for the island windows + span aggregation — and no
+    broadcast of anything corpus-sized."""
+    from parsedmarc_go_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    p = _final_plan(QUERIES["dedup_substring_spans"](spark, SF_SMOKE))
+    exchanges = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 2, p
+    assert any("gh" in ln for ln in exchanges)
+    assert any("doc_id" in ln for ln in exchanges)
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+
+
+def test_lm_score_plan_broadcasts_lm(spark):
+    """Both LM probes must be broadcast joins (the corpus side never
+    shuffles for the probe) and the vocab ride-along a broadcast
+    1-row nested loop — no corpus-keyed exchange except the
+    repartition-before-transform and the doc_id aggregation."""
+    from parsedmarc_go_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    p = _final_plan(QUERIES["quality_lm_score"](spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row vocab cross join
+    assert "CartesianProduct" not in p
