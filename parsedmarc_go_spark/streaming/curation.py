@@ -1,7 +1,8 @@
 """Continuous curation: the batch curation passes (PII redaction,
 Gopher repetition stats, benchmark n-gram decontamination —
-operators/curation.py) run as a Structured Streaming stage over
-arriving document shards.
+operators/curation.py — and optionally CCNet LM quality scoring,
+operators/lm.py) run as a Structured Streaming stage over arriving
+document shards.
 
 A training-data pipeline does not curate once: shards arrive
 continuously (crawl dumps, ingest landings) and each must pass the same
@@ -30,9 +31,11 @@ from parsedmarc_go_spark.operators.curation import (
     pii_redact,
     repetition_stats,
 )
+from parsedmarc_go_spark.operators.lm import lm_score, train_bigram_lm
 from parsedmarc_go_spark.streaming.daemon import _write_table
 
 CURATION_TABLES = ("docs_redacted", "repetition_stats", "decontamination")
+LM_TABLE = "lm_scores"
 
 
 def make_curation_processor(
@@ -40,11 +43,23 @@ def make_curation_processor(
     benchmark: DataFrame,
     n: int = 8,
     text_col: str = "text",
+    lm_ref: DataFrame | None = None,
 ):
     """foreachBatch body for the curation stage, factored out (like the
     daemon's make_batch_processor) so idempotence and parity are
-    directly testable without a streaming harness."""
+    directly testable without a streaming harness.
+
+    ``lm_ref`` (optional) enables the CCNet LM quality pass: the
+    bigram LM is trained ONCE at processor build — the same
+    stream-static pattern as the benchmark n-grams — its three frames
+    cached, and every micro-batch is scored against the fixed model
+    into the ``lm_scores`` table. Like every pass here the math is
+    per-document against a fixed reference, so stream == batch holds
+    exactly."""
     bench_ngrams = benchmark_ngrams(benchmark, n, text_col).cache()
+    lm = None
+    if lm_ref is not None:
+        lm = tuple(f.cache() for f in train_bigram_lm(lm_ref, text_col=text_col))
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -60,6 +75,8 @@ def make_curation_processor(
                     batch, n=n, text_col=text_col, bench_ngrams=bench_ngrams
                 ),
             }
+            if lm is not None:
+                outputs[LM_TABLE] = lm_score(batch, *lm, text_col=text_col)
             for name, df in outputs.items():
                 _write_table(df, out_dir, name, batch_id)
         finally:
@@ -80,12 +97,14 @@ def stream_curation(
     max_files_per_trigger: int = 1000,
     available_now: bool = True,
     trigger_seconds: int | None = None,
+    lm_ref: DataFrame | None = None,
 ) -> StreamingQuery:
     """readStream(parquet document shards) → curation passes →
-    foreachBatch writing the three curation tables. ``schema`` defaults
-    to the benchmark frame's schema (shards and eval set share the
-    documents layout); ``maxFilesPerTrigger`` is the backpressure knob,
-    as in the ingest daemon."""
+    foreachBatch writing the curation tables (plus ``lm_scores`` when
+    ``lm_ref`` is given). ``schema`` defaults to the benchmark frame's
+    schema (shards and eval set share the documents layout);
+    ``maxFilesPerTrigger`` is the backpressure knob, as in the ingest
+    daemon."""
     docs = (
         spark.readStream.schema(schema or benchmark.schema)
         .option("recursiveFileLookup", "true")
@@ -93,7 +112,7 @@ def stream_curation(
         .parquet(landing_dir)
     )
     writer = docs.writeStream.foreachBatch(
-        make_curation_processor(out_dir, benchmark, n, text_col)
+        make_curation_processor(out_dir, benchmark, n, text_col, lm_ref=lm_ref)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -26,8 +26,11 @@ def test_stream_curation_two_trigger_parity(spark, tmp_path):
     from parsedmarc_go_spark.streaming.daemon import read_stream_table
     from parsedmarc_go_spark.tables import load
 
+    from parsedmarc_go_spark.operators.lm import lm_score, train_bigram_lm
+
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    lm_ref = docs.filter(F.col("doc_id") % 10 == 0)
 
     landing = tmp_path / "landing"
     out = str(tmp_path / "curated")
@@ -36,30 +39,36 @@ def test_stream_curation_two_trigger_parity(spark, tmp_path):
 
     # trigger 1: first shard lands
     docs.filter(F.col("doc_id") < 250).write.parquet(str(landing / "shard1"))
-    q = stream_curation(spark, str(landing), out, ckpt, benchmark)
+    q = stream_curation(spark, str(landing), out, ckpt, benchmark, lm_ref=lm_ref)
     q.awaitTermination(120)
 
     # trigger 2: second shard lands, same checkpoint resumes
     docs.filter(F.col("doc_id") >= 250).write.parquet(str(landing / "shard2"))
-    q = stream_curation(spark, str(landing), out, ckpt, benchmark)
+    q = stream_curation(spark, str(landing), out, ckpt, benchmark, lm_ref=lm_ref)
     q.awaitTermination(120)
 
     got_red = read_stream_table(spark, out, "docs_redacted")
     got_rep = read_stream_table(spark, out, "repetition_stats")
     got_dec = read_stream_table(spark, out, "decontamination")
+    got_lm = read_stream_table(spark, out, "lm_scores")
 
     want_red = docs.select("doc_id", pii_redact(F.col("text")).alias("text"))
     want_rep = repetition_stats(docs)
     want_dec = ngram_decontaminate(docs, benchmark)
+    want_lm = lm_score(docs, *train_bigram_lm(lm_ref))
 
     assert _rows(got_red) == _rows(want_red)
     assert _rows(got_rep) == _rows(want_rep)
     assert _rows(got_dec) == _rows(want_dec)
+    # per-doc LM math against a model trained once from the same fixed
+    # reference slice -> the grid-exact nll matches batch bit-for-bit
+    assert _rows(got_lm) == _rows(want_lm)
 
 
 def test_curation_processor_replay_idempotent(spark, tmp_path):
     from parsedmarc_go_spark.streaming.curation import (
         CURATION_TABLES,
+        LM_TABLE,
         make_curation_processor,
     )
     from parsedmarc_go_spark.streaming.daemon import read_stream_table
@@ -67,12 +76,14 @@ def test_curation_processor_replay_idempotent(spark, tmp_path):
 
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    lm_ref = docs.filter(F.col("doc_id") % 10 == 0)
     out = str(tmp_path / "curated")
-    proc = make_curation_processor(out, benchmark)
+    proc = make_curation_processor(out, benchmark, lm_ref=lm_ref)
+    tables = CURATION_TABLES + (LM_TABLE,)
 
     shard = docs.filter(F.col("doc_id") < 100)
     proc(shard, 0)
-    before = {t: _rows(read_stream_table(spark, out, t)) for t in CURATION_TABLES}
+    before = {t: _rows(read_stream_table(spark, out, t)) for t in tables}
     proc(shard, 0)  # crash-and-replay of the same batch_id
-    after = {t: _rows(read_stream_table(spark, out, t)) for t in CURATION_TABLES}
+    after = {t: _rows(read_stream_table(spark, out, t)) for t in tables}
     assert before == after
