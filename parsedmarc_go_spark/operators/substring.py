@@ -77,6 +77,7 @@ def duplicated_spans(
     text_col: str = "text",
     k: int = 8,
     keep_first: bool = True,
+    seen_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -86,6 +87,14 @@ def duplicated_spans(
     — smallest ``(doc_id, pos)`` — is exempt, so exactly one copy of
     every duplicated substring survives removal; ``keep_first=False``
     marks every occurrence (the "flag all duplicated text" audit view).
+
+    ``seen_keys`` (a frame with a ``gh`` column of gram sha256 digests
+    — the streaming fingerprint store, streaming/dedup.py) makes the
+    pass INCREMENTAL: a gram whose digest appears there is removable
+    even as a first-in-this-corpus occurrence (its true first
+    occurrence lives in history), so stream-over-shards equals
+    batch-over-the-union for ascending shards. Joined on the digest
+    (shuffle keyed on gh), never collected.
 
     Overlapping / adjacent removable grams merge into islands: grams at
     positions p1 < p2 belong to one span when ``p2 - p1 <= k`` (their
@@ -106,12 +115,16 @@ def duplicated_spans(
     flagged = g.select(
         id_col,
         "pos",
+        "gh",
         (F.count("*").over(w) >= 2).alias("is_dup"),
         (F.col("okey") == F.min("okey").over(w)).alias("is_winner"),
     )
-    removable = flagged.filter(
-        F.col("is_dup") & (~F.col("is_winner") if keep_first else F.lit(True))
-    )
+    cond = F.col("is_dup") & (~F.col("is_winner") if keep_first else F.lit(True))
+    if seen_keys is not None:
+        seen = seen_keys.select("gh").distinct().withColumn("__seen", F.lit(True))
+        flagged = flagged.join(seen, "gh", "left")
+        cond = cond | F.col("__seen").isNotNull()
+    removable = flagged.filter(cond)
     dw = Window.partitionBy(id_col).orderBy("pos")
     islands = removable.select(
         id_col,
@@ -216,10 +229,30 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    seen_keys: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr end-to-end: detect duplicated >= k-token spans with
     the keep-first rule and strip them, leaving exactly one occurrence
     of every duplicated substring corpus-wide. Composition of
-    ``duplicated_spans`` + ``strip_duplicated_spans``."""
-    spans = duplicated_spans(docs, id_col, text_col, k=k, keep_first=True)
+    ``duplicated_spans`` + ``strip_duplicated_spans``; ``seen_keys``
+    threads the streaming gram store through (incremental form)."""
+    spans = duplicated_spans(
+        docs, id_col, text_col, k=k, keep_first=True, seen_keys=seen_keys
+    )
     return strip_duplicated_spans(docs, spans, id_col, text_col)
+
+
+def gram_keys(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Distinct k-gram digests of a document frame — the unit the
+    streaming gram store persists (streaming/dedup.py mode
+    ``substring``). Must use the exact tokenize/gram/digest pipeline of
+    ``duplicated_spans`` so store membership and dedup keys can never
+    drift apart. Digests are of the ORIGINAL text (pre-strip): a later
+    occurrence of any gram ever seen is by definition not the first,
+    so it must probe removable."""
+    return _gram_stream(docs, id_col, text_col, k).select("gh").distinct()

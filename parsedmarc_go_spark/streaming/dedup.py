@@ -19,10 +19,12 @@ the store:
 - **dedup** = the batch operators themselves run per micro-batch with
   the store as ``seen_keys`` (operators/dedup.py:paragraph_dedup), so
   stream-over-shards equals batch-over-the-union EXACTLY — pinned in
-  tests/test_streaming_dedup.py on a two-trigger run. A third mode
-  (``minhash``) persists banded MinHash bucket keys instead, extending
-  the store to NEAR-dup history at 16 fixed-width keys per retained
-  document (see make_dedup_processor for its probabilistic contract).
+  tests/test_streaming_dedup.py on a two-trigger run. A ``minhash``
+  mode persists banded MinHash bucket keys instead, extending the
+  store to NEAR-dup history at 16 fixed-width keys per retained
+  document (see make_dedup_processor for its probabilistic contract),
+  and a ``substring`` mode persists k-gram digests for incremental
+  ExactSubstr (token-resolution store cost — see its contract).
 - **idempotence** = both the output table and the store append are
   dynamic-partition overwrites of the batch's own ``__batch_id``
   partition, and the dedup read EXCLUDES the current batch's own
@@ -93,6 +95,7 @@ def make_dedup_processor(
     text_col: str = "text",
     sep: str = "\n\n",
     normalize: bool = False,
+    substring_k: int = 8,
 ):
     """foreachBatch body for incremental dedup, factored out (the
     curation-stage pattern, streaming/curation.py:45) so idempotence
@@ -106,6 +109,20 @@ def make_dedup_processor(
     operators/dedup.py:26-60) — the output table keeps the surviving
     input rows and the store holds document digests.
 
+    ``mode="substring"``: incremental ExactSubstr (Lee et al. 2021 —
+    operators/substring.py). The store holds k-gram sha256 digests of
+    every document seen; an arriving gram colliding with history is
+    removable even as a first-in-this-batch occurrence (its true first
+    occurrence lives in history), within-batch duplicates follow the
+    normal keep-first rule, and the output table carries the stripped
+    text (``substring_dedup`` row shape). Store cost is the honest
+    caveat: O(distinct grams) ≈ 32 bytes per corpus token position —
+    at substring granularity incremental dedup pays for history at
+    token resolution, which is why paragraph/minhash modes are the
+    default scale paths and this mode suits bounded high-value corpora
+    (eval sets, dedup-critical slices). ``substring_k`` sets the gram
+    width (default 8; the paper uses 50 tokens).
+
     ``mode="minhash"``: incremental NEAR-dup dedup. The store holds
     banded MinHash bucket keys (``band:sig`` strings from
     minhash_band_signatures) of the documents RETAINED so far; an
@@ -118,9 +135,10 @@ def make_dedup_processor(
     each near-dup component keeps its smallest id. Only SURVIVORS'
     band keys append to the store — a dropped doc's buckets are
     covered by the retained near-duplicate it collided with."""
-    if mode not in ("paragraph", "document", "minhash"):
+    if mode not in ("paragraph", "document", "minhash", "substring"):
         raise ValueError(
-            f"mode must be 'paragraph', 'document' or 'minhash', got {mode!r}"
+            "mode must be 'paragraph', 'document', 'minhash' or "
+            f"'substring', got {mode!r}"
         )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -138,6 +156,22 @@ def make_dedup_processor(
                 )
                 keys = paragraph_keys(
                     batch, id_col, text_col, sep=sep, normalize=normalize
+                )
+            elif mode == "substring":
+                from parsedmarc_go_spark.operators.substring import (
+                    gram_keys,
+                    substring_dedup,
+                )
+
+                out = substring_dedup(
+                    batch,
+                    id_col,
+                    text_col,
+                    k=substring_k,
+                    seen_keys=seen.select(F.col("ph").alias("gh")),
+                )
+                keys = gram_keys(batch, id_col, text_col, k=substring_k).select(
+                    F.col("gh").alias("ph")
                 )
             elif mode == "minhash":
                 from parsedmarc_go_spark.operators.dedup import minhash_lsh_pairs
@@ -228,6 +262,7 @@ def stream_dedup(
     text_col: str = "text",
     sep: str = "\n\n",
     normalize: bool = False,
+    substring_k: int = 8,
     max_files_per_trigger: int = 1000,
     available_now: bool = True,
     trigger_seconds: int | None = None,
@@ -243,7 +278,8 @@ def stream_dedup(
     )
     writer = docs.writeStream.foreachBatch(
         make_dedup_processor(
-            out_dir, store_dir, mode, id_col, text_col, sep, normalize
+            out_dir, store_dir, mode, id_col, text_col, sep, normalize,
+            substring_k,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

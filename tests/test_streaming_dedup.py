@@ -236,3 +236,50 @@ def test_stream_minhash_mode_drops_near_dups_across_batches(spark, tmp_path):
     assert {
         r["ph"] for r in read_fingerprints(spark, store).collect()
     } == before_store
+
+
+def test_stream_substring_mode_matches_batch_exactsubstr(spark, tmp_path):
+    """mode='substring': two ascending shards streamed against the
+    gram store must equal substring_dedup over the union (cross-shard
+    duplicated runs removed from the later shard, winner kept), and a
+    replayed batch_id must be a no-op for output AND store."""
+    from parsedmarc_go_spark.operators.substring import substring_dedup
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        make_dedup_processor,
+        read_fingerprints,
+    )
+    from parsedmarc_go_spark.tables import load
+
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    # a 10-token shared run per doc_id % 5 class (classes span both
+    # shards) embedded between slices of the doc's own text
+    itext = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" shared run alpha bravo charlie delta echo foxtrot grp"),
+        (d % 5).cast("string"),
+        F.lit(" "),
+        F.substring("text", 81, 80),
+    )
+    docs = base.select("doc_id", itext.alias("text"))
+
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store, mode="substring", substring_k=8)
+
+    proc(docs.filter(d < 250), 0)
+    proc(docs.filter(d >= 250), 1)
+
+    got = read_stream_table(spark, out, "docs_deduped")
+    want = substring_dedup(docs, "doc_id", "text", k=8)
+    assert _rows(got) == _rows(want)
+    # cross-shard dups actually happened: shard-2 docs lost tokens
+    removed = {r.doc_id: r.n_tokens_removed for r in got.collect()}
+    assert any(v > 0 for i, v in removed.items() if i >= 250)
+
+    # crash-and-replay of batch 1: output and store unchanged
+    before_store = _rows(read_fingerprints(spark, store))
+    proc(docs.filter(d >= 250), 1)
+    assert _rows(read_stream_table(spark, out, "docs_deduped")) == _rows(want)
+    assert _rows(read_fingerprints(spark, store)) == before_store
