@@ -129,13 +129,8 @@ def lm_score(
         .join(mark(histories), ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
     )
-    num = F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(alpha)
-    den = F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(alpha) * (
-        F.col("v").cast("double") + F.lit(1.0)
-    )
-    lp_fp = F.floor(F.log(num / den) * F.lit(_LP_SCALE) + F.lit(0.5)).cast("long")
     per_doc = (
-        scored.select(F.col(id_col), lp_fp.alias("lp_fp"))
+        scored.select(F.col(id_col), _lp_fp("", alpha).alias("lp_fp"))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -154,6 +149,129 @@ def lm_score(
             F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
             "nll",
         )
+    )
+
+
+def _lp_fp(prefix: str, alpha: float) -> "F.Column":
+    """The grid-quantized add-alpha log-prob expression over a probed
+    pair row whose LM columns carry ``prefix`` (see dsir_log_weights'
+    one-scan double probe)."""
+    num = F.coalesce(F.col(prefix + "c12"), F.lit(0)).cast("double") + F.lit(alpha)
+    den = F.coalesce(F.col(prefix + "c1"), F.lit(0)).cast("double") + F.lit(alpha) * (
+        F.col(prefix + "v").cast("double") + F.lit(1.0)
+    )
+    return F.floor(F.log(num / den) * F.lit(_LP_SCALE) + F.lit(0.5)).cast("long")
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target_lm: tuple[DataFrame, DataFrame, DataFrame],
+    raw_lm: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public paper):
+    ``log w(x) = log p_target(x) - log p_raw(x)`` under two bag-of-
+    bigram models (the paper's hashed-n-gram features, realized with
+    the train_bigram_lm tables so weights are engine-exact).
+
+    One corpus scan: the pair stream is exploded ONCE and probed
+    against BOTH LMs (four broadcast joins + two 1-row vocab
+    ride-alongs), then one doc_id aggregation sums the two quantized
+    log-prob streams — the difference of two exact integer sums, so
+    ``log_w`` is grid-exact. Documents with < 2 tokens get
+    ``log_w = 0`` (weight 1, no evidence either way).
+
+    Returns ``doc_id, n_bigrams, log_w``."""
+    sc = corpus.sparkSession.sparkContext
+    mark = F.broadcast if broadcast_lm else (lambda df: df)
+
+    def probed(pairs: DataFrame, lm, prefix: str) -> DataFrame:
+        bigrams, histories, vocab = lm
+        b = bigrams.select("w1", "w2", F.col("c12").alias(prefix + "c12"))
+        h = histories.select("w1", F.col("c1").alias(prefix + "c1"))
+        v = vocab.select(F.col("v").alias(prefix + "v"))
+        return (
+            pairs.join(mark(b), ["w1", "w2"], "left")
+            .join(mark(h), ["w1"], "left")
+            .crossJoin(F.broadcast(v))
+        )
+
+    pairs = _token_pairs(
+        corpus.repartition(sc.defaultParallelism), id_col, text_col
+    )
+    both = probed(probed(pairs, target_lm, "t_"), raw_lm, "r_")
+    per_doc = (
+        both.select(
+            F.col(id_col),
+            _lp_fp("t_", alpha).alias("t_lp"),
+            _lp_fp("r_", alpha).alias("r_lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                (F.sum("t_lp") - F.sum("r_lp")).cast("double") / F.lit(_LP_SCALE)
+            ).alias("log_w"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
+        )
+    )
+
+
+def dsir_sample(
+    corpus: DataFrame,
+    target_lm: tuple[DataFrame, DataFrame, DataFrame],
+    raw_lm: tuple[DataFrame, DataFrame, DataFrame],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """DSIR selection: sample ``k`` documents without replacement with
+    probability proportional to the importance weight, via the Gumbel
+    top-k identity (argtop-k of ``log w_i + g_i`` with i.i.d. Gumbel
+    noise IS a weight-proportional sample without replacement).
+
+    The Gumbel draw is deterministic and engine-independent: the
+    uniform comes from the md5 hash-order key the mixing samplers
+    already use (``u = (int(md5(id)[:8], 16) + 0.5) / 2^32``, never
+    exactly 0 or 1), so the same corpus always yields the same sample
+    — the `rand(seed)`-free reproducibility contract of
+    sample_stratified, extended to weighted sampling. Top-k is a
+    global ORDER BY ... LIMIT — TakeOrderedAndProject, per-partition
+    heaps, no single-partition sort.
+
+    Returns the selected rows: ``doc_id, n_bigrams, log_w``."""
+    lw = dsir_log_weights(
+        corpus, target_lm, raw_lm, id_col, text_col, alpha, broadcast_lm
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    gumbel = -F.log(-F.log(u))
+    return (
+        lw.withColumn("__key", F.col("log_w") + gumbel)
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__key")
     )
 
 

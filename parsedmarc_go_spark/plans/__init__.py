@@ -77,6 +77,11 @@ _WINDOW_DEMOTED = (
     # grouping by text_repetition_stats, fixed-point sums by the
     # a-family — born demoted, pytest value-checks it at two SFs
     "quality_lm_score",
+    # DSIR Gumbel top-k (round 9): the LM probe is quality_lm_score's
+    # machinery, the md5 hash-order uniform is sample_stratified's
+    # (in-window), top-k is a7's TakeOrderedAndProject — born demoted,
+    # pytest value-checks it at two SFs
+    "dsir_sample",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -498,3 +498,80 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 10 == 0)
     bigrams, histories, vocab = train_bigram_lm(ref)
     return lm_score(docs, bigrams, histories, vocab)
+
+
+# DSIR gate (round 9, Xie et al. 2023): importance log-weights from the
+# target (doc_id % 10 == 0) vs raw (full corpus) bigram models, Gumbel
+# top-k selection with the md5 hash-order uniform. log_w is the
+# difference of two exact integer sums (grid-exact); the Gumbel key is
+# ordering-only, so ln() ulp differences can flip the set only on
+# measure-zero near-ties. Born demoted: the LM probe machinery is
+# quality_lm_score's (itself piecewise-covered in-window), the
+# hash-order uniform is sample_stratified's (in-window), top-k is a7's;
+# pytest value-checks the whole gate at two SFs.
+_DSIR_K = 100
+_DSIR_ORACLE = f"""
+    WITH cd AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+    tref AS (SELECT * FROM cd WHERE doc_id % 10 = 0),
+    tp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM tref, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+    tbg AS (SELECT w1, w2, count(*) AS c12 FROM tp GROUP BY w1, w2),
+    th AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM tbg GROUP BY w1),
+    tv AS (SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(toks) AS tok FROM tref)),
+    rp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM cd, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+    rbg AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY w1, w2),
+    rh AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM rbg GROUP BY w1),
+    rv AS (SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(toks) AS tok FROM cd)),
+    cp AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM cd, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+    sc AS (SELECT cp.doc_id,
+                  CAST(floor(ln((CAST(COALESCE(tbg.c12, 0) AS DOUBLE) + 0.5)
+                                / (CAST(COALESCE(th.c1, 0) AS DOUBLE)
+                                   + 0.5 * (CAST(tv.v AS DOUBLE) + 1.0)))
+                             * 10000.0 + 0.5) AS BIGINT) AS t_lp,
+                  CAST(floor(ln((CAST(COALESCE(rbg.c12, 0) AS DOUBLE) + 0.5)
+                                / (CAST(COALESCE(rh.c1, 0) AS DOUBLE)
+                                   + 0.5 * (CAST(rv.v AS DOUBLE) + 1.0)))
+                             * 10000.0 + 0.5) AS BIGINT) AS r_lp
+           FROM cp LEFT JOIN tbg ON cp.w1 = tbg.w1 AND cp.w2 = tbg.w2
+                   LEFT JOIN th ON cp.w1 = th.w1
+                   LEFT JOIN rbg ON cp.w1 = rbg.w1 AND cp.w2 = rbg.w2
+                   LEFT JOIN rh ON cp.w1 = rh.w1
+                   CROSS JOIN tv CROSS JOIN rv),
+    pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                  CAST(SUM(t_lp) - SUM(r_lp) AS DOUBLE) / 10000.0 AS log_w
+           FROM sc GROUP BY doc_id),
+    al AS (SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+                  COALESCE(pd.log_w, 0.0) AS log_w
+           FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+    ky AS (SELECT doc_id, n_bigrams, log_w,
+                  log_w + (-ln(-ln(
+                    (CAST(CAST(CONCAT('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)))
+                    AS gkey
+           FROM al)
+    SELECT doc_id, n_bigrams, log_w FROM ky
+    ORDER BY gkey DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@query("dsir_sample", oracle=_DSIR_ORACLE)
+def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: top-k by Gumbel-perturbed importance
+    log-weight (target bigram LM over the doc_id % 10 slice vs raw LM
+    over the full corpus). See operators/lm.py for the one-scan
+    double-probe shape."""
+    from parsedmarc_go_spark.operators.lm import dsir_sample, train_bigram_lm
+
+    docs = load(spark, sf_dir, "documents")
+    target_lm = train_bigram_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    raw_lm = train_bigram_lm(docs)
+    return dsir_sample(docs, target_lm, raw_lm, k=_DSIR_K)

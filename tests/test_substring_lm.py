@@ -212,3 +212,80 @@ def test_lm_score_plan_broadcasts_lm(spark):
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row vocab cross join
     assert "CartesianProduct" not in p
+
+
+def _python_lm_lp_total(ref_texts: list[str], text: str, alpha: float = 0.5) -> int:
+    """Summed grid-quantized log-probs (the integer the engines sum)."""
+    bg: dict[tuple[str, str], int] = {}
+    vocab: set[str] = set()
+    for t in ref_texts:
+        toks = t.lower().split(" ")
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), c in bg.items():
+        c1[a] = c1.get(a, 0) + c
+    v = len(vocab)
+    toks = text.lower().split(" ")
+    total = 0
+    for a, b in zip(toks, toks[1:]):
+        lp = math.log(
+            (bg.get((a, b), 0) + alpha) / (c1.get(a, 0) + alpha * (v + 1))
+        )
+        total += math.floor(lp * 10000.0 + 0.5)
+    return total
+
+
+def test_dsir_log_weights_match_python_reference(spark):
+    from parsedmarc_go_spark.operators.lm import dsir_log_weights
+
+    target_texts = ["the cat sat on the mat", "the cat ran to the mat"]
+    raw_texts = ["zz qq ww ee rr tt", "qq zz tt rr ww ee", "the dog barked"]
+    target = spark.createDataFrame(list(enumerate(target_texts)), ["doc_id", "text"])
+    raw = spark.createDataFrame(list(enumerate(raw_texts)), ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "zz qq ww ee rr tt"), (12, "x")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dsir_log_weights(
+            corpus, train_bigram_lm(target), train_bigram_lm(raw)
+        ).collect()
+    }
+    for doc_id, text in [(10, "the cat sat on the mat"), (11, "zz qq ww ee rr tt")]:
+        want = (
+            _python_lm_lp_total(target_texts, text)
+            - _python_lm_lp_total(raw_texts, text)
+        ) / 10000.0
+        assert out[doc_id].log_w == pytest.approx(want, abs=1e-12)
+    # target-like text gets positive evidence, raw-like negative
+    assert out[10].log_w > 0 > out[11].log_w
+    assert out[12].log_w == 0.0 and out[12].n_bigrams == 0  # <2 tokens
+
+
+def test_dsir_sample_is_deterministic_weighted_topk(spark):
+    from parsedmarc_go_spark.operators.lm import dsir_sample
+
+    target = spark.createDataFrame(
+        [(0, "good clean prose about cats and mats")], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [(0, "random noise tokens qq zz ww")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(i, "good clean prose about cats and mats") for i in range(20)]
+        + [(100 + i, "random noise tokens qq zz ww") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    lm_t, lm_r = train_bigram_lm(target), train_bigram_lm(raw)
+    a = sorted(r.doc_id for r in dsir_sample(corpus, lm_t, lm_r, k=10).collect())
+    b = sorted(r.doc_id for r in dsir_sample(corpus, lm_t, lm_r, k=10).collect())
+    assert a == b  # same corpus -> same sample, no rand() anywhere
+    assert len(a) == 10
+    # weights dominate the Gumbel noise here (log_w gap is tens of
+    # nats): every selected doc is from the target-like half
+    assert all(i < 100 for i in a)
+    # k = |corpus| returns everything
+    assert len(dsir_sample(corpus, lm_t, lm_r, k=40).collect()) == 40
