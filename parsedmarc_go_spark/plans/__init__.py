@@ -82,6 +82,10 @@ _WINDOW_DEMOTED = (
     # (in-window), top-k is a7's TakeOrderedAndProject — born demoted,
     # pytest value-checks it at two SFs
     "dsir_sample",
+    # NB quality classifier (round 9): same explode/broadcast-probe/
+    # fixed-point machinery as the LM family — born demoted, pytest
+    # value-checks it at two SFs
+    "quality_nb_classifier",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -575,3 +575,66 @@ def dsir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_lm = train_bigram_lm(docs.filter(F.col("doc_id") % 10 == 0))
     raw_lm = train_bigram_lm(docs)
     return dsir_sample(docs, target_lm, raw_lm, k=_DSIR_K)
+
+
+# NB quality-classifier gate (round 9): train on two labeled slices
+# (hq = doc_id % 10 == 0, lq = doc_id % 10 == 5), score EVERY document
+# against both classes (long form — one row per doc x label).
+# Grid-quantized token log-likelihoods + prior make every score
+# engine-exact. Born demoted: the explode/broadcast-probe/fixed-point
+# machinery is quality_lm_score's (piecewise in-window via
+# decontaminate_ngram + text_repetition_stats + the a-family); pytest
+# value-checks the whole gate at two SFs.
+_NB_ORACLE = """
+    WITH lab AS (
+      SELECT CASE WHEN doc_id % 10 = 0 THEN 'hq' ELSE 'lq' END AS label,
+             lower(text) AS lt
+      FROM documents WHERE doc_id % 10 = 0 OR doc_id % 10 = 5),
+    tk AS (SELECT label, unnest(string_split(lt, ' ')) AS tok FROM lab),
+    cnt AS (SELECT label, tok, count(*) AS c FROM tk GROUP BY label, tok),
+    tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS total FROM cnt GROUP BY label),
+    pri AS (SELECT label, count(*) AS n_docs FROM lab GROUP BY label),
+    nd AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM pri),
+    pf AS (SELECT label,
+                  CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+                             * 10000.0 + 0.5) AS BIGINT) AS prior_fp
+           FROM pri CROSS JOIN nd),
+    v AS (SELECT count(DISTINCT tok) AS v FROM tk),
+    ct AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+    pr AS (SELECT ct.doc_id, l.label,
+                  CAST(floor(ln((CAST(COALESCE(cnt.c, 0) AS DOUBLE) + 0.5)
+                                / (CAST(tot.total AS DOUBLE)
+                                   + 0.5 * (CAST(v.v AS DOUBLE) + 1.0)))
+                             * 10000.0 + 0.5) AS BIGINT) AS lp
+           FROM ct CROSS JOIN (SELECT label FROM pri) l
+                LEFT JOIN cnt ON l.label = cnt.label AND ct.tok = cnt.tok
+                JOIN tot ON l.label = tot.label
+                CROSS JOIN v),
+    pd AS (SELECT doc_id, label, count(*) AS n_tokens,
+                  CAST(sum(lp) AS BIGINT) AS s
+           FROM pr GROUP BY doc_id, label),
+    base AS (SELECT d.doc_id, p.label
+             FROM documents d CROSS JOIN (SELECT label FROM pri) p)
+    SELECT base.doc_id, base.label,
+           COALESCE(pd.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(pd.s, 0) + pf.prior_fp AS DOUBLE) / 10000.0 AS score
+    FROM base LEFT JOIN pd ON base.doc_id = pd.doc_id AND base.label = pd.label
+              JOIN pf ON base.label = pf.label
+"""
+
+
+@query("quality_nb_classifier", oracle=_NB_ORACLE)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality classifier as aggregation-shaped Naive
+    Bayes: trained on two labeled corpus slices, every document scored
+    against both classes. See operators/classify.py for the 100 TB
+    shape (broadcast model probe, one corpus scan)."""
+    from parsedmarc_go_spark.operators.classify import nb_score, train_nb_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    labeled = docs.filter((m == 0) | (m == 5)).select(
+        F.when(m == 0, F.lit("hq")).otherwise(F.lit("lq")).alias("label"), "text"
+    )
+    return nb_score(docs, train_nb_classifier(labeled))

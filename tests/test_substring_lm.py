@@ -289,3 +289,68 @@ def test_dsir_sample_is_deterministic_weighted_topk(spark):
     assert all(i < 100 for i in a)
     # k = |corpus| returns everything
     assert len(dsir_sample(corpus, lm_t, lm_r, k=40).collect()) == 40
+
+
+NB_LABELED = [
+    ("hq", "the cat sat on the mat"),
+    ("hq", "a dog sat on a rug"),
+    ("lq", "zz qq buy now click here"),
+    ("lq", "qq zz free free free"),
+]
+
+
+def _python_nb_score(labeled, text: str, label: str, alpha: float = 0.5) -> float:
+    """Pure-Python NB with the 1e-4 grid (counts + shared vocab)."""
+    cnt: dict[tuple[str, str], int] = {}
+    tot: dict[str, int] = {}
+    ndocs: dict[str, int] = {}
+    vocab: set[str] = set()
+    for lab, t in labeled:
+        ndocs[lab] = ndocs.get(lab, 0) + 1
+        for tok in t.lower().split(" "):
+            cnt[(lab, tok)] = cnt.get((lab, tok), 0) + 1
+            tot[lab] = tot.get(lab, 0) + 1
+            vocab.add(tok)
+    v = len(vocab)
+    s = math.floor(math.log(ndocs[label] / sum(ndocs.values())) * 10000.0 + 0.5)
+    for tok in text.lower().split(" "):
+        lp = math.log(
+            (cnt.get((label, tok), 0) + alpha) / (tot[label] + alpha * (v + 1))
+        )
+        s += math.floor(lp * 10000.0 + 0.5)
+    return s / 10000.0
+
+
+def test_nb_score_matches_python_reference(spark):
+    from parsedmarc_go_spark.operators.classify import nb_score, train_nb_classifier
+
+    labeled = spark.createDataFrame(NB_LABELED, ["label", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "free free click")], ["doc_id", "text"]
+    )
+    model = train_nb_classifier(labeled)
+    out = {(r.doc_id, r.label): r.score for r in nb_score(corpus, model).collect()}
+    for doc_id, text in [(1, "the cat sat"), (2, "free free click")]:
+        for lab in ("hq", "lq"):
+            want = _python_nb_score(NB_LABELED, text, lab)
+            assert out[(doc_id, lab)] == pytest.approx(want, abs=1e-12)
+
+
+def test_nb_classify_argmax_and_model_join_modes(spark):
+    from parsedmarc_go_spark.operators.classify import (
+        nb_classify,
+        nb_score,
+        train_nb_classifier,
+    )
+
+    labeled = spark.createDataFrame(NB_LABELED, ["label", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on a mat"), (2, "free qq zz click now")],
+        ["doc_id", "text"],
+    )
+    model = train_nb_classifier(labeled)
+    pred = {r.doc_id: r.pred_label for r in nb_classify(corpus, model).collect()}
+    assert pred == {1: "hq", 2: "lq"}
+    a = sorted(nb_score(corpus, model, broadcast_model=True).collect())
+    b = sorted(nb_score(corpus, model, broadcast_model=False).collect())
+    assert a == b
