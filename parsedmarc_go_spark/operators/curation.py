@@ -232,6 +232,56 @@ def sample_token_budget(
     return out.filter(keep)
 
 
+def sample_temperature(
+    docs: DataFrame, strata_col: str, k: int, tau: float = 0.5
+) -> DataFrame:
+    """Temperature-weighted mixing sample (T5/mT5, Raffel 2020 §3.4 /
+    Xue 2021 — public papers): per-stratum quotas proportional to
+    ``n_s^tau``, so ``tau=1`` is proportional mixing, ``tau=0`` is
+    uniform-across-strata, and the standard ``tau≈0.3–0.7`` range
+    up-weights small sources without drowning large ones.
+
+    Determinism: ``n_s^tau`` goes through the 1e-6 fixed-point grid
+    BEFORE the normalizing sum (double sums are partial-agg-order
+    sensitive; integer sums are exact — the registry rule), and quotas
+    are ``floor(k * p_fp / z_fp)`` on exact integer inputs, so every
+    engine derives identical quotas. Membership inside a stratum is
+    the md5 hash order (the mixing-sampler contract — no rand()).
+
+    Caveats (the standard ones): floor quotas under-fill ``k`` by at
+    most the stratum count, and a stratum whose quota exceeds its size
+    contributes everything it has (mT5's cap). One count aggregation +
+    one broadcast quota join + the per-stratum hash-order window —
+    same shuffle shape as sample_stratified, same hot-stratum caveat.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_s"))
+    p_fp = F.floor(
+        F.pow(F.col("n_s").cast("double"), F.lit(float(tau))) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = counts.withColumn("p_fp", p_fp)
+    z = weighted.agg(F.sum("p_fp").alias("z_fp"))
+    quotas = weighted.crossJoin(F.broadcast(z)).select(
+        strata_col,
+        F.floor(
+            F.lit(float(k))
+            * F.col("p_fp").cast("double")
+            / F.col("z_fp").cast("double")
+        )
+        .cast("long")
+        .alias("__quota"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(_hash_order_key(docs), F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(quotas), strata_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
 def _with_ngrams(df: DataFrame, n: int, text_col: str) -> DataFrame:
     """(doc_id, ngrams) with per-doc DISTINCT token n-grams — the
     array_distinct happens inside the row, so no corpus-wide distinct

@@ -86,6 +86,10 @@ _WINDOW_DEMOTED = (
     # fixed-point machinery as the LM family — born demoted, pytest
     # value-checks it at two SFs
     "quality_nb_classifier",
+    # temperature mixing (round 9): the count-agg + hash-order-window
+    # machinery of the sampler family — born demoted, pytest
+    # value-checks it at two SFs
+    "sample_temperature",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -638,3 +638,41 @@ def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m == 0, F.lit("hq")).otherwise(F.lit("lq")).alias("label"), "text"
     )
     return nb_score(docs, train_nb_classifier(labeled))
+
+
+# Temperature-mixing gate (round 9, T5 §3.4): n_s^0.5-weighted quotas
+# over the source strata, k=200. The pow() output is 1e-6-grid
+# quantized before the integer normalizing sum, so quotas are
+# engine-exact; membership is the md5 hash order. Born demoted: the
+# count-agg + hash-order-window machinery is sample_stratified's
+# (in-window via the r9 rotation's sample_token_budget slot family);
+# pytest value-checks it at two SFs.
+_TEMP_K, _TEMP_TAU = 200, 0.5
+_TEMP_ORACLE = f"""
+    WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    p AS (SELECT source,
+                 CAST(floor(pow(CAST(n_s AS DOUBLE), {_TEMP_TAU})
+                            * 1000000.0 + 0.5) AS BIGINT) AS p_fp
+          FROM c),
+    z AS (SELECT CAST(sum(p_fp) AS BIGINT) AS z_fp FROM p),
+    q AS (SELECT source,
+                 CAST(floor({float(_TEMP_K)} * CAST(p_fp AS DOUBLE)
+                            / CAST(z_fp AS DOUBLE)) AS BIGINT) AS quota
+          FROM p CROSS JOIN z),
+    r AS (SELECT d.doc_id, d.source, q.quota,
+                 row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+          FROM documents d JOIN q ON d.source = q.source)
+    SELECT doc_id, source FROM r WHERE rn <= quota
+"""
+
+
+@query("sample_temperature", oracle=_TEMP_ORACLE)
+def sample_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (tau=0.5, k=200). See
+    operators/curation.py::sample_temperature."""
+    from parsedmarc_go_spark.operators.curation import sample_temperature
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_temperature(docs, "source", k=_TEMP_K, tau=_TEMP_TAU)

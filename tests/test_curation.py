@@ -279,3 +279,41 @@ def test_decontaminate_rejects_mismatched_bench_ngrams(spark):
         ngram_decontaminate(docs, n=8, bench_ngrams=cached)
     # matching n passes through
     assert ngram_decontaminate(docs, n=13, bench_ngrams=cached).count() == 1
+
+
+def test_sample_temperature_quotas_and_determinism(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.operators.curation import sample_temperature
+
+    # three strata with very different sizes: 160 / 36 / 4
+    rows = (
+        [(i, "big") for i in range(160)]
+        + [(200 + i, "mid") for i in range(36)]
+        + [(400 + i, "tiny") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    out = sample_temperature(docs, "source", k=50, tau=0.5)
+    got = {}
+    for r in out.collect():
+        got[r.source] = got.get(r.source, 0) + 1
+    # expected floor quotas from the documented fixed-point math
+    p = {s: math.floor(math.sqrt(n) * 1e6 + 0.5) for s, n in
+         {"big": 160, "mid": 36, "tiny": 4}.items()}
+    z = sum(p.values())
+    want = {s: math.floor(50.0 * v / z) for s, v in p.items()}
+    assert got == want
+    # tau=0.5 up-weights small strata vs proportional: tiny gets
+    # sqrt-share (~5/50) not count-share (~1/50)
+    assert got["tiny"] >= 4 or got["tiny"] > 50 * 4 // 200
+    # deterministic: same corpus -> same membership
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in sample_temperature(docs, "source", 50, 0.5).collect())
+    assert a == b
+    # tau=1 reduces to proportional floor quotas
+    prop = sample_temperature(docs, "source", k=50, tau=1.0)
+    by = {s: c for s, c in prop.groupBy("source").count().collect()}
+    assert by["big"] == 40 and by["mid"] == 9 and by["tiny"] == 1
