@@ -90,6 +90,10 @@ _WINDOW_DEMOTED = (
     # machinery of the sampler family — born demoted, pytest
     # value-checks it at two SFs
     "sample_temperature",
+    # C4 cleaning rules (round 9): pure string-expression machinery
+    # (regexp/substring family in-window via text_pii_redact) — born
+    # demoted, pytest value-checks it at two SFs
+    "text_c4_clean",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

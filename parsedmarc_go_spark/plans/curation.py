@@ -676,3 +676,72 @@ def sample_temperature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return sample_temperature(docs, "source", k=_TEMP_K, tau=_TEMP_TAU)
+
+
+# C4 cleaning gate (round 9, Raffel 2020 §2.2): the synthetic docs are
+# single-line, so both engines assemble an identical 7-line page per
+# document exercising every rule — kept sentences, a no-punctuation
+# line, a too-short line, a javascript line, and doc_id-classed lorem
+# ipsum / brace drops. DuckDB string literals keep backslashes, so the
+# oracle uses chr(10) for the line separator. Born demoted: pure
+# string-expression machinery (regexp/substring family in-window via
+# text_pii_redact; line explode/re-join logic value-checked whole here
+# and at two SFs in pytest).
+_C4_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             'Sentence alpha number ' || CAST(doc_id % 9 AS VARCHAR) || '.'
+             || chr(10) || 'no terminal punctuation line'
+             || chr(10) || 'Too short.'
+             || chr(10) || substr(text, 1, 60) || ' tail words here.'
+             || chr(10) || 'Enable javascript to view this page.'
+             || chr(10) || CASE WHEN doc_id % 11 = 0
+                  THEN 'Hidden Lorem Ipsum marker here.'
+                  ELSE 'A normal closing sentence here.' END
+             || chr(10) || CASE WHEN doc_id % 13 = 0
+                  THEN 'code { block'
+                  ELSE 'Final line with punctuation!' END AS text
+      FROM documents),
+    t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM base),
+    k AS (SELECT doc_id, text, len(lines) AS n_lines,
+                 list_filter(lines, x ->
+                   right(x, 1) IN ('.', '!', '?', '"')
+                   AND len(string_split(x, ' ')) >= 3
+                   AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM t),
+    c AS (SELECT doc_id, text, n_lines, len(kept) AS n_kept_lines,
+                 array_to_string(kept, chr(10)) AS clean_text
+          FROM k),
+    s AS (SELECT *, len(regexp_replace(clean_text, '[^.!?]', '', 'g'))
+                      AS n_sentences
+          FROM c)
+    SELECT doc_id, clean_text, n_lines, n_kept_lines, n_sentences,
+           (n_sentences >= 5
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')) AS keep
+    FROM s
+"""
+
+
+@query("text_c4_clean", oracle=_C4_ORACLE)
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+document cleaning rules over planted multi-line pages.
+    See operators/curation.py::c4_clean."""
+    from parsedmarc_go_spark.operators.curation import c4_clean
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    itext = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Sentence alpha number "), (d % 9).cast("string"), F.lit(".")),
+        F.lit("no terminal punctuation line"),
+        F.lit("Too short."),
+        F.concat(F.substring("text", 1, 60), F.lit(" tail words here.")),
+        F.lit("Enable javascript to view this page."),
+        F.when(d % 11 == 0, F.lit("Hidden Lorem Ipsum marker here."))
+        .otherwise(F.lit("A normal closing sentence here.")),
+        F.when(d % 13 == 0, F.lit("code { block"))
+        .otherwise(F.lit("Final line with punctuation!")),
+    )
+    t = docs.select("doc_id", itext.alias("text"))
+    return c4_clean(t)

@@ -317,3 +317,37 @@ def test_sample_temperature_quotas_and_determinism(spark):
     prop = sample_temperature(docs, "source", k=50, tau=1.0)
     by = {s: c for s, c in prop.groupBy("source").count().collect()}
     assert by["big"] == 40 and by["mid"] == 9 and by["tiny"] == 1
+
+
+def test_c4_clean_rules(spark):
+    from parsedmarc_go_spark.operators.curation import c4_clean
+
+    docs = spark.createDataFrame(
+        [
+            # 5+ sentences of kept lines -> keep
+            (1, "One good sentence here.\nAnother fine sentence follows!\n"
+                "Questions also count, right?\nKeep this one too.\n"
+                "And a fifth sentence."),
+            # every line filtered out (short / no punct / javascript)
+            (2, "short.\nno punctuation at all\nPlease enable javascript now."),
+            # lorem ipsum -> doc dropped even with enough sentences
+            (3, "Lorem ipsum dolor sit amet.\nMore sentences here one.\n"
+                "More sentences here two.\nMore sentences here three.\n"
+                "More sentences here four."),
+            # brace -> dropped
+            (4, "A fine sentence with code { inside.\nSecond sentence here.\n"
+                "Third sentence here.\nFourth sentence here.\nFifth one here."),
+            # quoted-speech terminal punctuation is kept
+            (5, 'He said "stop right there."\nShe replied "never ever again."'),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in c4_clean(docs).collect()}
+    assert out[1].keep and out[1].n_kept_lines == 5 and out[1].n_sentences == 5
+    assert out[2].n_kept_lines == 0 and out[2].clean_text == ""
+    assert not out[2].keep  # zero sentences < 5
+    assert not out[3].keep  # lorem ipsum
+    assert not out[4].keep  # brace
+    assert out[5].n_kept_lines == 2  # lines ending in '."' end with '"'
+    # line accounting is raw-split based
+    assert out[1].n_lines == 5 and out[2].n_lines == 3
