@@ -232,6 +232,95 @@ def sample_token_budget(
     return out.filter(keep)
 
 
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_frac: float = 0.15,
+    span_len: int = 3,
+) -> DataFrame:
+    """T5 span-corruption data prep (Raffel et al. 2020 §3.1.4 —
+    public paper): replace spans of tokens with ``<extra_id_K>``
+    sentinels in the input and emit the masked spans (each prefixed by
+    its sentinel) as the target.
+
+    Deterministic, seed-free masking: token position ``pos`` STARTS a
+    masked span iff the first 8 hex chars of ``md5(doc_id:pos)`` sort
+    below ``floor(mask_frac / span_len * 16^8)`` (the lowercase-hex
+    string-compare trick of sample_hash_threshold — identical on any
+    engine and independent of partitioning), and a span covers
+    ``span_len`` tokens, overlapping starts merging into longer runs.
+    Expected masked fraction ≈ ``mask_frac``; T5's closing sentinel is
+    omitted (a fixed suffix adds nothing to the check).
+
+    Pipeline is pure windows over (doc, pos): coverage = max(start)
+    over the trailing ``span_len`` rows, run starts via lag, sentinel
+    numbering via a running sum — then ONE doc_id aggregation rebuilds
+    input and target in order. One explode + one doc-keyed shuffle;
+    per-doc window state only. Returns ``doc_id, input_text,
+    target_text, n_tokens, n_masked``."""
+    from fractions import Fraction
+    from math import floor
+
+    from pyspark.sql import Window
+
+    cut = floor(Fraction(mask_frac) / span_len * 16**8)
+    threshold = format(min(cut, 16**8 - 1), "08x")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+    marked = toks.withColumn("start", (h < threshold).cast("int"))
+    wp = Window.partitionBy(id_col).orderBy("pos")
+    cover = wp.rowsBetween(-(span_len - 1), 0)
+    masked = marked.withColumn("m", F.max("start").over(cover))
+    runs = masked.withColumn(
+        "run_start",
+        (F.col("m") == 1)
+        & (F.coalesce(F.lag("m").over(wp), F.lit(0)) == 0),
+    ).withColumn(
+        "sent",
+        F.sum(F.col("run_start").cast("long")).over(
+            wp.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), (F.col("sent") - 1).cast("string"), F.lit(">"))
+    in_piece = F.when(F.col("m") == 0, F.col("tok")).when(F.col("run_start"), sentinel)
+    tgt_piece = F.when(
+        F.col("m") == 1,
+        F.when(F.col("run_start"), F.concat(sentinel, F.lit(" "), F.col("tok"))).otherwise(
+            F.col("tok")
+        ),
+    )
+
+    def ordered_join(piece):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(piece.isNotNull(), F.struct("pos", piece.alias("p"))))
+                ),
+                lambda x: x["p"],
+            ),
+            " ",
+        )
+
+    return runs.groupBy(id_col).agg(
+        ordered_join(in_piece).alias("input_text"),
+        ordered_join(tgt_piece).alias("target_text"),
+        F.count("*").alias("n_tokens"),
+        F.sum("m").alias("n_masked"),
+    )
+
+
 def c4_clean(
     docs: DataFrame,
     id_col: str = "doc_id",

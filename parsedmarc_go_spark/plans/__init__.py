@@ -94,6 +94,11 @@ _WINDOW_DEMOTED = (
     # (regexp/substring family in-window via text_pii_redact) — born
     # demoted, pytest value-checks it at two SFs
     "text_c4_clean",
+    # T5 span corruption (round 9): posexplode + doc-keyed windows +
+    # ordered re-assembly (dedup_paragraph / a18-a19 machinery) with
+    # the sample_hash_threshold hash compare — born demoted, pytest
+    # value-checks it at two SFs
+    "span_corruption",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

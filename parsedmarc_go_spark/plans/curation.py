@@ -745,3 +745,58 @@ def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = docs.select("doc_id", itext.alias("text"))
     return c4_clean(t)
+
+
+# T5 span-corruption gate (round 9, Raffel 2020 §3.1.4): deterministic
+# hash-seeded masking (threshold 0ccccccc = floor(0.15/3 * 16^8), span
+# length 3) over the raw token stream; input/target re-assembled
+# in-order on both engines and value-checked cell-for-cell. Born
+# demoted: posexplode + doc-keyed windows + ordered re-assembly are
+# dedup_paragraph's / a18-a19's machinery, the hash threshold is
+# sample_hash_threshold's; pytest value-checks the composed gate at
+# two SFs.
+_SPANC_ORACLE = """
+    WITH tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+                     unnest(range(1, len(toks) + 1)) AS t(i)),
+    mk AS (SELECT doc_id, pos, tok,
+                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                       || CAST(pos AS VARCHAR)), 1, 8)
+                            < '0ccccccc' THEN 1 ELSE 0 END AS start
+           FROM tk),
+    cv AS (SELECT *, MAX(start) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+           FROM mk),
+    rn AS (SELECT *, CASE WHEN m = 1 AND COALESCE(
+                       lag(m) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+                     THEN 1 ELSE 0 END AS run_start
+           FROM cv),
+    sn AS (SELECT *, SUM(run_start) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sent
+           FROM rn)
+    SELECT doc_id,
+      COALESCE(string_agg(CASE WHEN m = 0 THEN tok
+                     WHEN run_start = 1
+                     THEN '<extra_id_' || CAST(sent - 1 AS VARCHAR) || '>'
+                END, ' ' ORDER BY pos), '') AS input_text,
+      COALESCE(string_agg(CASE WHEN m = 1 THEN
+                     CASE WHEN run_start = 1
+                          THEN '<extra_id_' || CAST(sent - 1 AS VARCHAR)
+                               || '> ' || tok
+                          ELSE tok END
+                END, ' ' ORDER BY pos), '') AS target_text,
+      count(*) AS n_tokens,
+      CAST(sum(m) AS BIGINT) AS n_masked
+    FROM sn GROUP BY doc_id
+"""
+
+
+@query("span_corruption", oracle=_SPANC_ORACLE)
+def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption prep (mask_frac=0.15, span_len=3). See
+    operators/curation.py::span_corruption."""
+    from parsedmarc_go_spark.operators.curation import span_corruption
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corruption(docs, mask_frac=0.15, span_len=3)

@@ -351,3 +351,51 @@ def test_c4_clean_rules(spark):
     assert out[5].n_kept_lines == 2  # lines ending in '."' end with '"'
     # line accounting is raw-split based
     assert out[1].n_lines == 5 and out[2].n_lines == 3
+
+
+def test_span_corruption_round_trip(spark):
+    """Masked + unmasked tokens must reconstruct the document: strip
+    sentinels from input and target, interleave by construction —
+    sentinel counts agree between input and target, and token
+    accounting holds."""
+    from parsedmarc_go_spark.operators.curation import span_corruption
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = span_corruption(docs, mask_frac=0.3, span_len=3)
+    for r in out.collect():
+        in_toks = r.input_text.split(" ") if r.input_text else []
+        tg_toks = r.target_text.split(" ") if r.target_text else []
+        in_sent = [t for t in in_toks if t.startswith("<extra_id_")]
+        tg_sent = [t for t in tg_toks if t.startswith("<extra_id_")]
+        assert in_sent == tg_sent  # same sentinels, same order
+        kept = [t for t in in_toks if not t.startswith("<extra_id_")]
+        masked = [t for t in tg_toks if not t.startswith("<extra_id_")]
+        assert len(kept) == r.n_tokens - r.n_masked
+        assert len(masked) == r.n_masked
+        # union of kept+masked tokens = original multiset
+        assert sorted(kept + masked) == sorted(
+            f"w{r.doc_id}_{j}" for j in range(40)
+        )
+        # runs are at least span_len long (merged runs longer)
+        assert r.n_masked == 0 or r.n_masked >= 3
+
+
+def test_span_corruption_deterministic_and_frac(spark):
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.operators.curation import span_corruption
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(100))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    a = sorted(tuple(r) for r in span_corruption(docs).collect())
+    b = sorted(tuple(r) for r in span_corruption(docs).collect())
+    assert a == b  # hash-seeded: no rand(), partitioning-independent
+    tot = span_corruption(docs).agg(
+        F.sum("n_masked").cast("double") / F.sum("n_tokens")
+    ).collect()[0][0]
+    assert 0.10 <= tot <= 0.22  # expected ~0.15 masked fraction
