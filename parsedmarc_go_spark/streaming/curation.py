@@ -31,11 +31,13 @@ from parsedmarc_go_spark.operators.curation import (
     pii_redact,
     repetition_stats,
 )
+from parsedmarc_go_spark.operators.classify import nb_score, train_nb_classifier
 from parsedmarc_go_spark.operators.lm import lm_score, train_bigram_lm
 from parsedmarc_go_spark.streaming.daemon import _write_table
 
 CURATION_TABLES = ("docs_redacted", "repetition_stats", "decontamination")
 LM_TABLE = "lm_scores"
+NB_TABLE = "nb_scores"
 
 
 def make_curation_processor(
@@ -44,6 +46,7 @@ def make_curation_processor(
     n: int = 8,
     text_col: str = "text",
     lm_ref: DataFrame | None = None,
+    nb_labeled: DataFrame | None = None,
 ):
     """foreachBatch body for the curation stage, factored out (like the
     daemon's make_batch_processor) so idempotence and parity are
@@ -53,13 +56,20 @@ def make_curation_processor(
     bigram LM is trained ONCE at processor build — the same
     stream-static pattern as the benchmark n-grams — its three frames
     cached, and every micro-batch is scored against the fixed model
-    into the ``lm_scores`` table. Like every pass here the math is
+    into the ``lm_scores`` table. ``nb_labeled`` (optional, a frame
+    with ``label``/text columns) does the same for the NB quality
+    classifier into ``nb_scores``. Like every pass here the math is
     per-document against a fixed reference, so stream == batch holds
     exactly."""
     bench_ngrams = benchmark_ngrams(benchmark, n, text_col).cache()
     lm = None
     if lm_ref is not None:
         lm = tuple(f.cache() for f in train_bigram_lm(lm_ref, text_col=text_col))
+    nb = None
+    if nb_labeled is not None:
+        nb = tuple(
+            f.cache() for f in train_nb_classifier(nb_labeled, text_col=text_col)
+        )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -77,6 +87,8 @@ def make_curation_processor(
             }
             if lm is not None:
                 outputs[LM_TABLE] = lm_score(batch, *lm, text_col=text_col)
+            if nb is not None:
+                outputs[NB_TABLE] = nb_score(batch, nb, text_col=text_col)
             for name, df in outputs.items():
                 _write_table(df, out_dir, name, batch_id)
         finally:
@@ -98,13 +110,14 @@ def stream_curation(
     available_now: bool = True,
     trigger_seconds: int | None = None,
     lm_ref: DataFrame | None = None,
+    nb_labeled: DataFrame | None = None,
 ) -> StreamingQuery:
     """readStream(parquet document shards) → curation passes →
-    foreachBatch writing the curation tables (plus ``lm_scores`` when
-    ``lm_ref`` is given). ``schema`` defaults to the benchmark frame's
-    schema (shards and eval set share the documents layout);
-    ``maxFilesPerTrigger`` is the backpressure knob, as in the ingest
-    daemon."""
+    foreachBatch writing the curation tables (plus ``lm_scores`` /
+    ``nb_scores`` when ``lm_ref`` / ``nb_labeled`` are given).
+    ``schema`` defaults to the benchmark frame's schema (shards and
+    eval set share the documents layout); ``maxFilesPerTrigger`` is
+    the backpressure knob, as in the ingest daemon."""
     docs = (
         spark.readStream.schema(schema or benchmark.schema)
         .option("recursiveFileLookup", "true")
@@ -112,7 +125,9 @@ def stream_curation(
         .parquet(landing_dir)
     )
     writer = docs.writeStream.foreachBatch(
-        make_curation_processor(out_dir, benchmark, n, text_col, lm_ref=lm_ref)
+        make_curation_processor(
+            out_dir, benchmark, n, text_col, lm_ref=lm_ref, nb_labeled=nb_labeled
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
