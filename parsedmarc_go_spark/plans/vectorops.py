@@ -176,3 +176,29 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsedmarc_go_spark.operators.clustering import semdedup
 
     return semdedup(load(spark, sf_dir, "embeddings"), n_clusters=8, tau=0.999)
+
+
+@query("ann_ivf_pq_topk")
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe (Jégou 2011) as a first-class query: build the
+    coarse-cell + product-quantized index once per sf_dir (m=8 byte
+    codes per 64-dim vector + the int8 refine copy), then
+    partition-pruned ADC shortlist + exact int8 rerank. Rows-only (the
+    codebooks depend on float accumulation order); recall measured on
+    the planted-neighbor harness (scripts/pq_recall.py → RECALL.json),
+    shortlist/rerank invariants pinned in tests/test_pq.py."""
+    import os
+
+    from parsedmarc_go_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/spark_graft_idx/ivfpq_{tag}_m8"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivf_pq_index(emb, path, n_cells=8, m=8, ks=16, max_iters=4)
+    return ivf_pq_topk_indexed(
+        spark, path, query_vector(emb, 0), k=10, nprobe=3, rerank=50
+    )

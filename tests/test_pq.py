@@ -1,0 +1,120 @@
+"""IVF-PQ drives (operators/pq.py): planted-neighbor retrieval through
+the persisted index, encode determinism, codes-only vs refine layouts,
+and the shortlist/rerank contract. The recall/scan operating points
+live in scripts/pq_recall.py → RECALL.json; these tests pin the
+invariants."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    from ann_recall import make_corpus
+
+    corpus_rows, qrows, truth = make_corpus(400, 4)
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, label int, embedding array<double>"
+    ).cache()
+    corpus.count()
+    return corpus, qrows, truth
+
+
+def test_ivf_pq_finds_planted_neighbors(spark, planted, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from parsedmarc_go_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    corpus, qrows, truth = planted
+    idx = str(tmp_path / "pq")
+    build_ivf_pq_index(corpus, idx, n_cells=8, m=8, ks=16, max_iters=3)
+    for qi, qv in qrows:
+        q = spark.createDataFrame([(qv,)], "q array<double>")
+        got = {
+            r.vec_id
+            for r in ivf_pq_topk_indexed(spark, idx, q, k=10, nprobe=8).collect()
+        }
+        # nprobe = all cells -> no coarse loss; the planted neighbors
+        # (cosine .86-.94 vs background ~.5) must all survive PQ + rerank
+        assert got == truth[qi]
+    # determinism: the probe is a pure function of index + query
+    q = spark.createDataFrame([(qrows[0][1],)], "q array<double>")
+    a = [tuple(r) for r in ivf_pq_topk_indexed(spark, idx, q, k=10, nprobe=4).collect()]
+    b = [tuple(r) for r in ivf_pq_topk_indexed(spark, idx, q, k=10, nprobe=4).collect()]
+    assert a == b
+
+
+def test_pq_codes_layout_and_determinism(spark, planted, tmp_path):
+    from parsedmarc_go_spark.operators.pq import (
+        build_ivf_pq_index,
+        load_pq_codebooks,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    corpus, _, _ = planted
+    books = train_pq_codebooks(corpus, m=8, ks=16, max_iters=2)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = pq_encode(corpus, books)
+    rows = enc.select("vec_id", "pq_codes").orderBy("vec_id").limit(20).collect()
+    again = enc.select("vec_id", "pq_codes").orderBy("vec_id").limit(20).collect()
+    assert [list(r.pq_codes) for r in rows] == [list(r.pq_codes) for r in again]
+    assert all(0 <= c < 16 for r in rows for c in r.pq_codes)
+    # tinyint codes on disk; codes-only layout stores NO vector copy
+    idx = str(tmp_path / "pq_nr")
+    build_ivf_pq_index(corpus, idx, n_cells=4, m=8, ks=16, max_iters=2, refine=False)
+    stored = spark.read.parquet(idx)
+    assert dict(stored.dtypes)["pq_codes"] == "array<tinyint>"
+    assert "embedding" not in stored.columns and "embedding_q" not in stored.columns
+    loaded = load_pq_codebooks(spark, idx)
+    assert np.allclose(np.array(loaded), np.array(books))
+
+
+def test_rerank_refines_adc_order(spark, planted, tmp_path):
+    """With the refine layout, the final top-k comes from exact int8
+    cosine over the ADC shortlist — so against planted truth the
+    reranked probe is never worse than raw ADC order."""
+    from parsedmarc_go_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    corpus, qrows, truth = planted
+    idx = str(tmp_path / "pq_r")
+    build_ivf_pq_index(corpus, idx, n_cells=8, m=8, ks=16, max_iters=3)
+    adc_hits = rr_hits = 0
+    for qi, qv in qrows:
+        q = spark.createDataFrame([(qv,)], "q array<double>")
+        adc = {
+            r.vec_id
+            for r in ivf_pq_topk_indexed(
+                spark, idx, q, k=10, nprobe=8, rerank=0
+            ).collect()
+        }
+        rr = {
+            r.vec_id
+            for r in ivf_pq_topk_indexed(
+                spark, idx, q, k=10, nprobe=8, rerank=50
+            ).collect()
+        }
+        adc_hits += len(adc & truth[qi])
+        rr_hits += len(rr & truth[qi])
+    assert rr_hits >= adc_hits
+
+
+def test_train_guards(spark, planted):
+    from parsedmarc_go_spark.operators.pq import train_pq_codebooks
+
+    corpus, _, _ = planted
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(corpus, m=7, ks=16)
