@@ -1,0 +1,120 @@
+"""Full-text retrieval primitives over the documents table: inverted
+postings and BM25 ranking (Robertson & Zaragoza 2009, the Okapi BM25
+formulation with the Lucene +1 idf floor — public references).
+
+A training-data pipeline uses these for corpus exploration ("which
+documents mention X"), targeted decontamination, and quality probes;
+they are also the reference's missing text-search story re-expressed
+Spark-first:
+
+- ``inverted_postings``: the (term, doc_id, tf) relation — the
+  scalable form of an inverted index (one row per posting, partitioned
+  by term hash at write time if persisted; an array-of-doc_ids per
+  term would concentrate a stopword's entire posting list in one row,
+  which is exactly the skew a row-per-posting layout avoids);
+- ``bm25_score``: rank documents against a bag of query terms.
+
+Determinism contract (registry rules): idf is computed from exact
+integer (N, df) counts and quantized to the 1e-4 grid; each
+term-contribution is quantized BEFORE the per-document integer sum, so
+scores are engine-exact and safe to value-hash. The per-contribution
+arithmetic between quantizations is +,*,/ on identical doubles —
+bit-identical on any IEEE engine.
+
+Scale shape: one corpus scan + token explode; the query-term filter
+prunes the explode to |terms| rows per doc BEFORE any shuffle; doc
+lengths ride the same scan; ``avgdl`` and the per-term df/idf table
+are broadcast 1-row / |terms|-row frames. One doc_id aggregation ends
+the plan. No windows, no driver-side state beyond the query itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 10_000.0
+
+
+def inverted_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf) postings over the lowercase single-space
+    tokenization. Row-per-posting — the layout that stays skew-safe
+    when a term appears in billions of documents."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 rank of every document containing at least one query term:
+
+      score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+      idf(t) = ln( (N − df + 0.5) / (df + 0.5) + 1 )
+
+    Returns ``doc_id, n_terms_matched, score`` (grid-exact; documents
+    matching no term are omitted — at corpus scale "every document
+    with score 0" is the whole corpus)."""
+    terms = [t.lower() for t in terms]
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    )
+    lengths = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = lengths.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    hits = toks.filter(F.col("term").isin(terms)).groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    )
+    df_counts = hits.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    # idf from exact integer counts, quantized: floor(ln(...)·1e4 + .5)
+    idf_fp = F.floor(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * F.lit(_SCALE)
+        + F.lit(0.5)
+    ).cast("long")
+    idf = df_counts.crossJoin(F.broadcast(stats)).select(
+        "term", idf_fp.alias("idf_fp"), "n_docs", "total_len"
+    )
+    scored = (
+        hits.join(F.broadcast(idf), "term")
+        .join(lengths, id_col)
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    tfd = F.col("tf").cast("double")
+    contrib = (
+        (F.col("idf_fp").cast("double") / F.lit(_SCALE))
+        * (tfd * F.lit(k1 + 1.0))
+        / (
+            tfd
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+        )
+    )
+    contrib_fp = F.floor(contrib * F.lit(_SCALE) + F.lit(0.5)).cast("long")
+    return (
+        scored.select(F.col(id_col), contrib_fp.alias("c_fp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            (F.sum("c_fp").cast("double") / F.lit(_SCALE)).alias("score"),
+        )
+    )

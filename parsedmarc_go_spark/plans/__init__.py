@@ -99,6 +99,10 @@ _WINDOW_DEMOTED = (
     # the sample_hash_threshold hash compare — born demoted, pytest
     # value-checks it at two SFs
     "span_corruption",
+    # BM25 (round 9): explode/count/broadcast-probe machinery
+    # in-window via decontaminate_ngram + text_tfidf_topk — born
+    # demoted, pytest value-checks it at two SFs
+    "text_bm25_rank",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -800,3 +800,63 @@ def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return span_corruption(docs, mask_frac=0.15, span_len=3)
+
+
+# BM25 gate (round 9, Robertson & Zaragoza 2009): a 4-token phrase is
+# planted on the doc_id % 4 == 1 class and the corpus ranked against
+# its terms (+ one absent term, exercising the df=0 path by omission).
+# idf and each term-contribution are grid-quantized before the integer
+# per-doc sum (registry rule); the k1+1 factor is written (1.2 + 1.0)
+# in SQL so both engines compute the identical IEEE double. Born
+# demoted: explode/count/broadcast-probe machinery in-window via
+# decontaminate_ngram + text_tfidf_topk + the a-family; pytest
+# value-checks it at two SFs.
+_BM25_ORACLE = """
+    WITH base AS (SELECT doc_id,
+           CASE WHEN doc_id % 4 = 1
+                THEN text || ' alpha bravo alpha needle' ELSE text END AS text
+           FROM documents),
+    tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM base),
+    lens AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+    st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len
+           FROM lens),
+    hits AS (SELECT doc_id, term, count(*) AS tf FROM tk
+             WHERE term IN ('alpha', 'bravo', 'needle', 'zz_absent_term')
+             GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    idf AS (SELECT term,
+            CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                       * 10000.0 + 0.5) AS BIGINT) AS idf_fp,
+            n_docs, total_len
+            FROM dfc CROSS JOIN st),
+    sc AS (SELECT h.doc_id,
+            CAST(floor((CAST(i.idf_fp AS DOUBLE) / 10000.0)
+                 * (CAST(h.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(h.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+                             / (CAST(i.total_len AS DOUBLE)
+                                / CAST(i.n_docs AS DOUBLE))))
+                 * 10000.0 + 0.5) AS BIGINT) AS c_fp
+           FROM hits h JOIN idf i ON h.term = i.term
+                JOIN lens l ON h.doc_id = l.doc_id)
+    SELECT doc_id, count(*) AS n_terms_matched,
+           CAST(SUM(c_fp) AS DOUBLE) / 10000.0 AS score
+    FROM sc GROUP BY doc_id
+"""
+
+
+@query("text_bm25_rank", oracle=_BM25_ORACLE)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking against a planted 3-term query. See
+    operators/retrieval.py::bm25_score."""
+    from parsedmarc_go_spark.operators.retrieval import bm25_score
+
+    docs = load(spark, sf_dir, "documents")
+    itext = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.col("text"), F.lit(" alpha bravo alpha needle")),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", itext.alias("text"))
+    return bm25_score(t, ["alpha", "bravo", "needle", "zz_absent_term"])

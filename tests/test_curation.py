@@ -399,3 +399,43 @@ def test_span_corruption_deterministic_and_frac(spark):
         F.sum("n_masked").cast("double") / F.sum("n_tokens")
     ).collect()[0][0]
     assert 0.10 <= tot <= 0.22  # expected ~0.15 masked fraction
+
+
+def test_bm25_semantics(spark):
+    import math
+
+    import pytest
+
+    from parsedmarc_go_spark.operators.retrieval import bm25_score, inverted_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "apple banana banana banana"),
+            (3, "cherry dates cherry elderberry"),
+            (4, "fig grape honeydew kiwi"),
+        ],
+        ["doc_id", "text"],
+    )
+    # postings: row per (term, doc) with tf
+    posts = {(r.term, r.doc_id): r.tf for r in inverted_postings(docs).collect()}
+    assert posts[("apple", 1)] == 2 and posts[("banana", 2)] == 3
+    out = {r.doc_id: r for r in bm25_score(docs, ["apple", "cherry"]).collect()}
+    assert set(out) == {1, 2, 3}  # doc 4 matches nothing -> omitted
+    assert out[1].n_terms_matched == 2
+    # hand-check doc 1 (N=4, dl=4, avgdl=4): idf(apple)=ln((4-2+.5)/(2+.5)+1)
+    def fp(x):
+        return math.floor(x * 10000.0 + 0.5)
+
+    def contrib(idf_fp, tf, dl):
+        raw = (idf_fp / 10000.0) * (tf * (1.2 + 1.0)) / (
+            tf + 1.2 * (0.25 + 0.75 * dl / 4.0)
+        )
+        return fp(raw)
+
+    idf_a = fp(math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0))
+    idf_c = fp(math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0))
+    want1 = (contrib(idf_a, 2, 4) + contrib(idf_c, 1, 4)) / 10000.0
+    assert out[1].score == pytest.approx(want1, abs=1e-12)
+    # higher tf of a matched term -> higher score than single match
+    assert out[2].score < out[1].score  # one term (apple tf1... banana not queried)
