@@ -118,3 +118,38 @@ def bm25_score(
             (F.sum("c_fp").cast("double") / F.lit(_SCALE)).alias("score"),
         )
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    size: int,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary of the top ``size`` tokens — the
+    tokenizer-prep primitive (vocab files for BPE/WordPiece training
+    start exactly here). Returns ``token, cnt, token_id`` with ids
+    assigned by (count desc, token) rank, 0-based.
+
+    Scale shape: one corpus token aggregation, then the top-``size``
+    cut is TakeOrderedAndProject (per-partition heaps). The id-rank
+    window runs over the ALREADY-LIMITED frame — ``size`` rows, a
+    bounded parameter, not the corpus — so the partition-less window
+    is bounded by construction, unlike the global-ntile shape the
+    semdedup fix removed."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    )

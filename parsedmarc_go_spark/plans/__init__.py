@@ -103,6 +103,14 @@ _WINDOW_DEMOTED = (
     # in-window via decontaminate_ngram + text_tfidf_topk — born
     # demoted, pytest value-checks it at two SFs
     "text_bm25_rank",
+    # URL dedup (round 9): canonical_url (url_canonicalize's sibling
+    # rationale) + the dedup_exact keep-min groupBy (in-window) —
+    # born demoted, pytest value-checks it at two SFs
+    "dedup_url_canonical",
+    # vocab builder (round 9): token explode/count (text_tfidf_topk)
+    # + ordered-limit (a7) machinery — born demoted, pytest
+    # value-checks it at two SFs
+    "vocab_top_tokens",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -223,9 +223,10 @@ def sample_hash_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_hash_threshold(docs, 0.15).select("doc_id", "source")
 
 
-@query(
-    "url_canonicalize",
-    oracle=r"""
+# The canonicalization CTE chain, shared by the url_canonicalize gate
+# and the r9 URL-dedup gate (same planted messy URLs, same canonical
+# form — one definition so the two oracles can never drift).
+_URL_CANON_CTES = r"""
     WITH t AS (
       SELECT doc_id,
              CASE CAST(doc_id % 3 AS INTEGER)
@@ -268,6 +269,13 @@ def sample_hash_threshold_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND substr(x, 1, 7) <> 'fbclid=' AND substr(x, 1, 6) <> 'gclid=')),
                '&'), '') AS sorted_q
       FROM q)
+"""
+
+
+@query(
+    "url_canonicalize",
+    oracle=_URL_CANON_CTES
+    + """
     SELECT doc_id, url,
            lowpre || path || CASE WHEN sorted_q = '' THEN '' ELSE '?' || sorted_q END
              AS canon_url
@@ -860,3 +868,88 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("text"))
     t = docs.select("doc_id", itext.alias("text"))
     return bm25_score(t, ["alpha", "bravo", "needle", "zz_absent_term"])
+
+
+# URL-level dedup gate (round 9): the FIRST dedup stage of a crawl
+# pipeline (RefinedWeb §3.2 runs URL dedup before any content pass) —
+# group the planted messy URLs by their canonical form, keep the
+# smallest doc_id, count the collapse. The %3==2 class is identical
+# within each doc_id%7 bucket, so real multi-doc groups exist at every
+# SF. Born demoted: canonical_url is hash-checked by url_canonicalize's
+# sibling argument (pii machinery in-window) and the keep-min groupBy
+# by dedup_exact (in-window); pytest value-checks it at two SFs.
+_URL_DEDUP_ORACLE = _URL_CANON_CTES + """
+    , c AS (SELECT doc_id,
+                   lowpre || path || CASE WHEN sorted_q = '' THEN ''
+                                          ELSE '?' || sorted_q END AS canon_url
+            FROM f)
+    SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS dup_count
+    FROM c GROUP BY canon_url
+"""
+
+
+@query("dedup_url_canonical", oracle=_URL_DEDUP_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: canonical form → keep-first, one digest-style
+    hash aggregate (the dedup_exact shape keyed on the canonical
+    string). Uses the url_canonicalize gate's planted messy URLs so
+    cross-doc collapses exist at every SF."""
+    from parsedmarc_go_spark.operators.curation import canonical_url
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(
+            (d % 3) == 0,
+            F.concat(
+                F.lit("HTTP://Example"), (d % 7).cast("string"),
+                F.lit(".COM:80/p/"), ds, F.lit("?z=9&utm_source=f&a=1#frag"),
+            ),
+        )
+        .when(
+            (d % 3) == 1,
+            F.concat(
+                F.lit("https://Sub.Example"), (d % 7).cast("string"),
+                F.lit(".com:443/q/"), ds,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://example"), (d % 7).cast("string"),
+                F.lit(".com:8080/r?gclid=x&b=2&a=10"),
+            )
+        )
+    )
+    t = docs.select("doc_id", canonical_url(url).alias("canon_url"))
+    return t.groupBy("canon_url").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
+    )
+
+
+# Vocab-builder gate (round 9): top-200 corpus tokens by (count desc,
+# token) with 0-based rank ids. Born demoted: token explode/count by
+# text_tfidf_topk (in-window), ordered-limit by a7; the rank window
+# input is the bounded 200-row frame. pytest value-checks it at two
+# SFs.
+_VOCAB_SIZE = 200
+_VOCAB_ORACLE = f"""
+    WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+    t AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT {_VOCAB_SIZE})
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) - 1
+             AS token_id
+    FROM t
+"""
+
+
+@query("vocab_top_tokens", oracle=_VOCAB_ORACLE)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 frequency vocabulary with rank ids. See
+    operators/retrieval.py::build_vocab."""
+    from parsedmarc_go_spark.operators.retrieval import build_vocab
+
+    return build_vocab(load(spark, sf_dir, "documents"), size=_VOCAB_SIZE)

@@ -439,3 +439,37 @@ def test_bm25_semantics(spark):
     assert out[1].score == pytest.approx(want1, abs=1e-12)
     # higher tf of a matched term -> higher score than single match
     assert out[2].score < out[1].score  # one term (apple tf1... banana not queried)
+
+
+def test_url_dedup_and_vocab(spark):
+    from parsedmarc_go_spark.operators.curation import canonical_url
+    from parsedmarc_go_spark.operators.retrieval import build_vocab
+
+    # tracking-param/case variants of one URL + a distinct one
+    urls = spark.createDataFrame(
+        [
+            (1, "HTTP://A.com:80/x?b=2&a=1&utm_source=f"),
+            (2, "http://a.com/x?a=1&b=2"),
+            (3, "http://a.com/y"),
+        ],
+        ["doc_id", "url"],
+    )
+    t = urls.select("doc_id", canonical_url(F.col("url")).alias("canon_url"))
+    out = {
+        r.canon_url: (r.keep_id, r.dup_count)
+        for r in t.groupBy("canon_url")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .collect()
+    }
+    assert out["http://a.com/x?a=1&b=2"] == (1, 2)
+    assert out["http://a.com/y"] == (3, 1)
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d")], ["doc_id", "text"]
+    )
+    vocab = {r.token: (r.cnt, r.token_id) for r in build_vocab(docs, size=3).collect()}
+    # a=3, b=3 tie -> 'a' wins lexicographically; c/d tie at 1 -> 'c'
+    assert vocab == {"a": (3, 0), "b": (3, 1), "c": (1, 2)}
+    # min_count prunes the tail before the cut
+    v2 = {r.token for r in build_vocab(docs, size=5, min_count=2).collect()}
+    assert v2 == {"a", "b"}
