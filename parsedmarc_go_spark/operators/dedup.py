@@ -153,6 +153,36 @@ def ngram_jaccard_pairs(
     return _pairs_with_jaccard(index).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_containment_pairs(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT: ``shared /
+    min(|A|, |B|)`` — the measure that catches a short document living
+    inside a long one (quotes, excerpts, page-plus-boilerplate), which
+    symmetric Jaccard dilutes toward 0 as the size ratio grows (a
+    100-shingle doc fully inside a 10,000-shingle doc has containment
+    1.0 but Jaccard 0.01). Broder's containment coefficient — public.
+
+    Same inverted-index machinery and cost contract as
+    ngram_jaccard_pairs (Σ freq² — per-block / candidate-verify at
+    scale; the minhash bucket join generates candidates for THIS
+    verifier too when the corpus outgrows the exact join). Returns
+    ``doc_a, doc_b, n_a, n_b, shared, containment``."""
+    index = _shingle_index(docs, id_col, n).persist()
+    pairs = _pairs_with_jaccard(index).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_b",
+        "shared",
+        (
+            F.col("shared").cast("double")
+            / F.least("n_a", "n_b").cast("double")
+        ).alias("containment"),
+    )
+    return pairs.filter(F.col("containment") >= threshold)
+
+
 def minhash_band_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

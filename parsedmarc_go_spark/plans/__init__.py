@@ -111,6 +111,10 @@ _WINDOW_DEMOTED = (
     # + ordered-limit (a7) machinery — born demoted, pytest
     # value-checks it at two SFs
     "vocab_top_tokens",
+    # containment pairs (round 9): the shingle inverted-index join of
+    # dedup_minhash_lsh (in-window via rotation); only the denominator
+    # differs — born demoted, pytest value-checks it at two SFs
+    "dedup_containment",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -633,3 +633,80 @@ def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.round("quality", 4).alias("quality"),
         "n_members",
     )
+
+
+# Containment gate (round 9): asymmetric near-dup — class d%5==2 docs
+# are EXACTLY the shared quote their class's d%5==1 docs append to
+# their own text, so (small ⊂ big) pairs with containment 1.0 exist at
+# every SF while their Jaccard stays far below the jaccard gates'
+# thresholds. The quote class key is the consecutive-id BLOCK
+# floor(doc_id/10) (NOT a fixed modulus): each block holds exactly two
+# quote docs and two carriers at ANY corpus size, so the identical-
+# quote pair count — the quadratic term of any pair gate — stays O(N)
+# instead of exploding at sf1 (a %4 class key measured minutes there).
+# Class tokens are INTERLEAVED through the quote (qa<c> … qd<c>) so
+# every shingle is class-specific — a single trailing class token left
+# 4/5 shingles shared corpus-wide, which put every cross-class quote
+# pair at exactly the 0.8 threshold (measured: ~15k pairs at sf0.001,
+# quadratic at sf1).
+# Both engines build identical text; the containment formula is
+# exact-int shared / least(n_a, n_b). Born demoted: the shingle
+# inverted-index join is dedup_minhash_lsh's hash-checked machinery
+# (in-window via the r9 rotation); the only delta is the denominator.
+# pytest value-checks it at two SFs.
+_CONTAINMENT_ORACLE = """
+    WITH cls AS (
+      SELECT doc_id, text,
+             CAST(CAST(floor(doc_id / 10) AS BIGINT) AS VARCHAR) AS c
+      FROM documents),
+    base AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 2 THEN 'qa' || c || ' alpha qb' || c || ' bravo qc' || c
+                           || ' charlie qd' || c
+               WHEN 1 THEN text || ' qa' || c || ' alpha qb' || c || ' bravo qc'
+                           || c || ' charlie qd' || c
+               ELSE text END AS text
+      FROM cls),
+    d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM base),
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [] END)) AS shingle
+      FROM d),
+    n AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    p AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2)
+    SELECT p.da AS doc_a, p.db AS doc_b,
+           na.n_shingles AS n_a, nb.n_shingles AS n_b, p.shared AS shared,
+           CAST(p.shared AS DOUBLE)
+             / CAST(least(na.n_shingles, nb.n_shingles) AS DOUBLE) AS containment
+    FROM p JOIN n na ON p.da = na.doc JOIN n nb ON p.db = nb.doc
+    WHERE CAST(p.shared AS DOUBLE)
+             / CAST(least(na.n_shingles, nb.n_shingles) AS DOUBLE) >= 0.8
+"""
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup over planted quote/excerpt
+    pairs. See operators/dedup.py::ngram_containment_pairs."""
+    from parsedmarc_go_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    c = F.floor(d / 10).cast("string")
+    quote = F.concat(
+        F.lit("qa"), c, F.lit(" alpha qb"), c, F.lit(" bravo qc"), c,
+        F.lit(" charlie qd"), c,
+    )
+    itext = (
+        F.when(d % 5 == 2, quote)
+        .when(d % 5 == 1, F.concat(F.col("text"), F.lit(" "), quote))
+        .otherwise(F.col("text"))
+    )
+    t = docs.select("doc_id", itext.alias("text"))
+    return ngram_containment_pairs(t, threshold=0.8)

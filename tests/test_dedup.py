@@ -477,3 +477,30 @@ def test_paragraph_dedup_normalize_fuzzy(spark):
     # docs 2 and 3 lose their variant paragraph
     assert fuzzy[2]["n_kept"] == 1 and fuzzy[2]["dedup_text"] == "unique two"
     assert fuzzy[3]["n_kept"] == 1 and fuzzy[3]["dedup_text"] == "unique three"
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    from parsedmarc_go_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha bravo charlie delta echo foxtrot"
+    long_tail = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{long_tail} {quote}"),  # long doc embedding the quote
+            (2, quote),                    # the quote alone
+            (3, " ".join(f"z{i}" for i in range(20))),
+        ],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    # the short doc is fully contained -> containment 1.0
+    assert cont == {(1, 2): 1.0}
+    # symmetric Jaccard dilutes the same pair below any dedup threshold
+    jac = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []
