@@ -38,6 +38,7 @@ from parsedmarc_go_spark.streaming.daemon import _write_table
 CURATION_TABLES = ("docs_redacted", "repetition_stats", "decontamination")
 LM_TABLE = "lm_scores"
 NB_TABLE = "nb_scores"
+POSTINGS_TABLE = "postings"
 
 
 def make_curation_processor(
@@ -47,6 +48,7 @@ def make_curation_processor(
     text_col: str = "text",
     lm_ref: DataFrame | None = None,
     nb_labeled: DataFrame | None = None,
+    emit_postings: bool = False,
 ):
     """foreachBatch body for the curation stage, factored out (like the
     daemon's make_batch_processor) so idempotence and parity are
@@ -58,7 +60,12 @@ def make_curation_processor(
     cached, and every micro-batch is scored against the fixed model
     into the ``lm_scores`` table. ``nb_labeled`` (optional, a frame
     with ``label``/text columns) does the same for the NB quality
-    classifier into ``nb_scores``. Like every pass here the math is
+    classifier into ``nb_scores``. ``emit_postings=True`` maintains an
+    incremental inverted index: each batch's (term, doc_id, tf)
+    postings land under its own ``__batch_id`` partition, so the
+    accumulated ``postings`` table equals ``inverted_postings`` over
+    the union — per-document rows, no cross-batch state, idempotent
+    replay like every other table here. Like every pass the math is
     per-document against a fixed reference, so stream == batch holds
     exactly."""
     bench_ngrams = benchmark_ngrams(benchmark, n, text_col).cache()
@@ -89,6 +96,14 @@ def make_curation_processor(
                 outputs[LM_TABLE] = lm_score(batch, *lm, text_col=text_col)
             if nb is not None:
                 outputs[NB_TABLE] = nb_score(batch, nb, text_col=text_col)
+            if emit_postings:
+                from parsedmarc_go_spark.operators.retrieval import (
+                    inverted_postings,
+                )
+
+                outputs[POSTINGS_TABLE] = inverted_postings(
+                    batch, text_col=text_col
+                )
             for name, df in outputs.items():
                 _write_table(df, out_dir, name, batch_id)
         finally:
@@ -111,6 +126,7 @@ def stream_curation(
     trigger_seconds: int | None = None,
     lm_ref: DataFrame | None = None,
     nb_labeled: DataFrame | None = None,
+    emit_postings: bool = False,
 ) -> StreamingQuery:
     """readStream(parquet document shards) → curation passes →
     foreachBatch writing the curation tables (plus ``lm_scores`` /
@@ -126,7 +142,8 @@ def stream_curation(
     )
     writer = docs.writeStream.foreachBatch(
         make_curation_processor(
-            out_dir, benchmark, n, text_col, lm_ref=lm_ref, nb_labeled=nb_labeled
+            out_dir, benchmark, n, text_col, lm_ref=lm_ref,
+            nb_labeled=nb_labeled, emit_postings=emit_postings,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -46,7 +46,7 @@ def test_stream_curation_two_trigger_parity(spark, tmp_path):
     docs.filter(F.col("doc_id") < 250).write.parquet(str(landing / "shard1"))
     q = stream_curation(
         spark, str(landing), out, ckpt, benchmark, lm_ref=lm_ref,
-        nb_labeled=nb_labeled,
+        nb_labeled=nb_labeled, emit_postings=True,
     )
     q.awaitTermination(120)
 
@@ -54,7 +54,7 @@ def test_stream_curation_two_trigger_parity(spark, tmp_path):
     docs.filter(F.col("doc_id") >= 250).write.parquet(str(landing / "shard2"))
     q = stream_curation(
         spark, str(landing), out, ckpt, benchmark, lm_ref=lm_ref,
-        nb_labeled=nb_labeled,
+        nb_labeled=nb_labeled, emit_postings=True,
     )
     q.awaitTermination(120)
 
@@ -78,6 +78,12 @@ def test_stream_curation_two_trigger_parity(spark, tmp_path):
     # bit-for-bit
     assert _rows(got_lm) == _rows(want_lm)
     assert _rows(got_nb) == _rows(want_nb)
+    # incremental inverted index: accumulated postings == batch
+    # postings over the union (per-document rows, no cross-batch state)
+    from parsedmarc_go_spark.operators.retrieval import inverted_postings
+
+    got_post = read_stream_table(spark, out, "postings")
+    assert _rows(got_post) == _rows(inverted_postings(docs))
 
 
 def test_curation_processor_replay_idempotent(spark, tmp_path):
