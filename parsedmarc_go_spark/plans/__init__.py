@@ -115,6 +115,10 @@ _WINDOW_DEMOTED = (
     # dedup_minhash_lsh (in-window via rotation); only the denominator
     # differs — born demoted, pytest value-checks it at two SFs
     "dedup_containment",
+    # corpus report (round 9): a-family exact-distinct/multi-agg
+    # machinery (a9/a14 in-window) — born demoted, pytest value-checks
+    # it at two SFs
+    "corpus_report",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -953,3 +953,56 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parsedmarc_go_spark.operators.retrieval import build_vocab
 
     return build_vocab(load(spark, sf_dir, "documents"), size=_VOCAB_SIZE)
+
+
+# Corpus-report gate (round 9): the one-row corpus-health summary a
+# pipeline run publishes — sizes, exact-dup rate (distinct normalized
+# fingerprints), language/source cardinalities. Pure exact-integer
+# aggregation; the two fractions are single divisions of exact ints.
+# Born demoted: every piece is a-family machinery hash-checked
+# in-window (a9 exact distinct, a14 multi-agg summary); pytest
+# value-checks it at two SFs.
+_REPORT_ORACLE = """
+    WITH t AS (SELECT doc_id, lang, source, n_chars,
+                      len(string_split(lower(text), ' ')) AS n_tokens,
+                      sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                        AS fp
+               FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT fp) AS n_distinct_docs,
+           CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_doc_frac,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources
+    FROM t
+"""
+
+
+@query("corpus_report", oracle=_REPORT_ORACLE)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report: sizes, exact-dup rate, language
+    and source cardinalities — the summary a curation run publishes."""
+    from parsedmarc_go_spark.functions.text import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        F.sha2(normalized_text("text"), 256).alias("fp"),
+    )
+    return t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("fp").alias("n_distinct_docs"),
+        (
+            (F.count("*") - F.countDistinct("fp")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("dup_doc_frac"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
