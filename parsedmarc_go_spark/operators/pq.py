@@ -300,3 +300,42 @@ def ivf_pq_topk_indexed(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_to_ivf_pq_index(
+    vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental maintenance for a build_ivf_pq_index index: assign
+    and ENCODE the new vectors against the persisted coarse centroids
+    and PQ codebooks (both quantizers frozen — the standard IVF
+    maintenance contract, append_to_ivf_index's twin) and append under
+    the same cell layout. The refine columns follow the existing
+    layout automatically."""
+    spark = vectors.sparkSession
+    cents = load_ivf_centroids(spark, path)
+    books = load_pq_codebooks(spark, path)
+    assigned = pq_encode(
+        assign_cells(vectors, cents, vec_col, "cell"), books, vec_col
+    )
+    existing = spark.read.parquet(path)
+    cols = [id_col, "label", "pq_codes", "cell"]
+    if "embedding_q" in existing.columns:
+        from parsedmarc_go_spark.operators.similarity import quantize_embeddings
+
+        assigned = quantize_embeddings(assigned, vec_col)
+        cols += ["embedding_q", "q_scale"]
+    assigned.select(*cols).write.mode("append").partitionBy("cell").parquet(path)
+
+
+def compact_ivf_pq_index(
+    spark, path: str, target_file_mb: int = 256
+) -> tuple[int, int]:
+    """Maintenance merge for an appended IVF-PQ index: collapse each
+    cell's append spray back to chunky files (crash-safe directory
+    swap, sidecars untouched). Same contract as compact_ivf_index."""
+    from parsedmarc_go_spark.storage import compact_partitioned_index
+
+    return compact_partitioned_index(spark, path, "cell", target_file_mb)

@@ -118,3 +118,51 @@ def test_train_guards(spark, planted):
     corpus, _, _ = planted
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(corpus, m=7, ks=16)
+
+
+def test_pq_append_and_compact_identity(spark, planted, tmp_path):
+    """An appended index probes identically to a from-scratch index
+    built with the same (frozen) quantizers, and compaction collapses
+    the append spray without changing any probe result."""
+    from parsedmarc_go_spark.operators.pq import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        compact_ivf_pq_index,
+        ivf_pq_topk_indexed,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        pq_encode,
+    )
+    from parsedmarc_go_spark.operators.clustering import assign_cells
+    from parsedmarc_go_spark.operators.similarity import quantize_embeddings
+
+    corpus, qrows, _ = planted
+    first = corpus.filter("vec_id < 300")
+    rest = corpus.filter("vec_id >= 300")
+    idx = str(tmp_path / "pq_app")
+    build_ivf_pq_index(first, idx, n_cells=8, m=8, ks=16, max_iters=3)
+    append_to_ivf_pq_index(rest, idx)
+
+    # reference: encode the FULL corpus with the same persisted
+    # quantizers and write a fresh index
+    cents = load_ivf_centroids(spark, idx)
+    books = load_pq_codebooks(spark, idx)
+    ref = str(tmp_path / "pq_ref")
+    enc = quantize_embeddings(
+        pq_encode(assign_cells(corpus, cents, "embedding", "cell"), books)
+    ).select("vec_id", "label", "pq_codes", "cell", "embedding_q", "q_scale")
+    enc.write.partitionBy("cell").parquet(ref)
+    import shutil
+
+    for side in (".centroids", ".pq"):
+        shutil.copytree(idx + side, ref + side)
+
+    q = spark.createDataFrame([(qrows[0][1],)], "q array<double>")
+    a = [tuple(r) for r in ivf_pq_topk_indexed(spark, idx, q, k=10, nprobe=4).collect()]
+    b = [tuple(r) for r in ivf_pq_topk_indexed(spark, ref, q, k=10, nprobe=4).collect()]
+    assert a == b
+
+    before, after = compact_ivf_pq_index(spark, idx, target_file_mb=64)
+    assert after <= before
+    c = [tuple(r) for r in ivf_pq_topk_indexed(spark, idx, q, k=10, nprobe=4).collect()]
+    assert c == a
