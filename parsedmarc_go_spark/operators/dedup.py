@@ -690,7 +690,14 @@ def paragraph_dedup(
         "is_first", F.col("okey") == F.min("okey").over(w)
     )
     if seen_keys is not None:
-        seen = seen_keys.select("ph").distinct().withColumn(
+        # seen_keys must be ph-DISTINCT (contract): the membership join
+        # is a plain left join, so duplicate digests would duplicate
+        # paragraph rows. The streaming fingerprint store guarantees it
+        # by construction (each batch appends only digests anti-joined
+        # against everything seen; asserted in test_streaming_dedup) —
+        # re-running distinct() here cost a full O(store) shuffle per
+        # micro-batch for an invariant that always held (VERDICT r9).
+        seen = seen_keys.select("ph").withColumn(
             "__seen", F.lit(True)
         )
         flagged = flagged.join(seen, "ph", "left").withColumn(

@@ -121,9 +121,14 @@ def lm_score(
     LM that outgrows the driver."""
     sc = corpus.sparkSession.sparkContext
     mark = F.broadcast if broadcast_lm else (lambda df: df)
-    pairs = _token_pairs(
-        corpus.repartition(sc.defaultParallelism), id_col, text_col
-    )
+    # repartition only when the scan is under-parallel (the
+    # _ensure_parallelism idiom, operators/dedup.py): a well-partitioned
+    # 100 TB parquet scan already lands in thousands of splits, and an
+    # unconditional repartition would shuffle the whole corpus before
+    # the first pair is formed (VERDICT r9 finding 3)
+    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism)
+    pairs = _token_pairs(corpus, id_col, text_col)
     scored = (
         pairs.join(mark(bigrams), ["w1", "w2"], "left")
         .join(mark(histories), ["w1"], "left")

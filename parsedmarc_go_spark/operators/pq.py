@@ -124,11 +124,20 @@ def train_pq_codebooks(
     """Train the m per-subspace codebooks (each ks × dim/m) on the
     unit-normalized vectors. One small Lloyd run per subspace — a
     build-once cost amortized over every encode and probe."""
-    if m * ks * 8 > LITERAL_CENTROID_BUDGET * 4:
-        raise ValueError(f"m*ks too large for literal plans: {m}*{ks}")
     dim = len(vectors.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    # the real literal size is ks*dsub doubles per _pq_code_expr and
+    # ks*dim TOTAL across pq_encode's m subspace expressions — so the
+    # guard follows assign_cells' k*dim rule (clustering.py:65), after
+    # dim is known; an m*ks-only test let dim=4096 codebooks through at
+    # 16x the budget (ADVICE r9)
+    if ks * dim > LITERAL_CENTROID_BUDGET:
+        raise ValueError(
+            f"ks*dim = {ks}*{dim} exceeds the literal-plan centroid "
+            f"budget ({LITERAL_CENTROID_BUDGET}); lower ks or use a "
+            "broadcast-join encode"
+        )
     dsub = dim // m
     base = vectors.select(
         F.col(id_col).alias("__id"), _unit_vec_expr(vec_col).alias("__u")

@@ -62,6 +62,25 @@ def _gram_stream(
     toks = docs.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
     ).filter(F.size("toks") >= k)
+    # < 1e6 grams/doc guard for the keep-first ``okey``, applied per
+    # document on the pre-explode token array (one comparison per doc,
+    # not per gram row) and over the FULL gram stream — not only emitted
+    # spans: a giant document whose high positions are unique or
+    # keep-first winners still collides its okey range into the next
+    # doc_id's and can silently flip a min(okey) winner.
+    toks = toks.withColumn(
+        "toks",
+        F.when(
+            F.size("toks") - (k - 1) >= _KEY_BASE,
+            F.raise_error(
+                F.concat(
+                    F.lit("_gram_stream: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(" has >= 1e6 gram positions; keep-first key overflows"),
+                )
+            ).cast("array<string>"),
+        ).otherwise(F.col("toks")),
+    )
     grams = F.expr(
         f"transform(sequence(1, size(toks) - {k - 1}), "
         f"i -> array_join(slice(toks, i, {k}), ' '))"
@@ -102,9 +121,11 @@ def duplicated_spans(
     span: ``doc_id, span_start, span_end, n_dup_grams`` with token
     indices, ``span_end`` exclusive.
 
-    The < 1e6 grams/doc bound of the keep-first key is enforced per
-    GROUP in the island aggregation (the paragraph_dedup guard idiom —
-    a per-row guard on the hot gram stream measured far worse there).
+    The < 1e6 grams/doc bound of the keep-first key is enforced in
+    ``_gram_stream``, per document on the pre-explode token array —
+    covering every gram position, not just those inside emitted spans,
+    at one comparison per document (a per-row guard on the hot gram
+    stream measured far worse in paragraph_dedup).
     """
     g = _gram_stream(docs, id_col, text_col, k).withColumn(
         "okey", F.col(id_col).cast("long") * _KEY_BASE + F.col("pos")
@@ -121,7 +142,12 @@ def duplicated_spans(
     )
     cond = F.col("is_dup") & (~F.col("is_winner") if keep_first else F.lit(True))
     if seen_keys is not None:
-        seen = seen_keys.select("gh").distinct().withColumn("__seen", F.lit(True))
+        # seen_keys must be gh-DISTINCT (contract — same as
+        # paragraph_dedup's seen path): the membership join is a plain
+        # left join, so duplicate digests would duplicate gram rows.
+        # The streaming gram store is distinct by construction
+        # (asserted in test_streaming_dedup, not recomputed per batch).
+        seen = seen_keys.select("gh").withColumn("__seen", F.lit(True))
         flagged = flagged.join(seen, "gh", "left")
         cond = cond | F.col("__seen").isNotNull()
     removable = flagged.filter(cond)
@@ -142,23 +168,7 @@ def duplicated_spans(
             (F.max("pos") + k).alias("span_end"),
             F.count("*").alias("n_dup_grams"),
         )
-        .select(
-            id_col,
-            F.when(
-                F.col("span_end") - k >= _KEY_BASE,
-                F.raise_error(
-                    F.concat(
-                        F.lit("duplicated_spans: document "),
-                        F.col(id_col).cast("string"),
-                        F.lit(" has >= 1e6 gram positions; keep-first key overflows"),
-                    )
-                ).cast("int"),
-            )
-            .otherwise(F.col("span_start"))
-            .alias("span_start"),
-            "span_end",
-            "n_dup_grams",
-        )
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
     )
 
 
@@ -180,15 +190,19 @@ def strip_duplicated_spans(
     intervals — bounded by n_tokens/k per doc) onto only the AFFECTED
     documents and drops tokens whose position falls inside any span
     with a filter-over-positions expression; the untouched remainder
-    unions back with zero rewrite cost. Tokenization matches
-    duplicated_spans (lowercase, single-space split) so indices line
-    up."""
+    unions back with zero rewrite cost. The ORIGINAL text is split —
+    single-space token boundaries are case-independent, so span indices
+    from the lowercased digest path line up exactly, and surviving
+    tokens keep their original casing (lowercasing belongs only to the
+    dedup KEYS; a training corpus must not be silently case-folded by
+    its dedup pass — the reference ExactSubstr strips from the original
+    text, and paragraph_dedup likewise preserves raw paragraph text)."""
     doc_spans = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("__span_tokens"),
     )
     toks = docs.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("toks")
     )
     hit = toks.join(doc_spans, id_col, "inner")
     # spans never extend past the token count, so removed = span length;

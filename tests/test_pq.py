@@ -166,3 +166,17 @@ def test_pq_append_and_compact_identity(spark, planted, tmp_path):
     assert after <= before
     c = [tuple(r) for r in ivf_pq_topk_indexed(spark, idx, q, k=10, nprobe=4).collect()]
     assert c == a
+
+
+def test_codebook_guard_uses_ks_times_dim(spark):
+    """The literal-plan guard must test ks*dim (pq_encode embeds ks*dim
+    literals total across its m subspace expressions — assign_cells'
+    k*dim rule), not m*ks: a high-dim input with small m*ks previously
+    slipped through at 16x the budget (ADVICE r9)."""
+    from parsedmarc_go_spark.operators.pq import train_pq_codebooks
+
+    rows = [(i, [float(i + j) for j in range(8192)]) for i in range(2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # m*ks = 8*16 = 128 — tiny; ks*dim = 16*8192 = 131072 > 65536
+    with pytest.raises(ValueError, match="literal-plan centroid budget"):
+        train_pq_codebooks(df, m=8, ks=16)

@@ -172,6 +172,150 @@ def test_fingerprint_store_compaction(spark, tmp_path):
     } == store_phs_before
 
 
+def test_store_globally_distinct_invariant(spark, tmp_path):
+    """The store never holds a digest twice: each batch appends only
+    digests anti-joined against everything seen. Round 10 DROPPED the
+    per-batch ``seen.distinct()`` recompute on the strength of this
+    invariant — so it is pinned here, where a regression fails loudly,
+    instead of being re-shuffled O(store) every micro-batch."""
+    from parsedmarc_go_spark.streaming.dedup import (
+        make_dedup_processor,
+        read_fingerprints,
+    )
+
+    docs = _corpus(spark)  # shared headers repeat across every shard
+    proc = make_dedup_processor(
+        str(tmp_path / "deduped"), str(tmp_path / "store")
+    )
+    for b in range(3):
+        proc(docs.filter((F.col("doc_id") % 3) == b), b)
+    df = read_fingerprints(spark, str(tmp_path / "store"))
+    assert df.count() == df.select("ph").distinct().count()
+
+
+def test_probe_store_plan_prunes_and_never_shuffles_store(spark, tmp_path):
+    """The per-batch membership probe must contain NO full-store
+    Exchange: the store side is a bucket-PRUNED scan streamed through a
+    BroadcastHashJoin LeftSemi with the batch digests broadcast
+    (VERDICT r9 task 2). The batch side is localCheckpoint'd here so
+    the asserted plan is exactly the store-side subtree."""
+    from parsedmarc_go_spark.operators.dedup import paragraph_keys
+    from parsedmarc_go_spark.streaming.dedup import (
+        make_dedup_processor,
+        probe_store,
+        read_fingerprints,
+        read_store_meta,
+    )
+
+    docs = _corpus(spark)
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store, n_buckets=8)
+    proc(docs.filter(F.col("doc_id") < 150), 0)
+    proc(docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)), 1)
+    assert read_store_meta(spark, store) == 8
+
+    seen = read_fingerprints(spark, store)
+    keys = paragraph_keys(
+        docs.filter(F.col("doc_id") >= 300)
+    ).localCheckpoint()
+    probe = probe_store(seen, keys, 8, broadcast_probe=True)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # store never shuffles
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        "__bucket" in ln and ("IN (" in ln or "INSET" in ln or " IN " in ln)
+        for ln in scan_lines
+    ), scan_lines
+    # and the pruned broadcast probe returns exactly the naive result
+    want = {
+        r.ph
+        for r in seen.select("ph").join(keys, "ph", "left_semi").collect()
+    }
+    assert {r.ph for r in probe.collect()} == want
+
+
+def test_compaction_base_partition_written_by_many_tasks(spark, tmp_path):
+    """The folded base partition is unbounded, so it must be rewritten
+    by ~total_bytes/target_file_mb tasks — not ONE (the r9 single-task
+    fold hashed on the constant -1). With a tiny target_file_mb the
+    base partition's bucket directories must hold multiple files, and
+    membership is untouched."""
+    import glob
+
+    from parsedmarc_go_spark.streaming.dedup import (
+        compact_fingerprint_store,
+        make_dedup_processor,
+        read_fingerprints,
+    )
+
+    docs = _corpus(spark)
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store, n_buckets=2)
+    for b in range(4):
+        proc(docs.filter((F.col("doc_id") % 4) == b), b)
+
+    before = {r["ph"] for r in read_fingerprints(spark, store).collect()}
+    compact_fingerprint_store(spark, store, keep_last=1, target_file_mb=0.01)
+    after_df = read_fingerprints(spark, store)
+    assert {r["ph"] for r in after_df.collect()} == before
+    ids = {r[0] for r in after_df.select("__batch_id").distinct().collect()}
+    assert ids == {-1, 3}
+
+    base_files = glob.glob(
+        os.path.join(store, "fingerprints", "__batch_id=-1", "**", "*.parquet"),
+        recursive=True,
+    )
+    by_dir: dict[str, int] = {}
+    for f in base_files:
+        by_dir[os.path.dirname(f)] = by_dir.get(os.path.dirname(f), 0) + 1
+    assert len(base_files) > 2
+    # a single bucket directory split across multiple write tasks is
+    # exactly what the one-task fold could never produce
+    assert any(n > 1 for n in by_dir.values()), by_dir
+
+
+def test_store_meta_bucket_width_pins_probe(spark, tmp_path):
+    """A store is probed with the bucket width it was WRITTEN with
+    (fingerprints.meta), never the caller's: a mismatched width would
+    prune away directories holding matching digests and wave
+    duplicates through."""
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        make_dedup_processor,
+        read_store_meta,
+    )
+    from parsedmarc_go_spark.tables import load
+
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    make_dedup_processor(out, store, mode="document", n_buckets=4)(
+        base.filter(F.col("doc_id") < 50), 0
+    )
+    assert read_store_meta(spark, store) == 4
+    # batch 1 arrives via a MIS-CONFIGURED processor (n_buckets=16):
+    # docs 400-449 duplicate docs 0-49's text and must still all drop
+    copies = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 400).alias("doc_id"), "text"
+    )
+    fresh = base.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    )
+    make_dedup_processor(out, store, mode="document", n_buckets=16)(
+        copies.unionByName(fresh), 1
+    )
+    got_ids = sorted(
+        r["doc_id"]
+        for r in read_stream_table(spark, out, "docs_deduped").collect()
+    )
+    assert not [i for i in got_ids if i >= 400]
+    assert [i for i in got_ids if 100 <= i < 150] == list(range(100, 150))
+    assert read_store_meta(spark, store) == 4  # width never drifts
+
+
 def test_stream_minhash_mode_drops_near_dups_across_batches(spark, tmp_path):
     """mode='minhash': an arriving doc whose band signatures collide
     with RETAINED history is dropped (near-dup vs a past batch, no

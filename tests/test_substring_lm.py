@@ -86,6 +86,38 @@ def test_strip_rejects_nothing_without_spans(spark, substring_docs):
     assert len(out) == 5
 
 
+def test_strip_preserves_original_casing(spark):
+    # dedup KEYS are lowercased (digest path) so differently-cased
+    # copies still match, but the rewritten text must keep the
+    # surviving tokens' ORIGINAL casing — a dedup pass must not
+    # case-fold the corpus (ADVICE r9: all-lowercase fixtures hid this)
+    docs = spark.createDataFrame(
+        [
+            (0, "First " + SHARED.title() + " Tail0 A B C"),
+            (1, "Yy1 kk1 " + SHARED.upper() + " TailOne"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs, k=8).collect()}
+    assert out[0].n_tokens_removed == 0
+    assert out[0].dedup_text == "First " + SHARED.title() + " Tail0 A B C"
+    assert out[1].n_tokens_removed == 10
+    assert out[1].dedup_text == "Yy1 kk1 TailOne"
+
+
+def test_gram_overflow_guard_covers_unique_high_positions(spark, monkeypatch):
+    import parsedmarc_go_spark.operators.substring as subm
+
+    monkeypatch.setattr(subm, "_KEY_BASE", 16)
+    # 25 unique tokens -> 18 gram positions >= 16; every gram is unique
+    # so no span is ever emitted — the old span-only guard missed
+    # exactly this document while its okey range collided onward
+    text = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="keep-first key overflows"):
+        subm.duplicated_spans(docs, k=8).collect()
+
+
 def test_island_adjacency_merges_touching_coverage(spark):
     # two duplicated grams at positions p and p+k have touching token
     # coverage -> one span, not two
@@ -161,6 +193,27 @@ def test_lm_score_shuffle_join_matches_broadcast(spark):
     lm = train_bigram_lm(ref)
     a = sorted(lm_score(corpus, *lm, broadcast_lm=True).collect())
     b = sorted(lm_score(corpus, *lm, broadcast_lm=False).collect())
+    assert a == b
+
+
+def test_lm_score_repartitions_only_under_parallel_input(spark):
+    """An already-parallel corpus scan must NOT be reshuffled before
+    pair formation (the _ensure_parallelism idiom — VERDICT r9 finding
+    3); an under-parallel one must."""
+    ref = spark.createDataFrame(LM_REF, ["doc_id", "text"])
+    lm = train_bigram_lm(ref)
+    sc = spark.sparkContext
+    wide = spark.createDataFrame(LM_CORPUS, ["doc_id", "text"]).repartition(
+        sc.defaultParallelism
+    ).localCheckpoint()  # pin the partition count, cut the repartition node
+    plan = lm_score(wide, *lm)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan
+    narrow = spark.createDataFrame(LM_CORPUS, ["doc_id", "text"]).coalesce(1)
+    plan = lm_score(narrow, *lm)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    # and both shapes score identically
+    a = sorted(lm_score(wide, *lm).collect())
+    b = sorted(lm_score(narrow, *lm).collect())
     assert a == b
 
 
