@@ -183,6 +183,55 @@ def ngram_containment_pairs(
     return pairs.filter(F.col("containment") >= threshold)
 
 
+def containment_keep(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The keep DECISION for asymmetric containment pairs: every pair
+    kills its CONTAINED side — the doc with fewer shingles (``n_a`` vs
+    ``n_b``; equal sizes are near-identical twins and keep the smaller
+    id). Returns one row per input document: ``doc_id, is_kept,
+    dropped_by`` where ``dropped_by`` is the smallest winning
+    container's id (NULL for kept docs) so the decision is
+    engine-independent and auditable.
+
+    This is deliberately NOT keep_best_per_cluster (the symmetric
+    Jaccard/minhash decision, plans/textops.py): connected components +
+    keep-one-per-component over-drops with containment edges — two
+    long, mutually-distinct carrier documents that each embed the same
+    short quote form one component through the quote, and a component
+    rule would keep only one CARRIER. The asymmetric semantic is
+    per-pair: only the contained doc is redundant (its content lives
+    inside the container), so the drop set is exactly the pair losers —
+    both carriers survive, the quote drops (pinned in test_dedup).
+    Chains (A ⊂ B ⊂ C) drop every non-maximal member greedily — B's
+    own killer being dropped does not resurrect B, matching the
+    RefinedWeb-style first-stage behavior.
+
+    Scale shape: one shuffle of the pair frame (near-dup population,
+    not the corpus) keyed on the loser id + one equi-join back to docs.
+    ``pairs`` is the ngram_containment_pairs output (needs ``doc_a,
+    doc_b, n_a, n_b``); at 100 TB feed it candidate pairs from the
+    minhash bucket join instead of the exact Σfreq² index."""
+    a_loses = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))
+    )
+    drops = (
+        pairs.select(
+            F.when(a_loses, F.col("doc_a")).otherwise(F.col("doc_b")).alias("__loser"),
+            F.when(a_loses, F.col("doc_b")).otherwise(F.col("doc_a")).alias("__winner"),
+        )
+        .groupBy("__loser")
+        .agg(F.min("__winner").alias("dropped_by"))
+    )
+    return docs.select(id_col).join(
+        drops, docs[id_col] == drops["__loser"], "left"
+    ).select(
+        id_col,
+        F.col("dropped_by").isNull().alias("is_kept"),
+        "dropped_by",
+    )
+
+
 def minhash_band_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

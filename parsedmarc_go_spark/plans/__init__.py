@@ -119,6 +119,17 @@ _WINDOW_DEMOTED = (
     # machinery (a9/a14 in-window) — born demoted, pytest value-checks
     # it at two SFs
     "corpus_report",
+    # containment keep rule (round 10): dedup_containment's pair
+    # machinery plus a CASE/group/left-join decision layer whose
+    # shapes are hash-checked in-window by the a-family — born
+    # demoted, pytest value-checks it at two SFs
+    "dedup_keep_best_containment",
+    # BPE round-1 pair counts (round 10): explode/count/ordered-limit
+    # machinery hash-checked in-window by text_tfidf_topk + a7; the
+    # rank window runs over the bounded 50-row frame (vocab_top_tokens'
+    # rationale) — born demoted, pytest value-checks it at two SFs and
+    # the full merge iteration against a pure-Python reference
+    "vocab_bpe_pairs",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

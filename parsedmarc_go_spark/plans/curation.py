@@ -1006,3 +1006,77 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+# BPE tokenizer-training gates (round 10, VERDICT r9 task 4 — Sennrich
+# 2016, public). The iteration itself is not SQL-expressible (each
+# round's merge rewrites the symbol arrays the next round counts), so
+# the oracle strategy splits per the verdict's instruction:
+#   - vocab_bpe_pairs: the ROUND-1 pair-count table IS plain SQL —
+#     full value oracle over the top-50 adjacent symbol pairs with the
+#     training tie-break order materialized as a rank column.
+#   - vocab_bpe_merges: the learned merge table — rows-only in the
+#     driver (deterministic: total-order tie-breaks each round);
+#     value-pinned against a pure-Python Sennrich reference at two SFs
+#     in tests/test_bpe.py.
+# Char-split parity was verified empirically: Spark split(w, '') and
+# DuckDB w[i:i] agree including multibyte chars.
+_BPE_PAIRS_K = 50
+_BPE_PAIRS_ORACLE = f"""
+    WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents),
+    words AS (SELECT w, COUNT(*) AS freq FROM tk WHERE w <> '' GROUP BY w),
+    syms AS (SELECT freq,
+                    list_append(list_transform(generate_series(1, length(w)),
+                                               i -> w[i:i]), '</w>') AS s
+             FROM words),
+    ex AS (SELECT freq, unnest(generate_series(1, len(s) - 1)) AS i, s
+           FROM syms),
+    p AS (SELECT s[i] AS a, s[i + 1] AS b,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM ex GROUP BY 1, 2),
+    t AS (SELECT a, b, cnt FROM p ORDER BY cnt DESC, a, b LIMIT {_BPE_PAIRS_K})
+    SELECT a, b, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rank
+    FROM t
+"""
+
+
+@query("vocab_bpe_pairs", oracle=_BPE_PAIRS_ORACLE)
+def vocab_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training round 1: the frequency-weighted adjacent
+    symbol-pair counts over the corpus word table, top-50 in training
+    order. See operators/bpe.py::symbol_pair_counts."""
+    from pyspark.sql import Window
+
+    from parsedmarc_go_spark.operators.bpe import (
+        _initial_symbols,
+        symbol_pair_counts,
+        word_freqs,
+    )
+
+    frame = word_freqs(
+        load(spark, sf_dir, "documents")
+    ).withColumn("syms", _initial_symbols())
+    top = (
+        symbol_pair_counts(frame)
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(_BPE_PAIRS_K)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@query("vocab_bpe_merges")
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (8 rounds over the documents
+    corpus): ``step, a, b, cnt`` in training order. Deterministic —
+    every round's winner carries a (count desc, pair asc) total-order
+    tie-break. See operators/bpe.py::bpe_train."""
+    from parsedmarc_go_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(load(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "step int, a string, b string, cnt bigint",
+    )

@@ -654,8 +654,8 @@ def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 # inverted-index join is dedup_minhash_lsh's hash-checked machinery
 # (in-window via the r9 rotation); the only delta is the denominator.
 # pytest value-checks it at two SFs.
-_CONTAINMENT_ORACLE = """
-    WITH cls AS (
+_CONTAINMENT_CTES = """
+    cls AS (
       SELECT doc_id, text,
              CAST(CAST(floor(doc_id / 10) AS BIGINT) AS VARCHAR) AS c
       FROM documents),
@@ -680,6 +680,10 @@ _CONTAINMENT_ORACLE = """
     p AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
           GROUP BY 1, 2)
+"""
+
+_CONTAINMENT_ORACLE = f"""
+    WITH {_CONTAINMENT_CTES}
     SELECT p.da AS doc_a, p.db AS doc_b,
            na.n_shingles AS n_a, nb.n_shingles AS n_b, p.shared AS shared,
            CAST(p.shared AS DOUBLE)
@@ -690,12 +694,10 @@ _CONTAINMENT_ORACLE = """
 """
 
 
-@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric containment near-dup over planted quote/excerpt
-    pairs. See operators/dedup.py::ngram_containment_pairs."""
-    from parsedmarc_go_spark.operators.dedup import ngram_containment_pairs
-
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted quote/carrier corpus both containment gates share
+    (and both engines rebuild identically — see the block comment
+    above _CONTAINMENT_CTES)."""
     docs = load(spark, sf_dir, "documents")
     d = F.col("doc_id")
     c = F.floor(d / 10).cast("string")
@@ -708,5 +710,59 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 5 == 1, F.concat(F.col("text"), F.lit(" "), quote))
         .otherwise(F.col("text"))
     )
-    t = docs.select("doc_id", itext.alias("text"))
-    return ngram_containment_pairs(t, threshold=0.8)
+    return docs.select("doc_id", itext.alias("text"))
+
+
+@query("dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup over planted quote/excerpt
+    pairs. See operators/dedup.py::ngram_containment_pairs."""
+    from parsedmarc_go_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _containment_corpus(spark, sf_dir), threshold=0.8
+    )
+
+
+# Keep-rule composition over the containment pairs (round 10, VERDICT
+# r9 task 8): the asymmetric decision is PER-PAIR (drop the contained
+# side), NOT keep_best_per_cluster's component-keep-one — two distinct
+# carriers embedding the same quote share a component through it, and
+# a component rule would drop a carrier. The oracle is therefore plain
+# aggregation SQL (loser/winner per pair, min winning container per
+# loser, left join back to all docs) — no recursive CTE needed, which
+# also keeps the sf1 oracle wall flat (the recursive reach() oracles
+# are the two slowest gates in CORRECTNESS_SF1).
+_KEEP_CONTAINMENT_ORACLE = f"""
+    WITH {_CONTAINMENT_CTES},
+    pairs AS (
+      SELECT p.da AS doc_a, p.db AS doc_b,
+             na.n_shingles AS n_a, nb.n_shingles AS n_b
+      FROM p JOIN n na ON p.da = na.doc JOIN n nb ON p.db = nb.doc
+      WHERE CAST(p.shared AS DOUBLE)
+               / CAST(least(na.n_shingles, nb.n_shingles) AS DOUBLE) >= 0.8),
+    lw AS (
+      SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
+                  THEN doc_a ELSE doc_b END AS loser,
+             CASE WHEN n_a < n_b OR (n_a = n_b AND doc_a > doc_b)
+                  THEN doc_b ELSE doc_a END AS winner
+      FROM pairs),
+    drops AS (SELECT loser, MIN(winner) AS dropped_by FROM lw GROUP BY loser)
+    SELECT b.doc_id, dr.dropped_by IS NULL AS is_kept, dr.dropped_by
+    FROM base b LEFT JOIN drops dr ON b.doc_id = dr.loser
+"""
+
+
+@query("dedup_keep_best_containment", oracle=_KEEP_CONTAINMENT_ORACLE)
+def dedup_keep_best_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The asymmetric quote-in-document case RESOLVED: contained docs
+    drop, containers survive. See operators/dedup.py::containment_keep
+    for why this is a per-pair rule rather than the component keep-one
+    of dedup_keep_best(_minhash)."""
+    from parsedmarc_go_spark.operators.dedup import (
+        containment_keep,
+        ngram_containment_pairs,
+    )
+
+    t = _containment_corpus(spark, sf_dir)
+    return containment_keep(t, ngram_containment_pairs(t, threshold=0.8))

@@ -1,0 +1,145 @@
+"""BPE tokenizer training (operators/bpe.py) value-pinned against a
+pure-Python Sennrich (2016) reference: merge sequence, final word
+segmentations, vocabulary ranks, and corpus encoding round-trip. The
+gates (vocab_bpe_pairs full-oracle, vocab_bpe_merges rows-only) cover
+the corpus-scale pipeline in test_queries_vs_duckdb; these tests pin
+the iteration semantics SQL can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+from parsedmarc_go_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_segment_corpus,
+    bpe_train,
+    bpe_vocab,
+    word_freqs,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _python_bpe(freqs: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    """Sennrich's algorithm verbatim: count adjacent symbol pairs
+    weighted by word frequency, merge the most frequent left-to-right
+    non-overlapping, repeat. Winner tie-break (count desc, pair asc)
+    matches bpe_train."""
+    vocab = {w: tuple(list(w) + [END_OF_WORD]) for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freqs[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((a, b, c))
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out: list[str] = []
+            carry = None
+            for s in syms:
+                if carry == a and s == b:
+                    out.append(a + b)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = s
+            if carry is not None:
+                out.append(carry)
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges, vocab
+
+
+@pytest.fixture(scope="module")
+def classic_docs(spark):
+    # the Sennrich-paper-style toy corpus, with repetition supplying
+    # frequency weight and an overlap-greedy case ('aaaa')
+    rows = [
+        (0, "low low low low low lower lower newest newest"),
+        (1, "newest newest newest newest widest widest widest aaaa"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bpe_train_matches_python_reference_classic(spark, classic_docs):
+    freqs = {
+        r["word"]: r["freq"] for r in word_freqs(classic_docs).collect()
+    }
+    want_merges, want_vocab = _python_bpe(freqs, n_merges=10)
+    got_merges, seg = bpe_train(classic_docs, n_merges=10)
+    assert got_merges == want_merges
+    got_vocab = {r["word"]: tuple(r["syms"]) for r in seg.collect()}
+    assert got_vocab == want_vocab
+    # 'est</w>' must have formed (the famous suffix merge): newest 6 +
+    # widest 3 occurrences drive e,s / es,t / est,</w> merges
+    assert any(a + b == "est" + END_OF_WORD for a, b, _ in got_merges) or any(
+        "est" + END_OF_WORD in v for v in ("".join(s) for s in got_vocab.values())
+    )
+
+
+def test_bpe_train_matches_python_reference_corpus(spark):
+    """Full agreement on the real documents table at sf0.001 — every
+    merge and every distinct word's final segmentation."""
+    from parsedmarc_go_spark.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    freqs = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    want_merges, want_vocab = _python_bpe(freqs, n_merges=8)
+    got_merges, seg = bpe_train(docs, n_merges=8)
+    assert got_merges == want_merges
+    got_vocab = {r["word"]: tuple(r["syms"]) for r in seg.collect()}
+    assert got_vocab == want_vocab
+
+
+def test_bpe_overlap_merges_left_to_right(spark):
+    docs = spark.createDataFrame([(0, "aaaa aaaa aaaa")], ["doc_id", "text"])
+    merges, seg = bpe_train(docs, n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    syms = tuple(seg.collect()[0]["syms"])
+    # greedy non-overlapping: a a a a </w> -> aa aa </w>, never aaa
+    assert syms == ("aa", "aa", END_OF_WORD)
+
+
+def test_bpe_min_pair_count_stops_training(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab cd ef")], ["doc_id", "text"]
+    )  # every pair occurs once
+    merges, _ = bpe_train(docs, n_merges=5, min_pair_count=2)
+    assert merges == []
+
+
+def test_bpe_vocab_ranks_and_counts(spark, classic_docs):
+    _, seg = bpe_train(classic_docs, n_merges=6)
+    v = bpe_vocab(seg, size=10).collect()
+    assert [r["token_id"] for r in v] == list(range(len(v)))
+    # ranks honor (cnt desc, token asc)
+    keys = [(-r["cnt"], r["token"]) for r in v]
+    assert keys == sorted(keys)
+
+
+def test_bpe_segment_corpus_round_trip_with_oov(spark, classic_docs):
+    """Encoding a doc containing an out-of-vocabulary word still
+    reconstructs the original tokens when the end-of-word markers are
+    unfused: OOV words fall back to char symbols."""
+    _, seg = bpe_train(classic_docs, n_merges=6)
+    probe = spark.createDataFrame(
+        [(99, "low newest zebra")], ["doc_id", "text"]
+    )
+    out = bpe_segment_corpus(probe, seg).collect()[0]
+    rebuilt = (
+        "".join(out["bpe_tokens"]).replace(END_OF_WORD, " ").strip()
+    )
+    assert rebuilt == "low newest zebra"
+    assert out["n_bpe_tokens"] == len(out["bpe_tokens"])
+    # zebra was never trained: it must appear as fallback chars
+    toks = out["bpe_tokens"]
+    zi = toks.index("z")
+    assert toks[zi : zi + 6] == ["z", "e", "b", "r", "a", END_OF_WORD]

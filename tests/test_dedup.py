@@ -504,3 +504,48 @@ def test_containment_catches_what_jaccard_misses(spark):
     # symmetric Jaccard dilutes the same pair below any dedup threshold
     jac = ngram_jaccard_pairs(docs, threshold=0.3).collect()
     assert jac == []
+
+
+def test_containment_keep_drops_quote_preserves_both_carriers(spark):
+    """The asymmetric keep rule: a short quote embedded in TWO long,
+    mutually-distinct carriers drops (it is contained), while BOTH
+    carriers survive — exactly the case a component keep-one rule gets
+    wrong (the quote chains the carriers into one component). Also:
+    identical twins keep the smaller id, and chains drop every
+    non-maximal member."""
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.operators.dedup import (
+        containment_keep,
+        ngram_containment_pairs,
+    )
+
+    def toks(prefix, n):
+        return " ".join(f"{prefix}{j}" for j in range(n))
+
+    quote = "alpha bravo charlie delta echo foxtrot"
+    docs = spark.createDataFrame(
+        [
+            (0, toks("x", 40) + " " + quote),      # carrier X
+            (1, toks("y", 40) + " " + quote),      # carrier Y, distinct from X
+            (2, quote),                            # the contained quote
+            (10, toks("t", 30)),                   # twin pair: equal size
+            (11, toks("t", 30)),
+            (20, toks("c", 50)),                   # chain: 22 ⊂ 21 ⊂ 20
+            (21, toks("c", 30)),
+            (22, toks("c", 10)),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_containment_pairs(docs, threshold=0.8)
+    out = {r.doc_id: r for r in containment_keep(docs, pairs).collect()}
+    assert out[0].is_kept and out[1].is_kept      # both carriers survive
+    assert not out[2].is_kept and out[2].dropped_by == 0
+    assert out[10].is_kept and not out[11].is_kept  # twins: smaller id wins
+    assert out[11].dropped_by == 10
+    assert out[20].is_kept                         # chain: only max survives
+    assert not out[21].is_kept and not out[22].is_kept
+    # sanity: the carriers never paired with each other (containment
+    # between them is diluted by their distinct bodies)
+    cp = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) not in cp and (1, 0) not in cp
