@@ -725,3 +725,141 @@ def cosine_neardup_pairs_lsh(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates(["vec_a", "vec_b"]) if n_tables > 1 else out
+
+
+def cosine_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Cross-FRAME cosine pairs ≥ threshold within blocks: every
+    (a ∈ left) × (b ∈ right) pair — never left×left or right×right.
+    This is the streaming-semdedup probe shape (streaming/dedup.py):
+    left = retained history read cell-pruned from the vector store,
+    right = the arriving batch, so per-batch pair work is
+    |probed history| × |batch| — running the same-frame
+    cosine_neardup_pairs over the union would ALSO pay the
+    |history|² same-side products every batch, quadratic waste that
+    grows with the store.
+
+    Same BLAS/rounding/determinism contract as cosine_neardup_pairs
+    (one numpy Ua @ Ub.T per block task, round-half-away-from-zero to
+    4 decimals, id-sorted). ``chunk_rows`` bounds task memory for hot
+    blocks with the chunk-PAIR fan-out: each side is id-chunked and
+    every (left-chunk, right-chunk) combination becomes its own task —
+    identical output, memory ≤ 2·chunk_rows vectors, each row moving
+    other_side_chunks times. Returns ``block, vec_a (left id),
+    vec_b (right id), cosine_sim``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("block", left.schema[block_col].dataType, True),
+            T.StructField("vec_a", T.LongType(), True),
+            T.StructField("vec_b", T.LongType(), True),
+            T.StructField("cosine_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def _side(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.lit(side).alias("__side"),
+        )
+
+    tagged = _side(left, 0).unionByName(_side(right, 1))
+
+    def _unit(pdf: pd.DataFrame) -> tuple:
+        ids = pdf["__id"].to_numpy()
+        X = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        return ids, X / norms[:, None]
+
+    def _round4(raw):
+        # round half away from zero (the F.round / DuckDB rule)
+        return np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
+
+    def _cross(blk, lf: pd.DataFrame, rt: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty or rt.empty:
+            return pd.DataFrame(
+                {"block": [], "vec_a": [], "vec_b": [], "cosine_sim": []}
+            )
+        ids_a, Ua = _unit(lf.sort_values("__id", ignore_index=True))
+        ids_b, Ub = _unit(rt.sort_values("__id", ignore_index=True))
+        C = _round4(Ua @ Ub.T)
+        ia, ib = np.nonzero(C >= threshold)
+        return pd.DataFrame(
+            {
+                "block": blk,
+                "vec_a": ids_a[ia],
+                "vec_b": ids_b[ib],
+                "cosine_sim": C[ia, ib],
+            }
+        )
+
+    if chunk_rows is None:
+
+        def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _cross(
+                pdf["__blk"].iloc[0],
+                pdf[pdf["__side"] == 0],
+                pdf[pdf["__side"] == 1],
+            )
+
+        return tagged.groupBy("__blk").applyInPandas(pairs, out_schema)
+
+    # ---- cross chunk-pair decomposition ----
+    # id-rank chunk index per (block, side); each row fans out once per
+    # chunk of the OTHER side, so task (lc, rc) receives exactly left
+    # chunk lc and right chunk rc
+    w = Window.partitionBy("__blk", "__side").orderBy("__id")
+    chunked = tagged.withColumn(
+        "__ci", ((F.row_number().over(w) - 1) / chunk_rows).cast("int")
+    )
+    other_counts = (
+        tagged.groupBy("__blk", "__side")
+        .agg(F.ceil(F.count("*") / chunk_rows).cast("int").alias("__onc"))
+        .select("__blk", (1 - F.col("__side")).alias("__side"), "__onc")
+    )
+    # inner join: a block missing one side generates no tasks (and has
+    # no cross pairs) — the empty-side case never reaches the kernel
+    tasks = (
+        chunked.join(other_counts, ["__blk", "__side"])
+        .select(
+            "__blk",
+            "__id",
+            "__v",
+            "__side",
+            "__ci",
+            F.explode(F.sequence(F.lit(0), F.col("__onc") - 1)).alias("__cj"),
+        )
+        .select(
+            "__blk",
+            "__id",
+            "__v",
+            "__side",
+            F.when(F.col("__side") == 0, F.col("__ci"))
+            .otherwise(F.col("__cj"))
+            .alias("__lc"),
+            F.when(F.col("__side") == 1, F.col("__ci"))
+            .otherwise(F.col("__cj"))
+            .alias("__rc"),
+        )
+    )
+
+    def chunk_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        blk, _lc, _rc = key
+        return _cross(blk, pdf[pdf["__side"] == 0], pdf[pdf["__side"] == 1])
+
+    return tasks.groupBy("__blk", "__lc", "__rc").applyInPandas(
+        chunk_pairs, out_schema
+    )

@@ -44,8 +44,11 @@ store:
   mode persists banded MinHash bucket keys instead, extending the
   store to NEAR-dup history at 16 fixed-width keys per retained
   document (see make_dedup_processor for its probabilistic contract),
-  and a ``substring`` mode persists k-gram digests for incremental
-  ExactSubstr (token-resolution store cost — see its contract).
+  a ``substring`` mode persists k-gram digests for incremental
+  ExactSubstr (token-resolution store cost — see its contract), and a
+  ``semdedup`` mode (round 10) persists retained documents' VECTORS
+  partitioned by frozen-quantizer cell for incremental embedding-level
+  near-dup (see _process_semdedup_batch).
 - **idempotence** = both the output table and the store append are
   dynamic-partition overwrites of the batch's own ``__batch_id``
   partitions, and the dedup read EXCLUDES the current batch's own
@@ -91,6 +94,7 @@ from parsedmarc_go_spark.storage import _parquet_file_stats, swap_directory
 from parsedmarc_go_spark.streaming.daemon import _write_table
 
 STORE_TABLE = "fingerprints"
+VEC_STORE_TABLE = "vectors"
 DEDUP_TABLES = ("docs_deduped",)
 _EMPTY_STORE_SCHEMA = "ph string, __batch_id bigint, __bucket int"
 DEFAULT_STORE_BUCKETS = 64
@@ -205,6 +209,158 @@ def _write_store(
     )
 
 
+def _load_or_train_centroids(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    n_clusters: int,
+    vec_col: str,
+    id_col: str,
+) -> list[list[float]]:
+    """The FROZEN coarse quantizer of the streaming vector store:
+    trained once on the first batch (kmeans_fit is deterministic, so a
+    replay of batch 0 retrains byte-identical centroids and the
+    overwrite is a no-op), persisted as the ``vectors.centroids``
+    sidecar, and loaded — never retrained — by every later batch: the
+    append_to_ivf_index contract (operators/clustering.py:210-231),
+    which is what makes cell-pruned probes of an ever-growing store
+    sound. Bounded driver data: k × dim floats."""
+    from parsedmarc_go_spark.operators.clustering import kmeans_fit
+
+    path = os.path.join(store_dir, VEC_STORE_TABLE + ".centroids")
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        rows = sorted(
+            spark.read.parquet(path).collect(), key=lambda r: r["cell"]
+        )
+        return [list(r["centroid"]) for r in rows]
+    cents, _ = kmeans_fit(
+        batch, k=n_clusters, vec_col=vec_col, id_col=id_col
+    )
+    (
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return cents
+
+
+def _process_semdedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    store_dir: str,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    n_clusters: int,
+    chunk_rows: int | None,
+) -> None:
+    """mode="semdedup" body: incremental embedding-level near-dup.
+
+    The store persists the RETAINED documents' vectors partitioned by
+    ``(__batch_id, cell)`` — growth is O(retained vectors), and a probe
+    reads only the cells the batch's own vectors assign to (partition
+    pruning on the frozen quantizer's cells). Arriving docs with a
+    cosine ≥ tau match against probed history drop (exact verify — the
+    vectors ARE stored, unlike minhash mode's probabilistic band keys);
+    the remainder runs the within-batch SemDeDup machinery over the
+    SAME frozen cells (blocked cross/self BLAS pairs → components →
+    keep the member least similar to its cell centroid, ties to the
+    smaller id — the Abbas 2023 keep rule), and only survivors' vectors
+    append.
+
+    Cross-batch semantics are greedy-online, first-arrival-wins:
+    history is immutable, so a component that CHAINS across batches
+    (A~B, B~C, A≁C arriving in three batches) can retain more members
+    than batch semdedup over the union would — for blob-shaped dup
+    groups (the paper's observed geometry: all members pairwise ≥ tau)
+    stream equals batch-over-the-union exactly, pinned in
+    test_streaming_dedup on planted blobs."""
+    from parsedmarc_go_spark.operators.clustering import assign_cells
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters
+    from parsedmarc_go_spark.operators.similarity import (
+        cosine,
+        cosine_cross_pairs,
+        cosine_neardup_pairs,
+    )
+
+    spark = batch.sparkSession
+    batch = batch.persist()
+    cents = _load_or_train_centroids(
+        spark, batch, store_dir, n_clusters, vec_col, id_col
+    )
+    assigned = assign_cells(batch, cents, vec_col, "cell").persist()
+    vec_path = os.path.join(store_dir, VEC_STORE_TABLE)
+    fs, hpath = _hadoop_fs(spark, vec_path)
+    if fs.exists(hpath):
+        # bounded collect: at most n_clusters cell ids — prunes the
+        # store scan's partition directories to the batch's cells
+        cells = [r[0] for r in assigned.select("cell").distinct().collect()]
+        hist = (
+            spark.read.parquet(vec_path)
+            .filter(F.col("__batch_id") != batch_id)  # replay filter
+            .filter(F.col("cell").isin(cells))
+        )
+        dropped = (
+            cosine_cross_pairs(
+                hist, assigned, threshold=tau, block_col="cell",
+                id_col=id_col, vec_col=vec_col, chunk_rows=chunk_rows,
+            )
+            .select(F.col("vec_b").alias(id_col))
+            .distinct()
+        )
+        # localCheckpoint cuts the lineage through the store scan, so
+        # the survivor append below never reads the path it overwrites
+        remaining = assigned.join(dropped, id_col, "left_anti").localCheckpoint()
+    else:
+        remaining = assigned
+    pairs = cosine_neardup_pairs(
+        remaining, threshold=tau, block_col="cell",
+        id_col=id_col, vec_col=vec_col, chunk_rows=chunk_rows,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = neardup_clusters(pairs).select(
+        F.col("doc").alias(id_col), "cluster_id"
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, __centroid array<double>",
+    )
+    scored = remaining.join(F.broadcast(cent_df), "cell").withColumn(
+        "__csim",
+        F.round(
+            cosine(f"transform({vec_col}, x -> CAST(x AS DOUBLE))", "__centroid"),
+            4,
+        ),
+    )
+    # keep rule over ONLY the paired subset (the semdedup singleton fix)
+    w = Window.partitionBy("cluster_id").orderBy(F.asc("__csim"), F.asc(id_col))
+    keep_flags = (
+        scored.select(id_col, "__csim")
+        .join(comp, id_col)
+        .select(id_col, (F.row_number().over(w) == 1).alias("__keep"))
+    )
+    survivors = (
+        remaining.join(keep_flags, id_col, "left")
+        .filter(F.coalesce(F.col("__keep"), F.lit(True)))
+        .drop("__keep")
+    )
+    _write_table(survivors.drop("cell"), out_dir, "docs_deduped", batch_id)
+    (
+        survivors.select(id_col, vec_col, "cell")
+        .withColumn("__batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("__batch_id", "cell")
+        .parquet(vec_path)
+    )
+    assigned.unpersist()
+    batch.unpersist()
+
+
 def make_dedup_processor(
     out_dir: str,
     store_dir: str,
@@ -216,6 +372,10 @@ def make_dedup_processor(
     substring_k: int = 8,
     n_buckets: int = DEFAULT_STORE_BUCKETS,
     broadcast_probe_max_keys: int = DEFAULT_BROADCAST_PROBE_MAX_KEYS,
+    vec_col: str = "embedding",
+    semdedup_tau: float = 0.95,
+    semdedup_n_clusters: int = 8,
+    semdedup_chunk_rows: int | None = None,
 ):
     """foreachBatch body for incremental dedup, factored out (the
     curation-stage pattern, streaming/curation.py:45) so idempotence
@@ -256,15 +416,24 @@ def make_dedup_processor(
     band keys append to the store — a dropped doc's buckets are
     covered by the retained near-duplicate it collided with.
 
+    ``mode="semdedup"``: incremental EMBEDDING-level near-dup (the
+    SemDeDup machinery over a persisted vector store — see
+    _process_semdedup_batch for the store layout, probe pruning, keep
+    rule, and the greedy-online chain caveat). Batch rows need
+    ``vec_col`` (array of floats); ``semdedup_tau`` /
+    ``semdedup_n_clusters`` / ``semdedup_chunk_rows`` mirror the batch
+    operator's knobs, and the coarse quantizer is frozen at store
+    creation.
+
     ``n_buckets`` sets the store's hash-bucket directory width at
     CREATION; an existing store's pinned width (``fingerprints.meta``)
     always wins, so mismatched callers cannot mis-prune. Batches whose
     digest set exceeds ``broadcast_probe_max_keys`` probe with a
     shuffle semi-join instead of a broadcast (same result)."""
-    if mode not in ("paragraph", "document", "minhash", "substring"):
+    if mode not in ("paragraph", "document", "minhash", "substring", "semdedup"):
         raise ValueError(
-            "mode must be 'paragraph', 'document', 'minhash' or "
-            f"'substring', got {mode!r}"
+            "mode must be 'paragraph', 'document', 'minhash', "
+            f"'substring' or 'semdedup', got {mode!r}"
         )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -272,6 +441,12 @@ def make_dedup_processor(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            if mode == "semdedup":
+                _process_semdedup_batch(
+                    batch, batch_id, out_dir, store_dir, id_col, vec_col,
+                    semdedup_tau, semdedup_n_clusters, semdedup_chunk_rows,
+                )
+                return
             store_buckets = read_store_meta(spark, store_dir)
             if store_buckets is None:
                 store_buckets = n_buckets
@@ -419,6 +594,10 @@ def stream_dedup(
     normalize: bool = False,
     substring_k: int = 8,
     n_buckets: int = DEFAULT_STORE_BUCKETS,
+    vec_col: str = "embedding",
+    semdedup_tau: float = 0.95,
+    semdedup_n_clusters: int = 8,
+    semdedup_chunk_rows: int | None = None,
     max_files_per_trigger: int = 1000,
     available_now: bool = True,
     trigger_seconds: int | None = None,
@@ -436,6 +615,9 @@ def stream_dedup(
         make_dedup_processor(
             out_dir, store_dir, mode, id_col, text_col, sep, normalize,
             substring_k, n_buckets,
+            vec_col=vec_col, semdedup_tau=semdedup_tau,
+            semdedup_n_clusters=semdedup_n_clusters,
+            semdedup_chunk_rows=semdedup_chunk_rows,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

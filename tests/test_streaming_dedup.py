@@ -427,3 +427,152 @@ def test_stream_substring_mode_matches_batch_exactsubstr(spark, tmp_path):
     proc(docs.filter(d >= 250), 1)
     assert _rows(read_stream_table(spark, out, "docs_deduped")) == _rows(want)
     assert _rows(read_fingerprints(spark, store)) == before_store
+
+
+def _blob_vectors(spark, dim=64):
+    """Deterministic embedding corpus with BLOB-shaped dup groups (the
+    SemDeDup paper's geometry: all members pairwise identical) and
+    structurally-orthogonal uniques, so greedy-online streaming and
+    batch-over-the-union provably agree: blob g = one-hot e_g with
+    copies at g+1000 / g+2000; uniques are two-hot combos with pairwise
+    cosine <= 0.5 and cosine 1/sqrt(2) to any blob — nothing accidental
+    ever crosses tau=0.95."""
+
+    def one_hot(i):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    def two_hot(i):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        v[(i * 5 + 7) % dim] = 1.0
+        return v
+
+    shard1 = [(g, one_hot(g)) for g in range(10)] + [
+        (100 + i, two_hot(i)) for i in range(20)
+    ]
+    shard2 = (
+        [(1000 + g, one_hot(g)) for g in range(10)]
+        + [(2000 + g, one_hot(g)) for g in range(10)]
+        + [(1100 + i, two_hot(20 + i)) for i in range(20)]
+    )
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(shard1, schema),
+        spark.createDataFrame(shard2, schema),
+    )
+
+
+def test_stream_semdedup_two_trigger_parity_and_replay(spark, tmp_path):
+    """mode='semdedup': streamed survivors over two ascending shards
+    equal batch semdedup over the union for blob-shaped dup groups
+    (identical copies tie on centroid_sim, so keep-least-sim ==
+    keep-first-arrival == keep-smallest-id on both paths); replay of
+    the newest batch is a no-op for output AND vector store; store
+    growth is O(retained vectors)."""
+    import os as _os
+
+    from parsedmarc_go_spark.operators.clustering import semdedup
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import make_dedup_processor
+
+    b1, b2 = _blob_vectors(spark)
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(
+        out, store, mode="semdedup", id_col="vec_id",
+        semdedup_tau=0.95, semdedup_n_clusters=4,
+    )
+    proc(b1, 0)
+    proc(b2, 1)
+
+    got_ids = sorted(
+        r["vec_id"]
+        for r in read_stream_table(spark, out, "docs_deduped").collect()
+    )
+    union = b1.unionByName(b2)
+    want_ids = sorted(
+        r["vec_id"]
+        for r in semdedup(union, n_clusters=4, tau=0.95).filter("keep").collect()
+    )
+    assert got_ids == want_ids
+    # every cross/within-batch copy lost to the first arrival
+    assert not [i for i in got_ids if 1000 <= i < 1010 or 2000 <= i < 2010]
+    assert [i for i in got_ids if i < 10] == list(range(10))
+    # uniques all retained
+    assert len([i for i in got_ids if i >= 100]) == 40
+
+    # store growth = O(retained): exactly one vector per survivor
+    vec_store = spark.read.parquet(_os.path.join(store, "vectors"))
+    assert sorted(r["vec_id"] for r in vec_store.collect()) == got_ids
+    # frozen quantizer: the centroid sidecar exists and has k rows
+    cents = spark.read.parquet(_os.path.join(store, "vectors.centroids"))
+    assert cents.count() == 4
+
+    # replay of the newest batch: output and store unchanged
+    before_out = _rows(read_stream_table(spark, out, "docs_deduped"))
+    before_store = sorted(
+        (r["vec_id"], r["cell"], r["__batch_id"]) for r in vec_store.collect()
+    )
+    proc(b2, 1)
+    assert _rows(read_stream_table(spark, out, "docs_deduped")) == before_out
+    assert (
+        sorted(
+            (r["vec_id"], r["cell"], r["__batch_id"])
+            for r in spark.read.parquet(_os.path.join(store, "vectors")).collect()
+        )
+        == before_store
+    )
+
+
+def test_cosine_cross_pairs_matches_bruteforce_and_chunked(spark):
+    """cosine_cross_pairs: only left×right pairs, never same-side;
+    values match numpy brute force; the chunk-pair decomposition is
+    output-identical."""
+    import numpy as np
+
+    from parsedmarc_go_spark.operators.similarity import cosine_cross_pairs
+
+    rng = [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(6)]) for i in range(8)]
+    lf = spark.createDataFrame(
+        [(i, v, i % 2) for i, v in rng], "vec_id long, embedding array<double>, blk int"
+    )
+    rt = spark.createDataFrame(
+        [(100 + i, v, i % 2) for i, v in rng],  # same vectors, new ids
+        "vec_id long, embedding array<double>, blk int",
+    )
+    got = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in cosine_cross_pairs(
+            lf, rt, threshold=0.9, block_col="blk", vec_col="embedding"
+        ).collect()
+    }
+    # brute force within blocks
+    want = {}
+    for i, vi in rng:
+        for j, vj in rng:
+            if i % 2 != j % 2:
+                continue
+            a, b = np.array(vi), np.array(vj)
+            c = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+            c = np.sign(c) * np.floor(abs(c) * 1e4 + 0.5) / 1e4
+            if c >= 0.9:
+                want[(i, 100 + j)] = float(c)
+    assert got == want
+    assert all(a < 100 <= b for a, b in got)  # strictly cross-side
+    chunked = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in cosine_cross_pairs(
+            lf, rt, threshold=0.9, block_col="blk", vec_col="embedding",
+            chunk_rows=3,
+        ).collect()
+    }
+    assert chunked == got
+    # an empty side yields no pairs (and no kernel crash)
+    assert (
+        cosine_cross_pairs(
+            lf.filter("vec_id < 0"), rt, threshold=0.0, block_col="blk"
+        ).count()
+        == 0
+    )
