@@ -60,6 +60,12 @@ HEADLINE = [
     # scorer (pair explode + broadcast LM probe + fixed-point agg)
     "dedup_substring_spans",
     "quality_lm_score",
+    # r10 additions: BPE training round-1 pair counts (char explode +
+    # slice/arrays_zip adjacent pairs + one hash agg + ordered limit)
+    # and the containment keep rule (shingle inverted-index self-join +
+    # per-pair loser aggregation + doc left-join)
+    "vocab_bpe_pairs",
+    "dedup_keep_best_containment",
 ]
 
 
@@ -75,6 +81,24 @@ def main() -> None:
     # machine state BEFORE any Spark work — the contended-session signal
     load_at_start = round(os.getloadavg()[0], 2)
     mem_at_start = _mem_available_mb()
+    # Quiet gate (round-10 task 7: two rounds of sf1 artifacts needed
+    # variance adjudication after the fact — gate it up front instead).
+    # Default is WARN + stamp (the driver's per-round run must still
+    # produce an artifact); SPARK_GRAFT_LOAD_GATE_STRICT=1 refuses, for
+    # manually-recorded sf1 sessions where a contended number is worse
+    # than no number.
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    quiet = load_at_start <= load_gate
+    if not quiet:
+        msg = (
+            f"bench: loadavg_1m_start {load_at_start} exceeds quiet gate "
+            f"{load_gate} — session is contended; numbers will carry a "
+            "failed quiet_gate stamp"
+        )
+        print(json.dumps({"warning": msg}), file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_LOAD_GATE_STRICT"):
+            print(json.dumps({"error": msg, "refused": True}))
+            sys.exit(3)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -158,6 +182,7 @@ def main() -> None:
         "mem_available_mb_start": mem_at_start,
         "loadavg_1m_end": round(os.getloadavg()[0], 2),
         "mem_available_mb_end": _mem_available_mb(),
+        "quiet_gate": {"threshold": load_gate, "passed": quiet},
     }
 
     total = round(sum(times.values()), 3)
@@ -176,8 +201,10 @@ def main() -> None:
         # decontaminate_ngram (curation family representative);
         # r8 added dedup_paragraph (the round's flagship); r9 added
         # dedup_substring_spans + quality_lm_score (the round's two
-        # new operators) — r8.1 totals = r9.1 minus those two queries
-        "mix_version": "r9.1",
+        # new operators); r10 added vocab_bpe_pairs +
+        # dedup_keep_best_containment — r9.1 totals = r10.1 minus
+        # those two queries
+        "mix_version": "r10.1",
         "mix": HEADLINE,
     }
     # The driver records only the TAIL of stdout (~4 KB): in round 7 the
