@@ -153,3 +153,61 @@ def build_vocab(
     return top.withColumn(
         "token_id", (F.row_number().over(w) - 1).cast("int")
     )
+
+
+def hybrid_rerank(
+    docs: DataFrame,
+    vectors: DataFrame,
+    terms: list[str],
+    query: DataFrame,
+    n_candidates: int = 50,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Two-stage retrieval — the retrieve-then-rerank shape every RAG
+    data pipeline runs: BM25 selects the lexical top ``n_candidates``
+    (recall stage), then exact cosine against ``query`` (a single-row
+    frame with column ``q`` — similarity.query_vector) reranks them
+    (precision stage). Returns ``doc_id, bm25_score, cosine_sim``,
+    the top ``k`` by (cosine desc, id).
+
+    Determinism: the candidate cut orders by the grid-quantized BM25
+    score with an id tie-break, so the ``n_candidates`` boundary is
+    identical on any engine; the rerank reuses the 4-decimal-rounded
+    cosine + id tie-break of brute_force_topk.
+
+    Scale shape: stage 1 is the bm25_score plan ended by a
+    TakeOrderedAndProject (bounded ``n_candidates`` rows — a driver-safe
+    frame); stage 2 broadcasts those rows against ONE scan of the
+    vector table (BroadcastHashJoin, no shuffle of the vectors), then
+    ranks k of ``n_candidates``. On a corpus whose vectors already sit
+    in a partitioned ANN store, the fetch could prune by the store's
+    cells instead of scanning — this operator keeps the general
+    any-table form."""
+    cand = (
+        bm25_score(docs, terms, id_col, text_col, k1, b)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(n_candidates)
+        .withColumnRenamed("score", "bm25_score")
+        .drop("n_terms_matched")
+    )
+    from parsedmarc_go_spark.operators.similarity import as_double_vec, cosine
+
+    scored = (
+        vectors.join(
+            F.broadcast(cand), vectors[vec_id_col] == cand[id_col]
+        )
+        .select(id_col, "bm25_score", as_double_vec(vec_col))
+        .crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            "bm25_score",
+            F.round(cosine("v", "q"), 4).alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)

@@ -130,6 +130,11 @@ _WINDOW_DEMOTED = (
     # rationale) — born demoted, pytest value-checks it at two SFs and
     # the full merge iteration against a pure-Python reference
     "vocab_bpe_pairs",
+    # hybrid retrieve-then-rerank (round 10): a composition of two
+    # machineries each hash-checkable in-window — text_bm25_rank's
+    # (rotatable via WINDOW_SPEC) and ann_topk_bruteforce's cosine —
+    # born demoted, pytest value-checks the composed gate at two SFs
+    "retrieval_hybrid_rerank",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

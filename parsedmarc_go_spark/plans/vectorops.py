@@ -11,6 +11,7 @@ corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parsedmarc_go_spark.operators.similarity import (
     brute_force_topk,
@@ -201,4 +202,49 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_pq_index(emb, path, n_cells=8, m=8, ks=16, max_iters=4)
     return ivf_pq_topk_indexed(
         spark, path, query_vector(emb, 0), k=10, nprobe=3, rerank=50
+    )
+
+
+# Hybrid retrieve-then-rerank (round 10): BM25 lexical top-50 reranked
+# by exact cosine against the vec_id=0 query vector — the RAG-pipeline
+# composition of two already-oracle'd stages. The oracle nests the
+# text_bm25_rank CTE verbatim (same planted query), cuts candidates on
+# the grid-quantized score with an id tie-break (deterministic
+# boundary), and reranks with the ann_topk_bruteforce cosine idiom.
+def _hybrid_oracle() -> str:
+    from parsedmarc_go_spark.plans.curation import _BM25_ORACLE
+
+    return f"""
+    WITH bm AS ({_BM25_ORACLE}),
+    cand AS (SELECT doc_id, score AS bm25_score FROM bm
+             ORDER BY score DESC, doc_id LIMIT 50),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0)
+    SELECT c.doc_id, c.bm25_score,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv),
+                 4) AS cosine_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN q
+    ORDER BY cosine_sim DESC, c.doc_id
+    LIMIT 10
+    """
+
+
+@query("retrieval_hybrid_rerank", oracle=_hybrid_oracle())
+def retrieval_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 → cosine rerank top-10 against the vec_id=0 query.
+    Same planted 4-term query as text_bm25_rank (doc_id % 4 == 1 class
+    carries the phrase). See operators/retrieval.py::hybrid_rerank."""
+    from parsedmarc_go_spark.operators.retrieval import hybrid_rerank
+    from parsedmarc_go_spark.operators.similarity import query_vector
+
+    docs = load(spark, sf_dir, "documents")
+    itext = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.col("text"), F.lit(" alpha bravo alpha needle")),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", itext.alias("text"))
+    emb = load(spark, sf_dir, "embeddings")
+    return hybrid_rerank(
+        t, emb, ["alpha", "bravo", "needle", "zz_absent_term"],
+        query_vector(emb, 0), n_candidates=50, k=10,
     )

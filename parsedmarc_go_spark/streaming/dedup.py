@@ -37,6 +37,13 @@ store:
   batch-bounded and feeds the batch operators as ``seen_keys``.
   Batches too large to broadcast (> ``broadcast_probe_max_keys``
   digests) fall back to a shuffle semi-join — still distinct-free.
+  A Bloom-filter sidecar (round 10, the Dolma-deduper pattern as a
+  PRE-probe — see make_dedup_processor) first drops every batch digest
+  history can rule out, so a mostly-new batch's exact probe touches a
+  small candidate subset and an all-new batch skips the store scan
+  entirely; the sidecar is a sparse packed-word parquet table updated
+  by bit_or aggregation, written BEFORE each store append so every
+  crash point degrades to false positives, never false negatives.
 - **dedup** = the batch operators themselves run per micro-batch with
   ``seen_small`` as ``seen_keys`` (operators/dedup.py:paragraph_dedup),
   so stream-over-shards equals batch-over-the-union EXACTLY — pinned
@@ -94,11 +101,22 @@ from parsedmarc_go_spark.storage import _parquet_file_stats, swap_directory
 from parsedmarc_go_spark.streaming.daemon import _write_table
 
 STORE_TABLE = "fingerprints"
+BLOOM_TABLE = "fingerprints.bloom"
 VEC_STORE_TABLE = "vectors"
 DEDUP_TABLES = ("docs_deduped",)
 _EMPTY_STORE_SCHEMA = "ph string, __batch_id bigint, __bucket int"
 DEFAULT_STORE_BUCKETS = 64
 DEFAULT_BROADCAST_PROBE_MAX_KEYS = 1_000_000
+# Bloom pre-probe sizing (the Dolma deduper pattern — Soldaini et al.
+# 2024 use a Bloom filter as the whole dedup store; here it is a
+# PRE-probe in front of the exact digest store, so its false positives
+# cost only extra exact-probe work and can never drop a unique doc).
+# m/k follow the standard formulas for `expected_items` at `fpp`;
+# both are pinned in fingerprints.meta at store creation (the
+# n_buckets "width never drifts" rule) — a store past its expected
+# size degrades to more false positives, never to wrong output.
+DEFAULT_BLOOM_EXPECTED_ITEMS = 8_000_000
+DEFAULT_BLOOM_FPP = 0.01
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -117,22 +135,160 @@ def _meta_path(store_dir: str) -> str:
     return os.path.join(store_dir, STORE_TABLE + ".meta")
 
 
-def read_store_meta(spark: SparkSession, store_dir: str) -> int | None:
-    """The store's pinned bucket count, or None for a store that does
-    not exist yet (first batch) or predates the bucketed layout."""
+def _read_meta_dict(spark: SparkSession, store_dir: str) -> dict | None:
+    """The full pinned-parameter sidecar as a dict (``n_buckets``, and
+    ``bloom_m``/``bloom_k`` when the store was created with a Bloom
+    pre-probe), or None for a store that does not exist yet."""
     path = _meta_path(store_dir)
     fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return None
-    return int(spark.read.json(path).collect()[0]["n_buckets"])
+    row = spark.read.json(path).collect()[0].asDict()
+    return {k: v for k, v in row.items() if v is not None}
 
 
-def _write_store_meta(spark: SparkSession, store_dir: str, n_buckets: int) -> None:
+def read_store_meta(spark: SparkSession, store_dir: str) -> int | None:
+    """The store's pinned bucket count, or None for a store that does
+    not exist yet (first batch) or predates the bucketed layout."""
+    meta = _read_meta_dict(spark, store_dir)
+    return None if meta is None else int(meta["n_buckets"])
+
+
+def _write_store_meta(
+    spark: SparkSession,
+    store_dir: str,
+    n_buckets: int,
+    bloom_m: int = 0,
+    bloom_k: int = 0,
+) -> None:
     (
-        spark.createDataFrame([(n_buckets,)], "n_buckets int")
+        spark.createDataFrame(
+            [(n_buckets, bloom_m, bloom_k)],
+            "n_buckets int, bloom_m bigint, bloom_k int",
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .json(_meta_path(store_dir))
+    )
+
+
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: ``m = -n ln p / (ln 2)^2`` bits (rounded
+    up to whole 64-bit words) and ``k = (m/n) ln 2`` hashes."""
+    n = max(1, expected_items)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(keys: DataFrame, m: int, k: int) -> DataFrame:
+    """``(ph, word_idx, mask)`` — the k bit positions of each digest in
+    a Bloom filter packed as 64-bit words, entirely as column
+    expressions: position i is ``xxhash64(ph, i) mod m`` (the seed
+    column varies the hash the way ``minhash_band_signatures`` seeds
+    its permutations), split into word index (``pos >> 6``) and an
+    in-word mask. One explode to k rows per digest; no Python."""
+    return (
+        keys.select("ph", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__seed"))
+        .select(
+            "ph",
+            F.pmod(F.xxhash64("ph", "__seed"), F.lit(m)).alias("__pos"),
+        )
+        .select(
+            "ph",
+            F.shiftright(F.col("__pos"), 6).alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("mask"),
+        )
+    )
+
+
+def _bloom_path(store_dir: str) -> str:
+    return os.path.join(store_dir, BLOOM_TABLE)
+
+
+def read_bloom_words(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """The Bloom sidecar as a sparse packed-word table ``(word_idx,
+    word)``, or None when the store has no bloom yet (first batch, or a
+    store created with ``bloom=False``). Recovers a half-finished
+    ``swap_directory`` (live dir renamed aside, crash before the new
+    one moved in) by renaming ``.old`` back — the superset invariant
+    survives either way because the aside copy is the complete previous
+    bloom."""
+    path = _bloom_path(store_dir)
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        old = spark._jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".old")
+        if fs.exists(old):
+            fs.rename(old, hpath)
+        else:
+            return None
+    return spark.read.parquet(path)
+
+
+def update_bloom(
+    spark: SparkSession, new_keys: DataFrame, store_dir: str, m: int, k: int
+) -> None:
+    """OR the digests of ``new_keys`` into the persisted Bloom sidecar.
+
+    The delta is aggregation-shaped — positions → ``groupBy(word_idx).
+    bit_or(mask)`` — merged with the existing words by one more bit_or
+    and swapped in crash-safe. MUST run BEFORE the store append for the
+    batch (the superset invariant): a crash between the two leaves the
+    bloom with extra bits for digests the store never recorded — false
+    positives only, resolved exactly by the probe — while the reverse
+    order could leave store digests the bloom denies, i.e. false
+    NEGATIVES that wave duplicates through. Re-running a replayed
+    batch re-ORs the same bits: idempotent."""
+    delta = _bloom_positions(new_keys.select("ph"), m, k).groupBy("word_idx").agg(
+        F.bit_or("mask").alias("word")
+    )
+    path = _bloom_path(store_dir)
+    existing = read_bloom_words(spark, store_dir)
+    if existing is None:
+        delta.write.mode("overwrite").parquet(path)
+        return
+    tmp = path.rstrip("/") + ".merging"
+    (
+        delta.unionByName(existing)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    swap_directory(spark, tmp, path)
+
+
+def bloom_prefilter(
+    probe_keys: DataFrame,
+    bloom_words: DataFrame,
+    m: int,
+    k: int,
+    broadcast: bool = True,
+) -> DataFrame:
+    """The subset of ``probe_keys`` (column ``ph``) the Bloom filter
+    cannot rule out — a strict superset of ``store ∩ probe_keys``, so
+    feeding it to the exact probe changes nothing but the work.
+
+    Join-shaped membership test: each digest's k ``(word_idx, mask)``
+    rows LEFT-join the sparse word table (broadcast — the bloom is
+    ``m/64`` words ≤ ~12 MB at the default sizing; ``broadcast=False``
+    falls back to a shuffle join for oversized blooms), a missing word
+    row means the bit is 0, and a digest survives only if ALL k bits
+    are set (``min(hit)``). Everything stays JVM-side; the only
+    shuffle is the batch-bounded groupBy on the digest itself."""
+    bw = F.broadcast(bloom_words) if broadcast else bloom_words
+    return (
+        _bloom_positions(probe_keys, m, k)
+        .join(bw, "word_idx", "left")
+        .withColumn(
+            "__hit",
+            F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0,
+        )
+        .groupBy("ph")
+        .agg(F.min("__hit").alias("__all_hit"))
+        .filter(F.col("__all_hit"))
+        .select("ph")
     )
 
 
@@ -376,6 +532,9 @@ def make_dedup_processor(
     semdedup_tau: float = 0.95,
     semdedup_n_clusters: int = 8,
     semdedup_chunk_rows: int | None = None,
+    bloom: bool = True,
+    bloom_expected_items: int = DEFAULT_BLOOM_EXPECTED_ITEMS,
+    bloom_fpp: float = DEFAULT_BLOOM_FPP,
 ):
     """foreachBatch body for incremental dedup, factored out (the
     curation-stage pattern, streaming/curation.py:45) so idempotence
@@ -429,7 +588,24 @@ def make_dedup_processor(
     CREATION; an existing store's pinned width (``fingerprints.meta``)
     always wins, so mismatched callers cannot mis-prune. Batches whose
     digest set exceeds ``broadcast_probe_max_keys`` probe with a
-    shuffle semi-join instead of a broadcast (same result)."""
+    shuffle semi-join instead of a broadcast (same result).
+
+    ``bloom=True`` (round 10) maintains a Bloom-filter sidecar over
+    every digest ever appended (the Dolma-deduper pattern as a
+    PRE-probe) and filters the batch's digest set through it before the
+    exact store probe: for a mostly-new batch only the small
+    cannot-rule-out subset reaches the store scan, whose bucket pruning
+    then tightens to that subset's buckets — and an all-new batch skips
+    the store read entirely. False positives cost extra exact-probe
+    work only; the output is bit-identical with ``bloom=False``
+    (parity-pinned in tests). ``bloom_expected_items``/``bloom_fpp``
+    size the filter at store CREATION (pinned in the meta like
+    ``n_buckets``; ~1.2 MB per million expected digests at 1%) — a
+    store grown past its expected size degrades to more false
+    positives, never to wrong output. Stores created with
+    ``bloom=False`` or predating the sidecar probe exactly as before;
+    ``semdedup`` mode has a vector store, not a digest store, and
+    ignores the knob."""
     if mode not in ("paragraph", "document", "minhash", "substring", "semdedup"):
         raise ValueError(
             "mode must be 'paragraph', 'document', 'minhash', "
@@ -447,10 +623,19 @@ def make_dedup_processor(
                     semdedup_tau, semdedup_n_clusters, semdedup_chunk_rows,
                 )
                 return
-            store_buckets = read_store_meta(spark, store_dir)
-            if store_buckets is None:
+            meta = _read_meta_dict(spark, store_dir)
+            if meta is None:
+                bm, bk = (
+                    _bloom_params(bloom_expected_items, bloom_fpp)
+                    if bloom
+                    else (0, 0)
+                )
                 store_buckets = n_buckets
-                _write_store_meta(spark, store_dir, store_buckets)
+                _write_store_meta(spark, store_dir, store_buckets, bm, bk)
+            else:
+                store_buckets = int(meta["n_buckets"])
+                bm = int(meta.get("bloom_m", 0))
+                bk = int(meta.get("bloom_k", 0))
             seen_full = read_fingerprints(
                 spark, store_dir, exclude_batch_id=batch_id
             )
@@ -489,16 +674,30 @@ def make_dedup_processor(
                 probe_keys = fps.select(F.col("__ph").alias("ph")).distinct()
             probe_keys = probe_keys.persist()
             extra_persists.append(probe_keys)
+            # Bloom pre-probe: shrink the exact probe's key set to the
+            # digests history cannot rule out. Candidates ⊆ probe_keys,
+            # so the exact probe below — which alone decides membership
+            # — sees a subset and returns the identical seen_small.
+            candidates = probe_keys
+            bloom_words = (
+                read_bloom_words(spark, store_dir) if bm else None
+            )
+            if bloom_words is not None:
+                candidates = bloom_prefilter(
+                    probe_keys, bloom_words, bm, bk
+                ).persist()
+                extra_persists.append(candidates)
             # bounded action: the digest count decides broadcast vs
-            # shuffle probe; probe_keys is persisted and reused for the
-            # store append, so this costs one O(batch) pass
-            n_keys = probe_keys.count()
+            # shuffle probe; candidates is persisted and probe_keys is
+            # reused for the store append, so this costs one O(batch)
+            # pass
+            n_keys = candidates.count()
             # seen_small = store ∩ batch digests, batch-bounded; the
             # localCheckpoint materializes it BEFORE the store write so
             # the write never overwrites a path its own plan is reading
             seen_small = probe_store(
                 seen_full,
-                probe_keys,
+                candidates,
                 store_buckets,
                 broadcast_probe=n_keys <= broadcast_probe_max_keys,
             ).localCheckpoint()
@@ -568,8 +767,13 @@ def make_dedup_processor(
             # only digests the store has never seen are appended;
             # seen_small is already checkpointed, so this plan never
             # reads the store path it is about to overwrite
-            new_keys = append_keys.join(seen_small, "ph", "left_anti")
+            new_keys = append_keys.join(seen_small, "ph", "left_anti").persist()
+            extra_persists.append(new_keys)
             _write_table(out, out_dir, "docs_deduped", batch_id)
+            if bm:
+                # bloom BEFORE store: a crash between the two leaves
+                # false positives only (see update_bloom)
+                update_bloom(spark, new_keys, store_dir, bm, bk)
             _write_store(new_keys, store_dir, batch_id, store_buckets)
             for df in extra_persists:
                 df.unpersist()
@@ -598,6 +802,9 @@ def stream_dedup(
     semdedup_tau: float = 0.95,
     semdedup_n_clusters: int = 8,
     semdedup_chunk_rows: int | None = None,
+    bloom: bool = True,
+    bloom_expected_items: int = DEFAULT_BLOOM_EXPECTED_ITEMS,
+    bloom_fpp: float = DEFAULT_BLOOM_FPP,
     max_files_per_trigger: int = 1000,
     available_now: bool = True,
     trigger_seconds: int | None = None,
@@ -618,6 +825,8 @@ def stream_dedup(
             vec_col=vec_col, semdedup_tau=semdedup_tau,
             semdedup_n_clusters=semdedup_n_clusters,
             semdedup_chunk_rows=semdedup_chunk_rows,
+            bloom=bloom, bloom_expected_items=bloom_expected_items,
+            bloom_fpp=bloom_fpp,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

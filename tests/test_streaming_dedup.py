@@ -576,3 +576,141 @@ def test_cosine_cross_pairs_matches_bruteforce_and_chunked(spark):
         ).count()
         == 0
     )
+
+
+def test_bloom_sidecar_parity_and_superset(spark, tmp_path):
+    """bloom=True must change nothing but the work: identical output
+    table and store membership vs bloom=False, and the sidecar must
+    hold EVERY store digest (no false negatives — a bloom miss is the
+    only way a duplicate could slip through)."""
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        _read_meta_dict,
+        bloom_prefilter,
+        make_dedup_processor,
+        read_bloom_words,
+        read_fingerprints,
+    )
+
+    docs = _corpus(spark)
+    shards = [
+        docs.filter(F.col("doc_id") < 150),
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+    ]
+    outs = {}
+    for flag in (True, False):
+        out = str(tmp_path / f"deduped_{flag}")
+        store = str(tmp_path / f"store_{flag}")
+        proc = make_dedup_processor(out, store, bloom=flag)
+        for b, shard in enumerate(shards):
+            proc(shard, b)
+        outs[flag] = (
+            _rows(read_stream_table(spark, out, "docs_deduped")),
+            sorted(r["ph"] for r in read_fingerprints(spark, store).collect()),
+        )
+    assert outs[True] == outs[False]
+
+    store = str(tmp_path / "store_True")
+    meta = _read_meta_dict(spark, store)
+    bm, bk = int(meta["bloom_m"]), int(meta["bloom_k"])
+    assert bm > 0 and bk > 0
+    words = read_bloom_words(spark, store)
+    assert words is not None
+    all_phs = read_fingerprints(spark, store).select("ph").distinct()
+    positive = bloom_prefilter(all_phs, words, bm, bk)
+    assert positive.count() == all_phs.count()  # superset: zero misses
+
+    # store created with bloom=False has no sidecar and pins that
+    assert read_bloom_words(spark, str(tmp_path / "store_False")) is None
+    meta_off = _read_meta_dict(spark, str(tmp_path / "store_False"))
+    assert int(meta_off.get("bloom_m", 0)) == 0
+    # a later caller asking for bloom on a pinned-off store is ignored
+    proc = make_dedup_processor(
+        str(tmp_path / "deduped_False"), str(tmp_path / "store_False"),
+        bloom=True,
+    )
+    proc(docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350)), 2)
+    assert read_bloom_words(spark, str(tmp_path / "store_False")) is None
+
+
+def test_bloom_prefilter_shrinks_all_new_batch(spark, tmp_path):
+    """An all-new batch's candidate set after the pre-probe is
+    fpp-bounded — the exact store probe then touches almost nothing
+    (and nothing at all when the filter rules out every digest)."""
+    from parsedmarc_go_spark.streaming.dedup import (
+        _read_meta_dict,
+        bloom_prefilter,
+        make_dedup_processor,
+        paragraph_keys,
+        read_bloom_words,
+    )
+
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store, bloom=True)
+    d = F.col("id")
+    mk = lambda lo, hi, tag: spark.range(lo, hi).select(  # noqa: E731
+        d.alias("doc_id"),
+        F.concat(
+            F.lit(f"{tag}-a-"), d.cast("string"),
+            F.lit(f"\n\n{tag}-b-"), d.cast("string"),
+        ).alias("text"),
+    )
+    proc(mk(0, 500, "first"), 0)
+
+    meta = _read_meta_dict(spark, store)
+    bm, bk = int(meta["bloom_m"]), int(meta["bloom_k"])
+    words = read_bloom_words(spark, store)
+    fresh = paragraph_keys(mk(500, 1000, "second"), "doc_id", "text")
+    n_fresh = fresh.count()
+    survivors = bloom_prefilter(fresh, words, bm, bk).count()
+    # 1000 digests at fpp=0.01 ⇒ expect ~10 false positives; 5% is a
+    # generous statistical ceiling
+    assert survivors <= n_fresh * 0.05
+    # digests history HAS seen always survive the pre-probe
+    rep = paragraph_keys(mk(100, 200, "first"), "doc_id", "text")
+    assert bloom_prefilter(rep, words, bm, bk).count() == rep.count()
+
+
+def test_bloom_extra_bits_are_false_positives_only(spark, tmp_path):
+    """The crash contract: update_bloom runs BEFORE the store append,
+    so a crash between them leaves bloom bits with no store digest.
+    Those digests must still dedup as unseen — the exact probe, not the
+    bloom, decides membership."""
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        _read_meta_dict,
+        make_dedup_processor,
+        read_fingerprints,
+        update_bloom,
+    )
+
+    docs = _corpus(spark)
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store)
+    proc(docs.filter(F.col("doc_id") < 150), 0)
+
+    # simulate the crash: OR in the NEXT shard's digests with no store
+    # append behind them
+    from parsedmarc_go_spark.operators.dedup import paragraph_keys
+
+    shard2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    meta = _read_meta_dict(spark, store)
+    update_bloom(
+        spark, paragraph_keys(shard2), store,
+        int(meta["bloom_m"]), int(meta["bloom_k"]),
+    )
+    proc(shard2, 1)  # every shard-2-only digest is a bloom false positive
+
+    from parsedmarc_go_spark.operators.dedup import paragraph_dedup
+
+    union = docs.filter(F.col("doc_id") < 300)
+    got = read_stream_table(spark, out, "docs_deduped")
+    assert _rows(got) == _rows(paragraph_dedup(union, "doc_id", "text"))
+    store_phs = sorted(
+        r["ph"] for r in read_fingerprints(spark, store).collect()
+    )
+    from parsedmarc_go_spark.operators.dedup import paragraph_keys as pk
+
+    assert store_phs == sorted(r["ph"] for r in pk(union).collect())
