@@ -227,3 +227,104 @@ def bpe_segment_corpus(
         )
         .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
     )
+
+
+def maxmunch_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_token: str = "[UNK]",
+) -> DataFrame:
+    """Greedy longest-match (max-munch) subword encoding against an
+    arbitrary piece vocabulary — the WordPiece inference rule (Schuster
+    & Nakajima 2012; BERT's tokenizer applies exactly this loop, with
+    the ``##`` continuation marking being a vocab-construction detail
+    orthogonal to the matching): at each position take the LONGEST
+    vocab piece that matches, and if no piece matches at some position
+    the whole word becomes ``unk_token``. Unlike bpe_segment_corpus's
+    lookup (which needs the word seen at train time) this segments
+    arbitrary OOV words through their in-vocab substrings.
+
+    Returns ``doc_id, pieces (array<string>), n_pieces, n_unk``.
+
+    Spark shape: one corpus scan; the word loop is a per-row
+    ``aggregate`` over ``sequence(1, length(word))`` whose accumulator
+    carries (pos, pieces, failed) — each step either consumes the
+    longest match (a ``coalesce`` over the ``max_piece_len``
+    fixed-length probes, each an O(1) ``element_at`` against the
+    vocab MAP attached as a broadcast one-row crossJoin) or no-ops
+    when the cursor has already passed it, so the whole DP stays in
+    codegen'd expressions — no Python, no UDF. Work per word is
+    O(len · max_piece_len) hash probes. Encoding then re-assembles
+    per document through the same position-sorted collect as
+    bpe_segment_corpus. Per-document dedup of repeated words is left
+    to the engine (the explode keeps positions, so each occurrence
+    must be emitted anyway).
+
+    ``max_piece_len`` bounds the probe fan-out; pieces longer than it
+    are never matched (callers with longer vocab entries raise it —
+    the trained-vocab max length is one bounded agg away)."""
+    vocab_map = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("token"), F.lit(1)))
+        ).alias("__vm")
+    )
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+                "pos", "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .crossJoin(F.broadcast(vocab_map))
+    )
+    # longest in-vocab piece at cursor acc.pos: probe max_piece_len
+    # fixed lengths longest-first, first hit wins
+    probes = ", ".join(
+        f"CASE WHEN element_at(__vm, substr(word, acc.pos, {l})) IS NOT NULL "
+        f"AND acc.pos + {l} - 1 <= length(word) "
+        f"THEN substr(word, acc.pos, {l}) END"
+        for l in range(max_piece_len, 0, -1)
+    )
+    step = f"""
+    aggregate(
+      sequence(1, length(word)),
+      named_struct('pos', 1, 'pieces', CAST(array() AS ARRAY<STRING>),
+                   'failed', false),
+      (acc, i) -> CASE
+        WHEN acc.failed OR acc.pos > length(word) OR i < acc.pos THEN acc
+        ELSE CASE
+          WHEN coalesce({probes}) IS NULL
+          THEN named_struct('pos', acc.pos, 'pieces', acc.pieces,
+                            'failed', true)
+          ELSE named_struct(
+            'pos', acc.pos + length(coalesce({probes})),
+            'pieces', array_append(acc.pieces, coalesce({probes})),
+            'failed', false)
+        END END,
+      acc -> CASE WHEN acc.failed THEN array('{unk_token}')
+                  ELSE acc.pieces END)
+    """
+    enc = words.select(id_col, "pos", F.expr(step).alias("syms"))
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, syms))),"
+                    " x -> x.syms)"
+                )
+            ).alias("pieces")
+        )
+        .select(
+            id_col,
+            "pieces",
+            F.size("pieces").alias("n_pieces"),
+            F.size(F.filter("pieces", lambda x: x == unk_token)).alias(
+                "n_unk"
+            ),
+        )
+    )

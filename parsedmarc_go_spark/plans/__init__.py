@@ -135,6 +135,12 @@ _WINDOW_DEMOTED = (
     # (rotatable via WINDOW_SPEC) and ann_topk_bruteforce's cosine —
     # born demoted, pytest value-checks the composed gate at two SFs
     "retrieval_hybrid_rerank",
+    # max-munch subword encoding (round 10): explode/count/limit vocab
+    # build is text_tfidf_topk + a7 machinery, per-doc ordered
+    # re-assembly span_corruption's (rotatable in-window), and the DP
+    # itself is a per-row expression with no shuffle shape of its own
+    # — born demoted, pytest value-checks it at two SFs
+    "tokenize_maxmunch",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

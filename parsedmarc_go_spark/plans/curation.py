@@ -1080,3 +1080,108 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "step int, a string, b string, cnt bigint",
     )
+
+
+# Max-munch subword encoding gate (round 10, Schuster & Nakajima 2012
+# — the WordPiece inference rule). Vocab both engines derive
+# identically in-query: the top-30 corpus tokens (count desc, token
+# tie-break) UNION the corpus's distinct [a-z0-9] single chars; the
+# doc_id % 11 == 3 class gets a planted ' zz#q' token whose '#' is in
+# no vocab piece, exercising the whole-word [UNK] path. Probe lengths
+# 8..1 in BOTH engines (pieces longer than 8 never match, by
+# contract). The oracle segments each DISTINCT word with a recursive
+# CTE mirroring the greedy loop, then re-assembles per document in
+# position order. Born demoted: the explode/count/limit vocab build is
+# text_tfidf_topk + a7 machinery, the per-doc ordered re-assembly is
+# span_corruption's (rotatable in-window); pytest value-checks the
+# composed gate at two SFs.
+_MAXMUNCH_ARMS = "\n".join(
+    f"            CASE WHEN p + {l - 1} <= length(w) AND substr(w, p, {l})"
+    f" IN (SELECT token FROM vocab) THEN substr(w, p, {l}) END,"
+    for l in range(8, 1, -1)
+)
+_MAXMUNCH_ORACLE = f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, CASE WHEN doc_id % 11 = 3 THEN text || ' zz#q'
+                          ELSE text END AS text
+      FROM documents),
+    wp AS (SELECT doc_id, i AS pos, toks[i] AS w
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM base),
+                unnest(range(1, len(toks) + 1)) AS t(i)
+           WHERE toks[i] <> ''),
+    tk AS (SELECT w AS token, count(*) AS cnt FROM wp GROUP BY w),
+    top30 AS (SELECT token FROM tk ORDER BY cnt DESC, token LIMIT 30),
+    chars AS (SELECT DISTINCT substr(w, i, 1) AS token
+              FROM (SELECT DISTINCT w FROM wp),
+                   unnest(range(1, length(w) + 1)) AS t(i)
+              WHERE substr(w, i, 1) BETWEEN 'a' AND 'z'
+                 OR substr(w, i, 1) BETWEEN '0' AND '9'),
+    vocab AS (SELECT token FROM top30 UNION SELECT token FROM chars),
+    dw AS (SELECT DISTINCT w FROM wp),
+    seg AS (
+      SELECT w, 1 AS p, CAST([] AS VARCHAR[]) AS toks, false AS failed
+      FROM dw
+      UNION ALL
+      SELECT w,
+        CASE WHEN piece IS NULL THEN p ELSE p + length(piece) END,
+        CASE WHEN piece IS NULL THEN toks
+             ELSE list_append(toks, piece) END,
+        piece IS NULL
+      FROM (
+        SELECT w, p, toks,
+          COALESCE(
+{_MAXMUNCH_ARMS}
+            CASE WHEN substr(w, p, 1) IN (SELECT token FROM vocab)
+                 THEN substr(w, p, 1) END) AS piece
+        FROM seg WHERE NOT failed AND p <= length(w)) s),
+    term AS (SELECT w, toks, failed FROM seg
+             WHERE failed OR p > length(w))
+    SELECT wp.doc_id,
+           string_agg(CASE WHEN t.failed THEN '[UNK]'
+                           ELSE array_to_string(t.toks, ' ') END,
+                      ' ' ORDER BY wp.pos) AS pieces_str,
+           CAST(SUM(CASE WHEN t.failed THEN 1 ELSE len(t.toks) END)
+                AS BIGINT) AS n_pieces,
+           CAST(SUM(CASE WHEN t.failed THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unk
+    FROM wp JOIN term t ON wp.w = t.w
+    GROUP BY wp.doc_id
+"""
+
+
+@query("tokenize_maxmunch", oracle=_MAXMUNCH_ORACLE)
+def tokenize_maxmunch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match subword encoding of the corpus against an
+    in-query vocab (top-30 tokens + single chars), with a planted
+    un-encodable token driving the [UNK] path. See
+    operators/bpe.py::maxmunch_encode."""
+    from parsedmarc_go_spark.operators.bpe import maxmunch_encode
+
+    docs = load(spark, sf_dir, "documents")
+    itext = F.when(
+        F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" zz#q"))
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", itext.alias("text"))
+    toks = t.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    top30 = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(30)
+        .select("token")
+    )
+    chars = (
+        toks.select(F.explode(F.split(F.col("token"), "")).alias("token"))
+        .filter(F.col("token").rlike("^[a-z0-9]$"))
+        .distinct()
+    )
+    enc = maxmunch_encode(t, top30.union(chars).distinct(), max_piece_len=8)
+    return enc.select(
+        "doc_id",
+        F.array_join("pieces", " ").alias("pieces_str"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.col("n_unk").cast("long").alias("n_unk"),
+    )

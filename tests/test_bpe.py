@@ -143,3 +143,44 @@ def test_bpe_segment_corpus_round_trip_with_oov(spark, classic_docs):
     toks = out["bpe_tokens"]
     zi = toks.index("z")
     assert toks[zi : zi + 6] == ["z", "e", "b", "r", "a", END_OF_WORD]
+
+
+def test_maxmunch_encode_greedy_unk_and_oov(spark):
+    """Max-munch semantics on a planted vocab: longest match wins at
+    every position (never a shorter piece that would allow a longer
+    later one — greedy, not optimal), an unmatchable position turns
+    the WHOLE word into [UNK], and OOV words segment through in-vocab
+    substrings."""
+    from parsedmarc_go_spark.operators.bpe import maxmunch_encode
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unhappy cat"),      # un+happy (not u+n+h+...)
+            (2, "happyhappy"),       # happy+happy
+            (3, "cataract"),         # OOV word via cat+a+r+a+c+t
+            (4, "q#t cat"),          # '#' unmatchable -> [UNK]
+            (5, "zzz"),              # no vocab char at pos 1 -> [UNK]
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame(
+        [("un",), ("happy",), ("happ",), ("cat",), ("a",), ("r",),
+         ("c",), ("t",), ("q",), ("h",), ("y",), ("p",)],
+        ["token"],
+    )
+    got = {
+        r["doc_id"]: (list(r["pieces"]), r["n_pieces"], r["n_unk"])
+        for r in maxmunch_encode(docs, vocab, max_piece_len=5).collect()
+    }
+    assert got[1] == (["un", "happy", "cat"], 3, 0)
+    assert got[2] == (["happy", "happy"], 2, 0)
+    assert got[3] == (["cat", "a", "r", "a", "c", "t"], 6, 0)
+    assert got[4] == (["[UNK]", "cat"], 2, 1)
+    assert got[5] == (["[UNK]"], 1, 1)
+
+    # greedy is max-munch, not shortest-first: 'happt' takes 'happ'
+    # then 't' (not 'h+a+p+p+t' and not backtracking to 'happ'+'t'
+    # vs a hypothetical longer split)
+    probe = spark.createDataFrame([(9, "happt")], ["doc_id", "text"])
+    r = maxmunch_encode(probe, vocab, max_piece_len=5).collect()[0]
+    assert list(r["pieces"]) == ["happ", "t"]
