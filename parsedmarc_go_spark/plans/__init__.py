@@ -141,6 +141,11 @@ _WINDOW_DEMOTED = (
     # itself is a per-row expression with no shuffle shape of its own
     # — born demoted, pytest value-checks it at two SFs
     "tokenize_maxmunch",
+    # unigram seed candidates (round 10): substring explode + weighted
+    # count + ordered-limit — vocab_bpe_pairs' rationale verbatim (the
+    # machinery is text_tfidf_topk + a7, hash-checked in-window) —
+    # born demoted, pytest value-checks it at two SFs
+    "vocab_unigram_seed",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -1185,3 +1185,65 @@ def tokenize_maxmunch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pieces").cast("long").alias("n_pieces"),
         F.col("n_unk").cast("long").alias("n_unk"),
     )
+
+
+# Unigram-LM tokenizer gates (round 10, Kudo 2018 — the SentencePiece
+# unigram model as aggregation-shaped hard-EM; operators/unigram.py).
+# The EM loop is iterative (each round's Viterbi counts feed the next
+# round's piece table), so the oracle strategy mirrors the BPE pair:
+#   - vocab_unigram_seed: the seed candidate table IS plain SQL —
+#     substring explode + frequency-weighted counts, top-N with the
+#     training tie-break, single chars always kept.
+#   - vocab_unigram_pieces: the trained table — rows-only in the
+#     driver; value-pinned against a pure-Python hard-EM reference at
+#     two fixture shapes in tests/test_unigram.py.
+_UNIGRAM_SEED_N = 200
+_UNIGRAM_SEED_ORACLE = f"""
+    WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents),
+    words AS (SELECT w, count(*) AS freq FROM tk WHERE w <> '' GROUP BY w),
+    subs AS (SELECT substr(w, i, l) AS piece, freq
+             FROM words,
+                  unnest(range(1, length(w) + 1)) AS t(i),
+                  unnest(range(1, 7)) AS u(l)
+             WHERE i + l - 1 <= length(w)),
+    counts AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+               FROM subs GROUP BY piece),
+    top AS (SELECT piece, cnt FROM counts
+            ORDER BY cnt DESC, piece LIMIT {_UNIGRAM_SEED_N}),
+    chars AS (SELECT piece, cnt FROM counts WHERE length(piece) = 1)
+    SELECT piece, CAST(max(cnt) AS BIGINT) AS cnt
+    FROM (SELECT * FROM top UNION ALL SELECT * FROM chars)
+    GROUP BY piece
+"""
+
+
+@query("vocab_unigram_seed", oracle=_UNIGRAM_SEED_ORACLE)
+def vocab_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram training's seed candidate table: every 1..6-char
+    substring of every corpus word, frequency-weighted, top-200 with
+    single chars always kept. See operators/unigram.py::unigram_seed."""
+    from parsedmarc_go_spark.operators.unigram import unigram_seed
+
+    return unigram_seed(
+        load(spark, sf_dir, "documents"),
+        seed_size=_UNIGRAM_SEED_N,
+        max_piece_len=6,
+    )
+
+
+@query("vocab_unigram_pieces")
+def vocab_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram piece table (2 hard-EM rounds, vocab 96
+    over a 256-piece seed): ``piece, cnt, logp_fp``. Rows-only — the
+    EM loop runs Spark jobs per round; determinism + exact parity with
+    a pure-Python reference are pinned in tests/test_unigram.py."""
+    from parsedmarc_go_spark.operators.unigram import unigram_train
+
+    return unigram_train(
+        load(spark, sf_dir, "documents"),
+        vocab_size=96,
+        seed_size=256,
+        max_piece_len=4,
+        n_iters=2,
+    )

@@ -117,6 +117,9 @@ DEFAULT_BROADCAST_PROBE_MAX_KEYS = 1_000_000
 # size degrades to more false positives, never to wrong output.
 DEFAULT_BLOOM_EXPECTED_ITEMS = 8_000_000
 DEFAULT_BLOOM_FPP = 0.01
+# blooms bigger than this many BITS (64 MB packed) probe via a shuffle
+# join on word_idx instead of a broadcast of the word table
+BLOOM_BROADCAST_MAX_BITS = 512 * 1024 * 1024
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -602,10 +605,18 @@ def make_dedup_processor(
     size the filter at store CREATION (pinned in the meta like
     ``n_buckets``; ~1.2 MB per million expected digests at 1%) — a
     store grown past its expected size degrades to more false
-    positives, never to wrong output. Stores created with
-    ``bloom=False`` or predating the sidecar probe exactly as before;
-    ``semdedup`` mode has a vector store, not a digest store, and
-    ignores the knob."""
+    positives, never to wrong output. SIZING IS THE ECONOMICS: the
+    sidecar is rewritten (bit_or merge + swap) each batch, so it pays
+    off once the growing store outgrows the bloom's FIXED
+    ``m/64``-word footprint — roughly ``expected_items/3`` digests at
+    the default fpp. Size ``expected_items`` to the corpus you expect,
+    not far above it: an oversized bloom is sparse (one word per set
+    bit), costs as much to rewrite as the store costs to scan, and
+    buys nothing until the store catches up
+    (scripts/stream_dedup_scaling.py measures both regimes). Stores
+    created with ``bloom=False`` or predating the sidecar probe
+    exactly as before; ``semdedup`` mode has a vector store, not a
+    digest store, and ignores the knob."""
     if mode not in ("paragraph", "document", "minhash", "substring", "semdedup"):
         raise ValueError(
             "mode must be 'paragraph', 'document', 'minhash', "
@@ -684,7 +695,8 @@ def make_dedup_processor(
             )
             if bloom_words is not None:
                 candidates = bloom_prefilter(
-                    probe_keys, bloom_words, bm, bk
+                    probe_keys, bloom_words, bm, bk,
+                    broadcast=bm <= BLOOM_BROADCAST_MAX_BITS,
                 ).persist()
                 extra_persists.append(candidates)
             # bounded action: the digest count decides broadcast vs

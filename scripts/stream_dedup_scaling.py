@@ -33,18 +33,34 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     batch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
     bloom = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
+    # seeded mode: batch 0 lands seed_docs documents so later batches
+    # probe a store much larger than themselves — the regime the bloom
+    # pre-probe exists for (store >> batch)
+    seed_docs = int(sys.argv[4]) if len(sys.argv) > 4 else batch_docs
+    # bloom sizing: the sidecar only undercuts the store once the store
+    # outgrows the bloom's FIXED footprint, so size it to the expected
+    # corpus — an oversized bloom is sparse and as big as the store
+    # (the sizing contract in make_dedup_processor's docstring)
+    expected = (
+        int(sys.argv[5]) if len(sys.argv) > 5 else 4 * (seed_docs or 1)
+    )
 
-    from parsedmarc_go_spark.session import get_spark
+    from parsedmarc_go_spark.session import local_spark
     from parsedmarc_go_spark.streaming.dedup import (
         make_dedup_processor,
         read_fingerprints,
     )
 
-    spark = get_spark(app_name="stream-dedup-scaling")
+    # local_spark, not bare get_spark: the masterless form skips the
+    # local-mode driver-heap bump and the default 1g JVM OOMs silently
+    # partway through longer runs
+    spark = local_spark()
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="sds_")
     out, store = f"{base}/out", f"{base}/store"
-    proc = make_dedup_processor(out, store, bloom=bloom)
+    proc = make_dedup_processor(
+        out, store, bloom=bloom, bloom_expected_items=expected
+    )
 
     def batch(b: int):
         # 4 paragraphs/doc: one from a 500-paragraph shared pool
@@ -57,7 +73,9 @@ def main() -> None:
             F.concat(F.lit("uniq-b-"), d.cast("string")),
             F.concat(F.lit("uniq-c-"), d.cast("string")),
         )
-        return spark.range(b * batch_docs, (b + 1) * batch_docs).select(
+        lo = 0 if b == 0 else seed_docs + (b - 1) * batch_docs
+        hi = lo + (seed_docs if b == 0 else batch_docs)
+        return spark.range(lo, hi).select(
             F.col("id").alias("doc_id"), text.alias("text")
         )
 
@@ -76,6 +94,8 @@ def main() -> None:
                     "mode": "paragraph",
                     "bloom": bloom,
                     "batch_docs": batch_docs,
+                    "seed_docs": seed_docs,
+                    "bloom_expected_items": expected,
                     "batches": rows,
                 }
             )
