@@ -66,6 +66,13 @@ HEADLINE = [
     # per-pair loser aggregation + doc left-join)
     "vocab_bpe_pairs",
     "dedup_keep_best_containment",
+    # r10.2 additions: max-munch subword encoding (the per-row
+    # expression-DP family — word explode + broadcast vocab-map probes
+    # + position-ordered re-assembly) and hybrid BM25→cosine rerank
+    # (retrieve-then-rerank composition: bounded candidate cut
+    # broadcast against one vector-table scan)
+    "tokenize_maxmunch",
+    "retrieval_hybrid_rerank",
 ]
 
 
@@ -201,10 +208,11 @@ def main() -> None:
         # decontaminate_ngram (curation family representative);
         # r8 added dedup_paragraph (the round's flagship); r9 added
         # dedup_substring_spans + quality_lm_score (the round's two
-        # new operators); r10 added vocab_bpe_pairs +
-        # dedup_keep_best_containment — r9.1 totals = r10.1 minus
-        # those two queries
-        "mix_version": "r10.1",
+        # new operators); r10.1 added vocab_bpe_pairs +
+        # dedup_keep_best_containment, then r10.2 tokenize_maxmunch +
+        # retrieval_hybrid_rerank — r9.1 totals = r10.2 minus those
+        # four queries
+        "mix_version": "r10.2",
         "mix": HEADLINE,
     }
     # The driver records only the TAIL of stdout (~4 KB): in round 7 the

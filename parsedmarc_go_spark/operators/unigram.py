@@ -223,22 +223,27 @@ def unigram_segment(
     text_col: str = "text",
 ) -> DataFrame:
     """Viterbi-encode every document with a trained piece table:
-    ``doc_id, pieces (array<string>), n_pieces``. One corpus scan;
-    per-word DP against the broadcast piece map; position-ordered
-    re-assembly (the bpe_segment_corpus shape). Unsegmentable words
-    (a char outside the table — impossible for tables from
-    unigram_train) contribute an empty segmentation."""
-    words = (
-        docs.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
-                "pos", "word"
-            ),
-        )
-        .filter(F.col("word") != "")
-        .crossJoin(F.broadcast(_piece_map(pieces)))
-    )
-    enc = _viterbi_segs(words, max_piece_len).select(id_col, "pos", "syms")
+    ``doc_id, pieces (array<string>), n_pieces``. One corpus scan; the
+    DP runs once per DISTINCT word against the broadcast piece map
+    (the bpe_segment_corpus economics — occurrences outnumber distinct
+    words by orders of magnitude), segmentations join back to the
+    position stream (typically broadcast, left to AQE), re-assembled
+    in position order. Unsegmentable words (a char outside the table —
+    impossible for tables from unigram_train) contribute an empty
+    segmentation."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    ).filter(F.col("word") != "")
+    seg = _viterbi_segs(
+        words.select("word").distinct().crossJoin(
+            F.broadcast(_piece_map(pieces))
+        ),
+        max_piece_len,
+    ).select("word", "syms")
+    enc = words.join(seg, "word").select(id_col, "pos", "syms")
     return (
         enc.groupBy(id_col)
         .agg(

@@ -181,6 +181,20 @@ ANALYTICS_OPS = [
     "a9_distinct_exact",
 ]
 
+# The tokenizer family (round 10): training gates should scale with
+# the DISTINCT-WORD table (sublinear in corpus rows — word_freqs
+# saturates as the vocabulary closes over the generator's word list),
+# and the encoders with corpus rows (the per-occurrence work is a
+# join; the DP itself is distinct-word-sized). Timed across the
+# driver's own testdata decades like the analytics family.
+TOKENIZER_OPS = [
+    "vocab_bpe_pairs",
+    "vocab_unigram_seed",
+    "vocab_unigram_pieces",
+    "tokenize_maxmunch",
+    "retrieval_hybrid_rerank",
+]
+
 
 def run_curve(spark, queries, ops, points: dict, unit: str) -> None:
     """Time each op at each (label -> sf_dir) point, median of 3 after a
@@ -274,6 +288,12 @@ def main() -> None:
         help="time connected-components algorithms on chain-shaped graphs "
         "(the adversarial case for min-label propagation)",
     )
+    ap.add_argument(
+        "--tokenizer",
+        action="store_true",
+        help="time the round-10 tokenizer/retrieval family across the "
+        "driver's sf0.001/0.01/0.1 testdata",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -292,6 +312,13 @@ def main() -> None:
             sf: f"/root/testdata/sf{sf}" for sf in (0.001, 0.01, 0.1)
         }
         run_curve(spark, QUERIES, ANALYTICS_OPS, points, unit="sf")
+        return
+
+    if args.tokenizer:
+        points = {
+            sf: f"/root/testdata/sf{sf}" for sf in (0.001, 0.01, 0.1)
+        }
+        run_curve(spark, QUERIES, TOKENIZER_OPS, points, unit="sf")
         return
 
     if args.ann:
