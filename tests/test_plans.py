@@ -249,3 +249,36 @@ def test_window_swap_env_rotates_demotions():
         cwd="/root/repo",
     )
     assert bad.returncode != 0 and "not currently demoted" in bad.stderr
+
+
+def test_hybrid_rerank_plan_broadcasts_candidates(spark):
+    """The rerank stage must fetch candidates through a
+    BroadcastHashJoin against ONE scan of the vector table — a shuffle
+    of the vectors would make stage 2 O(corpus-shuffle) instead of
+    O(scan)."""
+    p = final_plan(QUERIES["retrieval_hybrid_rerank"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in p, p
+    # the vector-side scan feeds the broadcast join directly: no
+    # hash-exchange of the embeddings relation anywhere in the plan
+    import re
+
+    emb_exchanges = [
+        seg for seg in p.split("Exchange")
+        if "embeddings" in seg.split("\n")[0]
+    ]
+    assert not [s for s in emb_exchanges if "hashpartitioning" in s[:60]], p
+
+
+def test_maxmunch_plan_runs_dp_on_distinct_words(spark):
+    """The encoder's expression DP must run on the distinct-word frame
+    (vocab-sized), not per word occurrence — the plan carries the
+    aggregate expression AFTER a distinct aggregation, and the
+    occurrence stream reaches it through a join."""
+    p = final_plan(QUERIES["tokenize_maxmunch"](spark, SF_CORRECT))
+    # the DP is a join probe, not an occurrence-side projection: the
+    # projected DP expression (its accumulator struct) appears on the
+    # build/result side of a join in the final plan
+    assert "Join" in p, p
+    assert p.count("aggregate(sequence") <= 2, (
+        "DP expression duplicated across occurrence-side operators:\n" + p
+    )
