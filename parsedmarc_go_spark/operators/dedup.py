@@ -187,10 +187,15 @@ def ngram_containment_pairs(
     1.0 but Jaccard 0.01). Broder's containment coefficient — public.
 
     Same inverted-index machinery and cost contract as
-    ngram_jaccard_pairs (Σ freq² — per-block / candidate-verify at
-    scale; the minhash bucket join generates candidates for THIS
-    verifier too when the corpus outgrows the exact join). Returns
-    ``doc_a, doc_b, n_a, n_b, shared, containment``."""
+    ngram_jaccard_pairs (Σ freq² exact mode). When the corpus
+    outgrows the exact join, use ``containment_pairs_prefix`` — the
+    prefix-filtered generator with IDENTICAL output and 100% recall.
+    (Round-10 correction: minhash bucket candidates are the WRONG
+    generator here — band-collision probability tracks Jaccard, and a
+    100-shingle doc fully inside a 10,000-shingle one has Jaccard
+    0.01, so the very pairs containment exists to catch would be the
+    ones the buckets miss.) Returns ``doc_a, doc_b, n_a, n_b, shared,
+    containment``."""
     index = _shingle_index(docs, id_col, n).persist()
     pairs = _pairs_with_jaccard(index).select(
         "doc_a",
@@ -233,8 +238,11 @@ def containment_keep(
     Scale shape: one shuffle of the pair frame (near-dup population,
     not the corpus) keyed on the loser id + one equi-join back to docs.
     ``pairs`` is the ngram_containment_pairs output (needs ``doc_a,
-    doc_b, n_a, n_b``); at 100 TB feed it candidate pairs from the
-    minhash bucket join instead of the exact Σfreq² index."""
+    doc_b, n_a, n_b``); at 100 TB feed it
+    ``containment_pairs_prefix`` — the prefix-filtered generator with
+    identical output (NOT minhash candidates: band collisions track
+    Jaccard, which the small-in-big pairs this rule exists for dilute
+    toward 0)."""
     a_loses = (F.col("n_a") < F.col("n_b")) | (
         (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))
     )
@@ -252,6 +260,112 @@ def containment_keep(
         id_col,
         F.col("dropped_by").isNull().alias("is_kept"),
         "dropped_by",
+    )
+
+
+def containment_pairs_prefix(
+    docs: DataFrame, id_col: str = "doc_id", n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """ngram_containment_pairs at scale: PREFIX-FILTERED candidate
+    generation (the All-Pairs/PPJoin prefix filter — Bayardo, Ma &
+    Srikant 2007; public) with output IDENTICAL to the exact Σfreq²
+    self-join (equality pinned in tests/test_dedup.py), 100% recall by
+    pigeonhole — no probabilistic loss, unlike minhash candidates
+    whose band collisions track Jaccard and miss exactly the
+    small-in-big pairs containment exists for.
+
+    The filter: a pair with containment ≥ t shares ≥ t·|S| of the
+    SMALLER doc S's shingles, so S can miss at most (1-t)·|S| of them
+    from the other doc — if NONE of S's ``⌊(1-t)·|S|⌋ + 1`` rarest
+    shingles (its "prefix") appears in the other doc, containment < t.
+    Candidates are therefore prefix(S) ⨝ full index, with the prefix
+    ordered by GLOBAL document frequency ascending (rarest first) so
+    the join's fan-out rides the low-df tail instead of the hot head —
+    join volume Σ|prefix|·df(rare shingles) vs the exact mode's
+    Σ df². Verify recomputes exact containment over candidate docs'
+    shingle sets (the minhash_lsh_pairs candidate-verify idiom:
+    collect_set bounded by each doc's own length, array_intersect in
+    codegen, sets joined under AQE's size-based broadcast choice).
+
+    One corpus shingle pass + one df aggregate + per-doc rank window;
+    everything after is candidate-sized."""
+    from pyspark.sql import Window
+
+    index = _shingle_index(docs, id_col, n).persist()
+    dfreq = index.groupBy("shingle").agg(F.count("*").alias("__df"))
+    with_df = index.join(dfreq, "shingle")
+    rank_w = Window.partitionBy("doc").orderBy(F.asc("__df"), F.asc("shingle"))
+    # +1e-9 before the floor: (1-t)·|S| lands BELOW its true value in
+    # binary for integral cases (0.2·10 → 1.9999…96 → floor 1, one
+    # short — a boundary pair whose misses all fall in the prefix
+    # would be lost). Rounding UP can only oversize the prefix, which
+    # costs candidates the verify discards, never recall.
+    prefix_len = (
+        F.floor(
+            (F.lit(1.0) - F.lit(threshold)) * F.col("n_shingles")
+            + F.lit(1e-9)
+        )
+        + 1
+    )
+    prefixes = (
+        with_df.withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("doc", "n_shingles", "shingle")
+    )
+    other = index.select(
+        F.col("doc").alias("__doc_o"),
+        F.col("n_shingles").alias("__n_o"),
+        "shingle",
+    )
+    # the prefix guarantee covers the SMALLER side, so keep a candidate
+    # only when the prefix's owner is it (ties: both directions
+    # generate; dedup by orientation + distinct)
+    candidates = (
+        prefixes.join(other, "shingle")
+        .filter(
+            (F.col("doc") != F.col("__doc_o"))
+            & (
+                (F.col("n_shingles") < F.col("__n_o"))
+                | (
+                    (F.col("n_shingles") == F.col("__n_o"))
+                    & (F.col("doc") < F.col("__doc_o"))
+                )
+            )
+        )
+        .select(
+            F.least("doc", "__doc_o").alias("doc_a"),
+            F.greatest("doc", "__doc_o").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    ).distinct()
+    sets = (
+        index.join(F.broadcast(cand_docs), "doc")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("shs"))
+        .persist()
+    )
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("shared"),
+        )
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

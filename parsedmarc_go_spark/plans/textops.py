@@ -766,3 +766,19 @@ def dedup_keep_best_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _containment_corpus(spark, sf_dir)
     return containment_keep(t, ngram_containment_pairs(t, threshold=0.8))
+
+
+@query("dedup_containment_prefix")
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment pair generator's SCALE path: PPJoin prefix
+    filtering (Bayardo 2007) — candidates from each doc's rarest
+    ``⌊(1-t)·|S|⌋+1`` shingles joined against the index, exact verify
+    on candidates only. Rows-only entry: output is pinned IDENTICAL to
+    the hash-matched dedup_containment gate in tests/test_dedup.py
+    (boundary pairs included), which is stronger than a second oracle
+    — the dedup_embedding_cosine_chunked precedent. See
+    operators/dedup.py::containment_pairs_prefix."""
+    from parsedmarc_go_spark.operators.dedup import containment_pairs_prefix
+
+    t = _containment_corpus(spark, sf_dir)
+    return containment_pairs_prefix(t, threshold=0.8)

@@ -549,3 +549,53 @@ def test_containment_keep_drops_quote_preserves_both_carriers(spark):
     # between them is diluted by their distinct bodies)
     cp = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (0, 1) not in cp and (1, 0) not in cp
+
+
+def test_containment_prefix_filter_equals_exact(spark):
+    """The PPJoin prefix-filtered generator must equal the exact
+    Σfreq² self-join EXACTLY — including the small-in-big pair minhash
+    candidates would miss, boundary-containment pairs (shared exactly
+    t·|S|), and the empty-off-diagonal — on both a planted corpus and
+    the driver's testdata."""
+    from parsedmarc_go_spark.operators.dedup import (
+        containment_pairs_prefix,
+        ngram_containment_pairs,
+    )
+    from parsedmarc_go_spark.tables import load
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    long_tail = " ".join(f"w{i}" for i in range(80))
+    # doc 4 shares EXACTLY 8 of doc 5's 10 shingles -> containment 0.8,
+    # the threshold boundary the float-safe prefix length must keep
+    base12 = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{long_tail} {quote}"),
+            (2, quote),
+            (3, " ".join(f"z{i}" for i in range(30))),
+            (4, base12),
+            (5, " ".join(f"b{i}" for i in range(10)) + " q1 q2"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def rows(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_a, r.n_b, r.shared, round(r.containment, 9))
+            for r in df.collect()
+        )
+
+    for t in (0.8, 0.5):
+        exact = rows(ngram_containment_pairs(docs, threshold=t))
+        fast = rows(containment_pairs_prefix(docs, threshold=t))
+        assert fast == exact, f"threshold {t}"
+    assert (1, 2) in {(a, b) for a, b, *_ in rows(
+        containment_pairs_prefix(docs, threshold=0.8)
+    )}
+
+    corpus = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    exact = rows(ngram_containment_pairs(corpus, threshold=0.8))
+    fast = rows(containment_pairs_prefix(corpus, threshold=0.8))
+    assert fast == exact and len(exact) > 0
