@@ -693,3 +693,57 @@ def pack_offsets(
         F.floor(F.col("start_offset") / seq_len).cast("long").alias("first_seq"),
         F.floor((F.col("end_offset") - 1) / seq_len).cast("long").alias("last_seq"),
     )
+
+
+def corpus_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the ops view every
+    recurring pipeline run needs ("what did this crawl/refresh
+    actually change?"): per ``group_col``, counts of added / removed /
+    modified (same id, different content digest) / unchanged documents
+    and the net character delta. Pure relational shape: two
+    digest-projected scans, ONE full-outer equi-join on the id, one
+    group aggregate — no windows, no collects; at 100 TB the join
+    shuffles both snapshots once on the id (or reuses their storage
+    partitioning when both are id-bucketed).
+
+    Content identity is the sha256 of the text (the dedup_exact key),
+    so a whitespace-identical rewrite counts as unchanged and any
+    byte-level edit as modified. ``group_col`` comes from the NEW
+    side, falling back to the old for removed docs."""
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        F.sha2(F.col(text_col), 256).alias("__fp_o"),
+        F.length(text_col).alias("__chars_o"),
+        F.col(group_col).alias("__grp_o"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        F.sha2(F.col(text_col), 256).alias("__fp_n"),
+        F.length(text_col).alias("__chars_n"),
+        F.col(group_col).alias("__grp_n"),
+    )
+    j = o.join(n, "__id", "full_outer").select(
+        F.coalesce("__grp_n", "__grp_o").alias(group_col),
+        F.when(F.col("__fp_o").isNull(), F.lit("added"))
+        .when(F.col("__fp_n").isNull(), F.lit("removed"))
+        .when(F.col("__fp_o") != F.col("__fp_n"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+        .alias("__status"),
+        (
+            F.coalesce("__chars_n", F.lit(0))
+            - F.coalesce("__chars_o", F.lit(0))
+        ).alias("__delta"),
+    )
+    return j.groupBy(group_col).agg(
+        F.sum(F.when(F.col("__status") == "added", 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("__status") == "removed", 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(F.col("__status") == "modified", 1).otherwise(0)).alias("n_modified"),
+        F.sum(F.when(F.col("__status") == "unchanged", 1).otherwise(0)).alias("n_unchanged"),
+        F.sum("__delta").alias("net_char_delta"),
+    )

@@ -146,6 +146,10 @@ _WINDOW_DEMOTED = (
     # machinery is text_tfidf_topk + a7, hash-checked in-window) —
     # born demoted, pytest value-checks it at two SFs
     "vocab_unigram_seed",
+    # corpus snapshot diff (round 10): full-outer join + CASE counts —
+    # the join shape is j2's (in-window) and the conditional-count agg
+    # the a-family's — born demoted, pytest value-checks it at two SFs
+    "corpus_delta_report",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -1247,3 +1247,54 @@ def vocab_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=4,
         n_iters=2,
     )
+
+
+# Corpus snapshot diff (round 10): the recurring-pipeline ops view —
+# old = the %5!=0 docs unmutated, new = the %4!=0 docs with the
+# %7==3 class's text edited, so every status class (added: %5==0 ∧
+# %4!=0, removed: %4==0 ∧ %5!=0, modified: %7==3 in both, unchanged)
+# is populated at every SF. Counts + integer char sums — engine-exact.
+_DELTA_ORACLE = """
+    WITH old AS (SELECT doc_id, text, source FROM documents
+                 WHERE doc_id % 5 <> 0),
+    new AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3 THEN text || ' edited'
+                        ELSE text END AS text,
+                   source
+            FROM documents WHERE doc_id % 4 <> 0),
+    j AS (SELECT COALESCE(n.source, o.source) AS source,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.text <> n.text THEN 'modified'
+                      ELSE 'unchanged' END AS status,
+                 COALESCE(length(n.text), 0)
+                   - COALESCE(length(o.text), 0) AS delta
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN status = 'modified' THEN 1 ELSE 0 END) AS BIGINT) AS n_modified,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(SUM(delta) AS BIGINT) AS net_char_delta
+    FROM j GROUP BY source
+"""
+
+
+@query("corpus_delta_report", oracle=_DELTA_ORACLE)
+def corpus_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two derived corpus versions, per source.
+    See operators/curation.py::corpus_delta."""
+    from parsedmarc_go_spark.operators.curation import corpus_delta
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "text", "source"
+    )
+    new = docs.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    return corpus_delta(old, new)
