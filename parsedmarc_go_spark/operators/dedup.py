@@ -123,30 +123,18 @@ def _pairs_with_jaccard(index: DataFrame) -> DataFrame:
     One shuffle join on shingle + one hash aggregate — n_a/n_b are
     constants per doc carried by the index rows.
 
-    Document-frequency-1 shingles are pruned BEFORE the self-join:
-    they cannot contribute to any pair's ``shared`` count, yet in
-    natural text they are the vast majority of the index — and each
-    would still ride the join's shuffle and probe. n_a/n_b were
-    already attached per-row upstream from the UNPRUNED index, so
-    every Jaccard/containment denominator is unchanged and the output
-    is bit-identical. The df window shuffles on the same ``shingle``
-    key the join needs, so the partitioning is reused. NOTE the
-    driver's synthetic testdata is the prune's worst case — a ~30-word
-    generator vocabulary makes every shingle df≥2, so sf1 walls there
-    measure the irreducible hot-shingle Σfreq² term (the documented
-    exact-mode tradeoff; the scale path remains minhash-candidate +
-    exact verify)."""
-    from pyspark.sql import Window
-
-    pruned = (
-        index.withColumn(
-            "__df", F.count("*").over(Window.partitionBy("shingle"))
-        )
-        .filter(F.col("__df") >= 2)
-        .drop("__df")
-    )
-    a = pruned.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle")
-    b = pruned.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle")
+    Deliberately NO df-1 shingle pruning here (round-10 measurement):
+    dropping document-frequency-1 shingles before the self-join is
+    output-identical and tempting — they cannot contribute to any
+    pair — but the df count is its own window over the index, and on
+    the closed-vocabulary bench corpus (where every shingle is df≥2
+    and nothing prunes) it DOUBLED the keep-rule gate's wall (1.06 →
+    2.06 s at sf0.1) for zero savings. The real scale mechanism is
+    candidate filtering that targets the rare tail directly:
+    ``containment_pairs_prefix`` (PPJoin) for asymmetric containment,
+    ``minhash_lsh_pairs`` for symmetric Jaccard."""
+    a = index.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle")
+    b = index.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle")
     shared = (
         a.join(b, ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
