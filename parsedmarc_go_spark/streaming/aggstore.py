@@ -219,3 +219,55 @@ def stream_token_counts(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def stream_doc_frequencies(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_COUNT_BUCKETS,
+    max_files_per_trigger: int = 1000,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """The additive store's second consumer — incremental DOCUMENT
+    frequencies (the BM25/idf denominator, operators/retrieval.py):
+    per batch, each document contributes each of its DISTINCT terms
+    once (the per-doc ``array_distinct`` idiom of decontaminate_ngram
+    — no corpus-wide distinct shuffle), and the store sums the
+    contributions. ``read_counts`` then yields ``(token, cnt)`` with
+    cnt = number of documents ever seen containing the token —
+    equal to the batch df computed over everything that has arrived
+    (parity-pinned in tests/test_aggstore.py), assuming each doc_id
+    arrives once (re-delivery within a replayed batch is handled by
+    the store; cross-batch re-delivery is upstream dedup's job)."""
+    docs = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(landing_dir)
+    )
+    proc = make_count_processor(store_dir, ["token"], n_buckets=n_buckets)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        toks = batch.select(
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), " ")
+                )
+            ).alias("token")
+        ).filter(F.col("token") != "")
+        proc(toks, batch_id)
+
+    writer = docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

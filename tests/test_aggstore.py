@@ -109,3 +109,38 @@ def test_count_store_compaction_preserves_totals(spark, tmp_path):
         for _, _, fs in os.walk(base)
     )
     assert n_files > 1, n_files
+
+
+def test_stream_doc_frequencies_parity(spark, tmp_path):
+    """Incremental df == batch df over everything that arrived: each
+    doc contributes each distinct token once, summed across batches."""
+    from parsedmarc_go_spark.streaming.aggstore import (
+        read_counts,
+        stream_doc_frequencies,
+    )
+
+    docs = _docs(spark)
+    landing = tmp_path / "landing"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    docs.filter(F.col("doc_id") < 250).write.parquet(str(landing / "s1"))
+    q = stream_doc_frequencies(spark, str(landing), store, ckpt, docs.schema)
+    q.awaitTermination(120)
+    docs.filter(F.col("doc_id") >= 250).write.parquet(str(landing / "s2"))
+    q = stream_doc_frequencies(spark, str(landing), store, ckpt, docs.schema)
+    q.awaitTermination(120)
+
+    got = _rows(read_counts(spark, store))
+    want = _rows(
+        docs.select(
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), " "))
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert got == want
