@@ -305,3 +305,118 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def train_kn_bigram_lm(
+    ref: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Fit the count tables for interpolated Kneser-Ney bigram
+    smoothing (Kneser & Ney 1995; the formulation in Chen & Goodman
+    1998 — public). Returns ``(bigrams, contexts, continuations,
+    totals)``:
+
+    - ``bigrams``: (w1, w2, c12) pair counts,
+    - ``contexts``: (w1, c1, n1p_fwd) — context token count and the
+      number of DISTINCT continuations of w1 (both roll up from the
+      bigram frame, so normalization can never drift from it),
+    - ``continuations``: (w2, n1p_bwd) — the number of distinct
+      contexts w2 FOLLOWS; the KN insight is that the backoff
+      unigram should measure how promiscuously a word continues
+      ("Francisco" is frequent but follows almost nothing except
+      "San"), not how often it occurs,
+    - ``totals``: broadcast 1-row frame (n_types, v) — distinct
+      bigram types and distinct tokens.
+
+    All four stay DataFrames; nothing is collected."""
+    pairs = _token_pairs(ref, id_col, text_col)
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    contexts = bigrams.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p_fwd")
+    )
+    continuations = bigrams.groupBy("w2").agg(
+        F.count("*").alias("n1p_bwd")
+    )
+    totals = bigrams.agg(
+        F.count("*").alias("n_types"),
+    ).crossJoin(
+        ref.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+        ).agg(F.countDistinct("tok").alias("v"))
+    )
+    return bigrams, contexts, continuations, totals
+
+
+def kn_score(
+    corpus: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    continuations: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score every corpus document with the interpolated Kneser-Ney
+    bigram model:
+
+        p(w2|w1) = max(c12 - D, 0)/c1 + D·N1+(w1,·)/c1 · pcont(w2)
+        pcont(w2) = (N1+(·,w2) + 1) / (n_types + v + 1)
+
+    for a seen context (c1 > 0), and ``pcont(w2)`` alone for an
+    unseen one — with the continuation distribution add-one smoothed
+    over the v+1 token types (the OOV pseudo-type) so every pair has
+    positive mass and the log is always defined. Per-pair log-probs
+    are quantized to the 1e-4 grid before the integer per-doc sum
+    (the lm_score determinism contract; the pre-quantization
+    arithmetic is +,*,/ on identical doubles — engine-exact). Returns
+    ``doc_id, n_bigrams, kn_nll`` (NULL nll for <2-token docs).
+
+    Same scale shape as lm_score: broadcast (or shuffle) LM probes,
+    one pair-explode scan, one doc_id aggregation, conditional
+    repartition of an under-parallel scan."""
+    sc = corpus.sparkSession.sparkContext
+    mark = F.broadcast if broadcast_lm else (lambda df: df)
+    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism)
+    pairs = _token_pairs(corpus, id_col, text_col)
+    probed = (
+        pairs.join(mark(bigrams), ["w1", "w2"], "left")
+        .join(mark(contexts), ["w1"], "left")
+        .join(mark(continuations), ["w2"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    c12 = F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+    c1 = F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+    n1p_fwd = F.coalesce(F.col("n1p_fwd"), F.lit(0)).cast("double")
+    pcont = (
+        F.coalesce(F.col("n1p_bwd"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / (
+        F.col("n_types").cast("double") + F.col("v").cast("double") + F.lit(1.0)
+    )
+    d = F.lit(discount)
+    p = F.when(
+        c1 > 0,
+        F.greatest(c12 - d, F.lit(0.0)) / c1 + d * n1p_fwd / c1 * pcont,
+    ).otherwise(pcont)
+    lp_fp = F.floor(F.log(p) * F.lit(_LP_SCALE) + F.lit(0.5)).cast("long")
+    per_doc = (
+        probed.select(F.col(id_col), lp_fp.alias("lp_fp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                -(F.sum("lp_fp").cast("double") / F.lit(_LP_SCALE))
+                / F.count("*").cast("double")
+            ).alias("kn_nll"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            "kn_nll",
+        )
+    )

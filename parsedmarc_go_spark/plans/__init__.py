@@ -150,6 +150,11 @@ _WINDOW_DEMOTED = (
     # the join shape is j2's (in-window) and the conditional-count agg
     # the a-family's — born demoted, pytest value-checks it at two SFs
     "corpus_delta_report",
+    # Kneser-Ney bigram scoring (round 10): quality_lm_score's exact
+    # pipeline shape (pair explode + broadcast probes + fixed-point
+    # doc agg, rotatable in-window) with a different smoothing formula
+    # — born demoted, pytest value-checks it at two SFs
+    "quality_kn_score",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -1298,3 +1298,70 @@ def corpus_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     return corpus_delta(old, new)
+
+
+# Interpolated Kneser-Ney bigram scoring gate (round 10 — Kneser & Ney
+# 1995 / Chen & Goodman 1998, public). Same reference slice and pair
+# machinery as quality_lm_score; the smoothing is the real thing:
+# absolute discounting with the continuation-count backoff (add-one
+# smoothed over v+1 types so OOV pairs keep positive mass). The
+# per-pair arithmetic before the 1e-4 quantization is +,*,/ on
+# identical doubles — engine-exact, the quality_lm_score precedent.
+_KN_ORACLE = """
+    WITH ref AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents WHERE doc_id % 10 = 0),
+    rp AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM ref, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   count(*) AS n1p_fwd
+            FROM bg GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS n1p_bwd FROM bg GROUP BY w2),
+    tot AS (SELECT (SELECT count(*) FROM bg) AS n_types,
+                   (SELECT count(DISTINCT tok)
+                    FROM (SELECT unnest(toks) AS tok FROM ref)) AS v),
+    cd AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+    cp AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM cd, unnest(range(1, len(toks))) AS t(i)
+           WHERE len(toks) >= 2),
+    sc AS (SELECT cp.doc_id,
+             CAST(floor(ln(
+               CASE WHEN COALESCE(ctx.c1, 0) > 0 THEN
+                 GREATEST(CAST(COALESCE(bg.c12, 0) AS DOUBLE) - 0.75, 0.0)
+                   / CAST(COALESCE(ctx.c1, 0) AS DOUBLE)
+                 + 0.75 * CAST(COALESCE(ctx.n1p_fwd, 0) AS DOUBLE)
+                   / CAST(COALESCE(ctx.c1, 0) AS DOUBLE)
+                   * ((CAST(COALESCE(cont.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                      / (CAST(tot.n_types AS DOUBLE)
+                         + CAST(tot.v AS DOUBLE) + 1.0))
+               ELSE
+                 (CAST(COALESCE(cont.n1p_bwd, 0) AS DOUBLE) + 1.0)
+                   / (CAST(tot.n_types AS DOUBLE)
+                      + CAST(tot.v AS DOUBLE) + 1.0)
+               END) * 10000.0 + 0.5) AS BIGINT) AS lp_fp
+           FROM cp LEFT JOIN bg ON cp.w1 = bg.w1 AND cp.w2 = bg.w2
+                   LEFT JOIN ctx ON cp.w1 = ctx.w1
+                   LEFT JOIN cont ON cp.w2 = cont.w2
+                   CROSS JOIN tot),
+    pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                  -(CAST(SUM(lp_fp) AS DOUBLE) / 10000.0)
+                    / CAST(count(*) AS DOUBLE) AS kn_nll
+           FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams, pd.kn_nll
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
+
+
+@query("quality_kn_score", oracle=_KN_ORACLE)
+def quality_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram quality scoring: the standard LM
+    smoothing (continuation-count backoff) on the quality_lm_score
+    pipeline shape. See operators/lm.py::kn_score."""
+    from parsedmarc_go_spark.operators.lm import kn_score, train_kn_bigram_lm
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    bigrams, contexts, continuations, totals = train_kn_bigram_lm(ref)
+    return kn_score(docs, bigrams, contexts, continuations, totals)

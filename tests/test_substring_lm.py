@@ -407,3 +407,45 @@ def test_nb_classify_argmax_and_model_join_modes(spark):
     a = sorted(nb_score(corpus, model, broadcast_model=True).collect())
     b = sorted(nb_score(corpus, model, broadcast_model=False).collect())
     assert a == b
+
+
+def test_kn_score_hand_computed(spark):
+    """Interpolated Kneser-Ney pinned against hand math. Reference
+    corpus: one doc 'a b a b c'. Bigram types: (a,b)x2, (b,a)x1,
+    (b,c)x1 -> n_types=3, v=3. Contexts: a:(c1=2,fwd=1),
+    b:(c1=2,fwd=2). Continuations: b:1, a:1, c:1.
+    pcont(x) = (n1p_bwd+1)/(3+3+1).
+    p(b|a) = max(2-.75,0)/2 + .75*1/2 * 2/7 = 0.625 + 0.10714...
+    p(c|a) = 0/2 + .75*1/2 * 2/7          (unseen pair, seen ctx)
+    p(x|z) = pcont(x)                      (unseen context z)"""
+    import math
+
+    from parsedmarc_go_spark.operators.lm import (
+        kn_score,
+        train_kn_bigram_lm,
+    )
+
+    ref = spark.createDataFrame([(0, "a b a b c")], ["doc_id", "text"])
+    lm = train_kn_bigram_lm(ref)
+    probe = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "z a"), (4, "a")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_nll"])
+        for r in kn_score(probe, *lm).collect()
+    }
+
+    def fp(p):
+        return math.floor(math.log(p) * 10000.0 + 0.5)
+
+    p_ab = (2 - 0.75) / 2 + 0.75 * (1 / 2) * (2 / 7)
+    p_ac = 0.0 + 0.75 * (1 / 2) * (2 / 7)
+    p_za = (1 + 1) / 7  # unseen context 'z' -> pcont(a)
+    assert got[1] == (1, -fp(p_ab) / 10000.0)
+    assert got[2] == (1, -fp(p_ac) / 10000.0)
+    assert got[3] == (1, -fp(p_za) / 10000.0)
+    assert got[4] == (0, None)  # <2 tokens: no pairs, NULL nll
+    # smoothing sanity: a seen pair beats an unseen pair in the same
+    # context, which beats an unseen context
+    assert p_ab > p_ac and got[1][1] < got[2][1]
