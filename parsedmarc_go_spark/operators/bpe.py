@@ -269,6 +269,14 @@ def maxmunch_encode(
     ``max_piece_len`` bounds the probe fan-out; pieces longer than it
     are never matched (callers with longer vocab entries raise it —
     the trained-vocab max length is one bounded agg away)."""
+    # unk_token is interpolated into a raw SQL aggregate expression
+    # below; a quote or backslash would break parsing / allow
+    # expression injection (ADVICE r10)
+    if any(c in unk_token for c in "'\\\""):
+        raise ValueError(
+            "unk_token must not contain quotes or backslashes "
+            f"(got {unk_token!r})"
+        )
     vocab_map = vocab.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("token"), F.lit(1)))
@@ -307,11 +315,17 @@ def maxmunch_encode(
             'pieces', array_append(acc.pieces, coalesce({probes})),
             'failed', false)
         END END,
-      acc -> CASE WHEN acc.failed THEN array('{unk_token}')
-                  ELSE acc.pieces END)
+      acc -> named_struct(
+        'pieces', CASE WHEN acc.failed THEN array('{unk_token}')
+                       ELSE acc.pieces END,
+        'failed', acc.failed))
     """
-    seg = distinct_words.select("word", F.expr(step).alias("syms"))
-    enc = words.join(seg, "word").select(id_col, "pos", "syms")
+    seg = distinct_words.select("word", F.expr(step).alias("res")).select(
+        "word",
+        F.col("res.pieces").alias("syms"),
+        F.col("res.failed").alias("__failed"),
+    )
+    enc = words.join(seg, "word").select(id_col, "pos", "syms", "__failed")
     return (
         enc.groupBy(id_col)
         .agg(
@@ -320,14 +334,17 @@ def maxmunch_encode(
                     "transform(array_sort(collect_list(struct(pos, syms))),"
                     " x -> x.syms)"
                 )
-            ).alias("pieces")
+            ).alias("pieces"),
+            # count of FAILED word occurrences (each contributes one
+            # unk piece) — not of pieces textually equal to unk_token,
+            # which would miscount when a legitimate vocab piece
+            # happens to equal the unk string (ADVICE r10)
+            F.sum(F.col("__failed").cast("int")).cast("int").alias("n_unk"),
         )
         .select(
             id_col,
             "pieces",
             F.size("pieces").alias("n_pieces"),
-            F.size(F.filter("pieces", lambda x: x == unk_token)).alias(
-                "n_unk"
-            ),
+            F.col("n_unk"),
         )
     )

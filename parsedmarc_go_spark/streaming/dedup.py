@@ -106,7 +106,19 @@ VEC_STORE_TABLE = "vectors"
 DEDUP_TABLES = ("docs_deduped",)
 _EMPTY_STORE_SCHEMA = "ph string, __batch_id bigint, __bucket int"
 DEFAULT_STORE_BUCKETS = 64
-DEFAULT_BROADCAST_PROBE_MAX_KEYS = 1_000_000
+# The probe-side broadcast bound is expressed in BYTES, not rows: a
+# sha256 hex digest is 64 B of payload before row overhead, and
+# F.broadcast bypasses spark.sql.autoBroadcastJoinThreshold entirely,
+# so an over-generous row count (the old 1M-key default ≈ 64-100 MB
+# per batch) could OOM default-sized drivers/executors before the
+# shuffle fallback ever engaged (ADVICE r10). 32 MB of estimated
+# payload → 512k digests; beyond that the probe falls back to a
+# shuffle semi-join, which is merely slower, never wrong.
+_PROBE_KEY_EST_BYTES = 64
+DEFAULT_BROADCAST_PROBE_MAX_BYTES = 32 * 1024 * 1024
+DEFAULT_BROADCAST_PROBE_MAX_KEYS = (
+    DEFAULT_BROADCAST_PROBE_MAX_BYTES // _PROBE_KEY_EST_BYTES
+)
 # Bloom pre-probe sizing (the Dolma deduper pattern — Soldaini et al.
 # 2024 use a Bloom filter as the whole dedup store; here it is a
 # PRE-probe in front of the exact digest store, so its false positives
@@ -141,12 +153,31 @@ def _meta_path(store_dir: str) -> str:
 def _read_meta_dict(spark: SparkSession, store_dir: str) -> dict | None:
     """The full pinned-parameter sidecar as a dict (``n_buckets``, and
     ``bloom_m``/``bloom_k`` when the store was created with a Bloom
-    pre-probe), or None for a store that does not exist yet."""
+    pre-probe), or None for a store that does not exist yet. An
+    existing-but-unreadable sidecar (empty directory, zero rows) raises
+    a descriptive error instead of an IndexError — the meta is written
+    crash-safe (tmp + swap), so a corrupt one means outside
+    interference, and the pinned parameters must never be re-guessed
+    (ADVICE r10)."""
     path = _meta_path(store_dir)
     fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return None
-    row = spark.read.json(path).collect()[0].asDict()
+    try:
+        rows = spark.read.json(path).collect()
+    except Exception as e:  # empty dir → schema-inference failure
+        raise IOError(
+            f"fingerprint store meta at {path} exists but is "
+            "unreadable — the pinned n_buckets/bloom parameters are "
+            "unrecoverable; restore the sidecar or recreate the store"
+        ) from e
+    if not rows:
+        raise IOError(
+            f"fingerprint store meta at {path} exists but holds no "
+            "rows — the pinned n_buckets/bloom parameters are "
+            "unrecoverable; restore the sidecar or recreate the store"
+        )
+    row = rows[0].asDict()
     return {k: v for k, v in row.items() if v is not None}
 
 
@@ -164,6 +195,13 @@ def _write_store_meta(
     bloom_m: int = 0,
     bloom_k: int = 0,
 ) -> None:
+    """Pin the store parameters crash-safe: write to a tmp dir, then
+    rename into place (swap_directory when a prior meta exists) — a
+    crash mid-write leaves either no meta (clean re-creation) or a
+    complete one, never the empty directory a plain overwrite could
+    (ADVICE r10)."""
+    path = _meta_path(store_dir)
+    tmp = path.rstrip("/") + ".tmp"
     (
         spark.createDataFrame(
             [(n_buckets, bloom_m, bloom_k)],
@@ -171,8 +209,15 @@ def _write_store_meta(
         )
         .coalesce(1)
         .write.mode("overwrite")
-        .json(_meta_path(store_dir))
+        .json(tmp)
     )
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        swap_directory(spark, tmp, path)
+    else:
+        jvm = spark._jvm
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+            raise IOError(f"rename {tmp} -> {path} failed")
 
 
 def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
@@ -295,6 +340,15 @@ def bloom_prefilter(
     )
 
 
+def _store_exists(spark: SparkSession, store_dir: str) -> bool:
+    """Whether a fingerprint table already sits under ``store_dir`` —
+    distinct from the meta sidecar existing: a table WITHOUT meta is a
+    legacy (pre-bucketed) store, which creation-time pinning must not
+    mistake for a brand-new one (ADVICE r10)."""
+    fs, hpath = _hadoop_fs(spark, os.path.join(store_dir, STORE_TABLE))
+    return bool(fs.exists(hpath))
+
+
 def read_fingerprints(
     spark: SparkSession, store_dir: str, exclude_batch_id: int | None = None
 ) -> DataFrame:
@@ -359,11 +413,17 @@ def probe_store(
 def _write_store(
     df: DataFrame, store_dir: str, batch_id: int, n_buckets: int
 ) -> None:
+    """``n_buckets == 0`` is the legacy (pre-bucketed) layout:
+    partition by ``__batch_id`` only, matching the flat store's
+    existing directory depth (ADVICE r10)."""
+    out = df.withColumn("__batch_id", F.lit(batch_id))
+    part_cols = ["__batch_id"]
+    if n_buckets:
+        out = out.withColumn("__bucket", _bucket_expr(n_buckets))
+        part_cols.append("__bucket")
     (
-        df.withColumn("__batch_id", F.lit(batch_id))
-        .withColumn("__bucket", _bucket_expr(n_buckets))
-        .write.mode("overwrite")
-        .partitionBy("__batch_id", "__bucket")
+        out.write.mode("overwrite")
+        .partitionBy(*part_cols)
         .parquet(os.path.join(store_dir, STORE_TABLE))
     )
 
@@ -635,7 +695,19 @@ def make_dedup_processor(
                 )
                 return
             meta = _read_meta_dict(spark, store_dir)
-            if meta is None:
+            if meta is None and _store_exists(spark, store_dir):
+                # A store that predates the meta sidecar (pre-bucketed
+                # layout): treating it as CREATION would append
+                # __bucket partitions into the flat directory (mixed
+                # partition depths break the next read) and pin a
+                # Bloom sidecar that lacks every pre-upgrade digest —
+                # false negatives would wave duplicates through
+                # (ADVICE r10). Pin it bucketless/bloomless instead:
+                # probe_store and compaction both handle that layout,
+                # so legacy stores keep probing exactly as before.
+                store_buckets, bm, bk = 0, 0, 0
+                _write_store_meta(spark, store_dir, 0, 0, 0)
+            elif meta is None:
                 bm, bk = (
                     _bloom_params(bloom_expected_items, bloom_fpp)
                     if bloom

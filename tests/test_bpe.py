@@ -184,3 +184,37 @@ def test_maxmunch_encode_greedy_unk_and_oov(spark):
     probe = spark.createDataFrame([(9, "happt")], ["doc_id", "text"])
     r = maxmunch_encode(probe, vocab, max_piece_len=5).collect()[0]
     assert list(r["pieces"]) == ["happ", "t"]
+
+
+def test_maxmunch_unk_token_validation_and_count(spark):
+    """ADVICE r10: unk_token is interpolated into a raw SQL expression
+    — quotes/backslashes must be rejected, and n_unk must count FAILED
+    words, not pieces textually equal to the unk string (a legitimate
+    vocab piece may equal it)."""
+    import pytest
+
+    from parsedmarc_go_spark.operators.bpe import maxmunch_encode
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    vocab = spark.createDataFrame([("x",)], ["token"])
+    for bad in ("it's", 'a"b', "a\\b"):
+        with pytest.raises(ValueError, match="unk_token"):
+            maxmunch_encode(docs, vocab, unk_token=bad)
+
+    # a vocab that CONTAINS the unk string as a real piece: matching
+    # it is not a failure, so n_unk stays 0 for doc 1 and counts only
+    # the genuinely unmatchable word in doc 2
+    docs2 = spark.createDataFrame(
+        [(1, "[UNK] ok"), (2, "## ok")], ["doc_id", "text"]
+    )
+    vocab2 = spark.createDataFrame(
+        [("[unk]",), ("ok",)], ["token"]  # text is lowercased upstream
+    )
+    got = {
+        r["doc_id"]: (list(r["pieces"]), r["n_unk"])
+        for r in maxmunch_encode(
+            docs2, vocab2, max_piece_len=5, unk_token="[unk]"
+        ).collect()
+    }
+    assert got[1] == (["[unk]", "ok"], 0)
+    assert got[2] == (["[unk]", "ok"], 1)

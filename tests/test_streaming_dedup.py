@@ -714,3 +714,114 @@ def test_bloom_extra_bits_are_false_positives_only(spark, tmp_path):
     from parsedmarc_go_spark.operators.dedup import paragraph_keys as pk
 
     assert store_phs == sorted(r["ph"] for r in pk(union).collect())
+
+
+def test_legacy_store_without_meta_is_upgraded_bucketless(spark, tmp_path):
+    """A store that PREDATES the meta sidecar (flat __batch_id-only
+    layout) must not be mistaken for store creation: the processor
+    pins it bucketless/bloomless (n_buckets=0, bloom_m=0), appends in
+    the SAME partition depth (no mixed-depth read failure), and its
+    pre-upgrade digests keep deduplicating — the bloom-superset
+    invariant is preserved by never enabling a bloom that lacks them
+    (ADVICE r10)."""
+    import os as _os
+
+    from parsedmarc_go_spark.operators.dedup import (
+        paragraph_dedup,
+        paragraph_keys,
+    )
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        _read_meta_dict,
+        make_dedup_processor,
+        read_fingerprints,
+    )
+
+    docs = _corpus(spark)
+    shard1 = docs.filter(F.col("doc_id") < 150)
+    shard2 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+
+    # hand-build the legacy layout: fingerprints/partitioned by
+    # __batch_id ONLY, no __bucket column, no meta sidecar
+    (
+        paragraph_keys(shard1)
+        .withColumn("__batch_id", F.lit(0))
+        .write.partitionBy("__batch_id")
+        .parquet(_os.path.join(store, "fingerprints"))
+    )
+    assert _read_meta_dict(spark, store) is None
+
+    proc = make_dedup_processor(out, store, bloom=True)
+    proc(shard2, 1)
+
+    meta = _read_meta_dict(spark, store)
+    assert int(meta["n_buckets"]) == 0
+    assert int(meta.get("bloom_m", 0)) == 0  # never a digest-missing bloom
+
+    # mixed-depth regression: the store read must still succeed, hold
+    # the union's digests, and have no __bucket partition anywhere
+    stored = read_fingerprints(spark, store)
+    assert "__bucket" not in stored.columns or (
+        stored.filter(F.col("__bucket").isNotNull()).count() == 0
+    )
+    union = docs.filter(F.col("doc_id") < 300)
+    assert sorted(r["ph"] for r in stored.collect()) == sorted(
+        r["ph"] for r in paragraph_keys(union).collect()
+    )
+
+    # pre-upgrade digests deduplicate: stream output == batch-over-union
+    got = read_stream_table(spark, out, "docs_deduped")
+    want = paragraph_dedup(shard2, "doc_id", "text",
+                           seen_keys=paragraph_keys(shard1))
+    assert _rows(got) == _rows(want)
+
+    # a THIRD batch probes the upgraded store through the pinned meta
+    shard3 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    proc(shard3, 2)
+    got = read_stream_table(spark, out, "docs_deduped")
+    want_union = paragraph_dedup(union.unionByName(shard3), "doc_id", "text")
+    drop_ids = {r["doc_id"] for r in shard1.select("doc_id").collect()}
+    want3 = [t for t in _rows(want_union) if t[0] not in drop_ids]
+    assert _rows(got) == want3
+
+
+def test_corrupt_meta_raises_descriptive_error(spark, tmp_path):
+    """An existing-but-empty meta sidecar (crash leftover of the old
+    plain-overwrite writer, or outside interference) must die with a
+    clear 'unrecoverable' IOError, not IndexError/schema-inference
+    noise (ADVICE r10)."""
+    import os as _os
+
+    import pytest
+
+    from parsedmarc_go_spark.streaming.dedup import _read_meta_dict
+
+    store = str(tmp_path / "store")
+    _os.makedirs(_os.path.join(store, "fingerprints.meta"))
+    with pytest.raises(IOError, match="unrecoverable"):
+        _read_meta_dict(spark, store)
+
+
+def test_store_meta_written_crash_safe(spark, tmp_path):
+    """_write_store_meta goes through a tmp dir + atomic rename: after
+    a write the tmp dir is gone and the meta is complete; re-pinning
+    over an existing meta swaps, never leaving a partial directory."""
+    import os as _os
+
+    from parsedmarc_go_spark.streaming.dedup import (
+        _meta_path,
+        _read_meta_dict,
+        _write_store_meta,
+    )
+
+    store = str(tmp_path / "store")
+    _write_store_meta(spark, store, 16, 128, 3)
+    assert not _os.path.exists(_meta_path(store).rstrip("/") + ".tmp")
+    meta = _read_meta_dict(spark, store)
+    assert (int(meta["n_buckets"]), int(meta["bloom_m"])) == (16, 128)
+    _write_store_meta(spark, store, 16, 256, 4)  # overwrite path = swap
+    meta = _read_meta_dict(spark, store)
+    assert int(meta["bloom_m"]) == 256
+    assert not _os.path.exists(_meta_path(store).rstrip("/") + ".old")
