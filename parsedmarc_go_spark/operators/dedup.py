@@ -492,11 +492,45 @@ def minhash_lsh_pairs(
 
 
 def neardup_clusters(
-    pairs: DataFrame, max_iterations: int = 30, stats: dict | None = None
+    pairs: DataFrame,
+    max_iterations: int | None = None,
+    stats: dict | None = None,
+    algorithm: str = "bigstar",
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc, cluster_id),
     cluster_id = smallest doc id in the component (the canonical
-    "representative document" a dedup pipeline keeps).
+    "representative document" a dedup pipeline keeps). The DEFAULT
+    engine is large-star/small-star (`neardup_clusters_bigstar`,
+    O(log n) driver-synchronized rounds) — chain-shaped components
+    (sliding-window near-dups in crawl shards) degenerate min-label
+    propagation to O(diameter) rounds, so the chain-safe algorithm is
+    what every caller should get without opting in (VERDICT r10).
+    ``algorithm="minlabel"`` keeps the O(diameter) twin reachable for
+    stats comparison; both produce the identical label table
+    (equality-pinned in tests/test_dedup.py)."""
+    if algorithm == "bigstar":
+        return neardup_clusters_bigstar(
+            pairs,
+            max_iterations=50 if max_iterations is None else max_iterations,
+            stats=stats,
+        )
+    if algorithm != "minlabel":
+        raise ValueError(
+            f"algorithm must be 'bigstar' or 'minlabel', got {algorithm!r}"
+        )
+    return neardup_clusters_minlabel(
+        pairs,
+        max_iterations=30 if max_iterations is None else max_iterations,
+        stats=stats,
+    )
+
+
+def neardup_clusters_minlabel(
+    pairs: DataFrame, max_iterations: int = 30, stats: dict | None = None
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    O(component-diameter)-round twin of `neardup_clusters_bigstar`,
+    kept for stats/round-count comparison; same output contract.
 
     Iterative min-label propagation: each round every doc takes the
     minimum label among itself and its neighbors; fixpoint after

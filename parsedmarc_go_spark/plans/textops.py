@@ -505,8 +505,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the exact-Jaccard
     pair graph (threshold 0.6), cluster id = smallest member. The
     DuckDB oracle computes the same components via a recursive-CTE
-    transitive closure; Spark uses iterative min-label propagation
-    (operators.dedup.neardup_clusters) — O(diameter) joins."""
+    transitive closure; Spark's default engine is large-star/small-star
+    (operators.dedup.neardup_clusters → neardup_clusters_bigstar,
+    O(log n) rounds — chain-safe; VERDICT r10 made it the default
+    behind this gate, identical label table)."""
     from parsedmarc_go_spark.operators.dedup import neardup_clusters
 
     pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.6)

@@ -213,7 +213,10 @@ def test_bigstar_agrees_with_min_label_on_random_graphs(spark):
     edges |= {(100 + i, 101 + i) for i in range(20)}  # a chain
     edges |= {(5, 100), (200, 201)}  # bridge blob↔chain + an island
     pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
-    ml = {r.doc: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    ml = {
+        r.doc: r.cluster_id
+        for r in neardup_clusters(pairs, algorithm="minlabel").collect()
+    }
     bs = {r.doc: r.cluster_id for r in neardup_clusters_bigstar(pairs).collect()}
     assert bs == ml
     assert len(set(ml.values())) > 3  # the fixture really has several components
@@ -599,3 +602,28 @@ def test_containment_prefix_filter_equals_exact(spark):
     exact = rows(ngram_containment_pairs(corpus, threshold=0.8))
     fast = rows(containment_pairs_prefix(corpus, threshold=0.8))
     assert fast == exact and len(exact) > 0
+
+
+def test_gate_default_engine_is_chain_safe(spark):
+    """VERDICT r10 item 2: `neardup_clusters` (what the hash-oracled
+    `dedup_cluster_components` gate and every production caller reach
+    for) now defaults to the large-star/small-star engine — a 10k-node
+    chain must converge in O(log n) driver rounds through the DEFAULT
+    path, not the O(diameter) min-label twin."""
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.operators.dedup import neardup_clusters
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    got = neardup_clusters(pairs, stats=stats)
+    assert stats["rounds"] <= 20  # min-label would need ~10,000
+    sample = {
+        r.doc: r.cluster_id
+        for r in got.filter(F.col("doc").isin([0, 1, 4999, 9999])).collect()
+    }
+    assert sample == {0: 0, 1: 0, 4999: 0, 9999: 0}
+    assert got.count() == n
