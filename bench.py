@@ -62,10 +62,12 @@ HEADLINE = [
     "quality_lm_score",
     # r10 additions: BPE training round-1 pair counts (char explode +
     # slice/arrays_zip adjacent pairs + one hash agg + ordered limit)
-    # and the containment keep rule (shingle inverted-index self-join +
-    # per-pair loser aggregation + doc left-join)
+    # and the containment keep rule — since r11 measured over the
+    # PPJoin prefix generator (VERDICT r10 task 1: the exact Σfreq²
+    # self-join twin stays as the correctness anchor, but the scale
+    # path is what the bench tracks; 16.3 → ~4.5 s at sf1)
     "vocab_bpe_pairs",
-    "dedup_keep_best_containment",
+    "dedup_keep_best_containment_prefix",
     # r10.2 additions: max-munch subword encoding (the per-row
     # expression-DP family — word explode + broadcast vocab-map probes
     # + position-ordered re-assembly) and hybrid BM25→cosine rerank

@@ -135,8 +135,20 @@ def _pairs_with_jaccard(index: DataFrame) -> DataFrame:
     ``minhash_lsh_pairs`` for symmetric Jaccard."""
     a = index.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = index.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"), "shingle")
+    # merge hint: BOTH sides are the corpus-sized inverted index —
+    # broadcasting one is never right, but Catalyst's size estimate of
+    # the persisted subtree can land under autoBroadcastJoinThreshold
+    # and pick BroadcastHashJoin, rebuilding a corpus-sized
+    # HashedRelation on the driver per action (measured at sf1 in the
+    # tuned 64 MB-threshold bench session: the whole of VERDICT r10's
+    # 16.3 s containment-family wall, with driver GC stalls). Round-11
+    # A/B of the three strategies on the sf1 corpus: broadcast 16.3 s,
+    # shuffle_hash worse than merge (the skewed shingle dfs make
+    # partition-local hash builds heavy), sort-merge best — both sides
+    # arrive shuffle-partitioned on the equi-key and the Σ df² fan-out
+    # streams out of the merge without a per-partition build table.
     shared = (
-        a.join(b, ["shingle"])
+        a.join(b.hint("merge"), ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"), F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
@@ -252,37 +264,72 @@ def containment_keep(
 
 
 def containment_pairs_prefix(
-    docs: DataFrame, id_col: str = "doc_id", n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    broadcast_small_sides: bool = False,
 ) -> DataFrame:
     """ngram_containment_pairs at scale: PREFIX-FILTERED candidate
-    generation (the All-Pairs/PPJoin prefix filter — Bayardo, Ma &
-    Srikant 2007; public) with output IDENTICAL to the exact Σfreq²
-    self-join (equality pinned in tests/test_dedup.py), 100% recall by
-    pigeonhole — no probabilistic loss, unlike minhash candidates
-    whose band collisions track Jaccard and miss exactly the
-    small-in-big pairs containment exists for.
+    generation (the All-Pairs/PPJoin prefix + positional filters —
+    Bayardo, Ma & Srikant 2007; Xiao et al. 2008; public) with output
+    equal to the exact Σfreq² self-join (equality pinned in
+    tests/test_dedup.py), 100% recall by pigeonhole — no probabilistic
+    loss, unlike minhash candidates whose band collisions track
+    Jaccard and miss exactly the small-in-big pairs containment
+    exists for.
 
-    The filter: a pair with containment ≥ t shares ≥ t·|S| of the
-    SMALLER doc S's shingles, so S can miss at most (1-t)·|S| of them
-    from the other doc — if NONE of S's ``⌊(1-t)·|S|⌋ + 1`` rarest
-    shingles (its "prefix") appears in the other doc, containment < t.
-    Candidates are therefore prefix(S) ⨝ full index, with the prefix
-    ordered by GLOBAL document frequency ascending (rarest first) so
-    the join's fan-out rides the low-df tail instead of the hot head —
-    join volume Σ|prefix|·df(rare shingles) vs the exact mode's
-    Σ df². Verify recomputes exact containment over candidate docs'
-    shingle sets (the minhash_lsh_pairs candidate-verify idiom:
-    collect_set bounded by each doc's own length, array_intersect in
-    codegen, sets joined under AQE's size-based broadcast choice).
+    The prefix filter: a pair with containment ≥ t shares ≥ t·|S| of
+    the SMALLER doc S's shingles, so S can miss at most (1-t)·|S| of
+    them from the other doc — if NONE of S's ``⌊(1-t)·|S|⌋ + 1``
+    rarest shingles (its "prefix") appears in the other doc,
+    containment < t. Candidates are therefore prefix(S) ⨝ full index,
+    with the prefix ordered by GLOBAL document frequency ascending
+    (rarest first) so the join's fan-out rides the low-df tail instead
+    of the hot head — join volume Σ|prefix|·df(rare shingles) vs the
+    exact mode's Σ df². The positional filter stacks on top: a match
+    at rank i of S and rank j of O (both df-ascending orders) bounds
+    the total overlap by ``1 + min(|S|-i, |O|-j)``; candidates whose
+    bound can't reach ``⌈t·|S|⌉`` drop at generation time, before any
+    verify work.
 
-    One corpus shingle pass + one df aggregate + per-doc rank window;
-    everything after is candidate-sized."""
+    Internal representation (round-11, 3.9× on the sf1 gate corpus):
+    shingles are keyed by ``xxhash64(shingle)`` everywhere past the
+    first distinct — the candidate join and the verify intersects run
+    on fixed-width longs instead of ~20-byte strings (the
+    minhash_band_signatures precedent). Distinct-shingle collision
+    probability is v²/2⁶⁵ for vocabulary size v: ~1e-10 at bench
+    scale, and at a 10B-shingle 100 TB vocabulary a handful of
+    expected collisions each perturb one pair's ``shared`` count by
+    ±1 — within near-dup tolerance; use ngram_containment_pairs where
+    bit-exact string semantics are contractual.
+
+    Plan shape: distinct (doc,sh) → one shingle-keyed window (df) →
+    one doc-keyed exchange serving BOTH the rank window and the
+    collect_set verify sets (exchange reuse) → candidate join → two
+    broadcast set joins → codegen array_intersect → distinct on the
+    OUTPUT (≈ true-pair-sized; the r10 draft's distinct on the raw
+    candidate stream was its single most expensive exchange).
+    ``broadcast_small_sides=True`` ships the prefix rows
+    (~(1-t)·Σ|S|) as the candidate join's build side so the
+    corpus-sized probe side never shuffles, and broadcasts the per-doc
+    verify sets (one row per doc) into the candidate stream — right
+    whenever those fit the broadcast budget (they do at every test SF;
+    at 100 TB leave False: prefixes become the build side of a shuffled
+    hash join and the verify sets shuffle-hash-join the candidate
+    stream)."""
     from pyspark.sql import Window
 
-    index = _shingle_index(docs, id_col, n).persist()
-    dfreq = index.groupBy("shingle").agg(F.count("*").alias("__df"))
-    with_df = index.join(dfreq, "shingle")
-    rank_w = Window.partitionBy("doc").orderBy(F.asc("__df"), F.asc("shingle"))
+    index = _shingle_index(docs, id_col, n).select(
+        "doc", "n_shingles", F.xxhash64("shingle").alias("sh")
+    )
+    rank_w = Window.partitionBy("doc").orderBy(F.asc("__df"), F.asc("sh"))
+    ranked = (
+        index.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .drop("__df")
+        .persist()
+    )
     # +1e-9 before the floor: (1-t)·|S| lands BELOW its true value in
     # binary for integral cases (0.2·10 → 1.9999…96 → floor 1, one
     # short — a boundary pair whose misses all fall in the prefix
@@ -295,49 +342,61 @@ def containment_pairs_prefix(
         )
         + 1
     )
-    prefixes = (
-        with_df.withColumn("__rn", F.row_number().over(rank_w))
-        .filter(F.col("__rn") <= prefix_len)
-        .select("doc", "n_shingles", "shingle")
+    prefixes = ranked.filter(F.col("__rn") <= prefix_len).select(
+        "doc", "n_shingles", F.col("__rn").alias("__rn_s"), "sh"
     )
-    other = index.select(
+    other = ranked.select(
         F.col("doc").alias("__doc_o"),
         F.col("n_shingles").alias("__n_o"),
-        "shingle",
+        F.col("__rn").alias("__rn_o"),
+        "sh",
+    )
+    # ⌈t·|S|⌉ with the symmetric guard against t·|S| binary-landing
+    # ABOVE an integral true value and ceil overshooting by one (which
+    # would prune a boundary-true pair)
+    required = F.ceil(
+        F.lit(threshold) * F.col("n_shingles").cast("double") - F.lit(1e-9)
     )
     # the prefix guarantee covers the SMALLER side, so keep a candidate
     # only when the prefix's owner is it (ties: both directions
-    # generate; dedup by orientation + distinct)
-    candidates = (
-        prefixes.join(other, "shingle")
-        .filter(
-            (F.col("doc") != F.col("__doc_o"))
-            & (
-                (F.col("n_shingles") < F.col("__n_o"))
-                | (
-                    (F.col("n_shingles") == F.col("__n_o"))
-                    & (F.col("doc") < F.col("__doc_o"))
-                )
+    # generate; the output-level distinct collapses multi-hit pairs)
+    keep = (
+        (F.col("doc") != F.col("__doc_o"))
+        & (
+            (F.col("n_shingles") < F.col("__n_o"))
+            | (
+                (F.col("n_shingles") == F.col("__n_o"))
+                & (F.col("doc") < F.col("__doc_o"))
             )
         )
-        .select(
-            F.least("doc", "__doc_o").alias("doc_a"),
-            F.greatest("doc", "__doc_o").alias("doc_b"),
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("n_shingles") - F.col("__rn_s"),
+                F.col("__n_o") - F.col("__rn_o"),
+            )
+            >= required
         )
-        .distinct()
-        .persist()
     )
-    cand_docs = candidates.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc")
-    ).distinct()
-    sets = (
-        index.join(F.broadcast(cand_docs), "doc")
-        .groupBy("doc")
-        .agg(F.collect_set("shingle").alias("shs"))
-        .persist()
+    if broadcast_small_sides:
+        joined = other.join(F.broadcast(prefixes), "sh")
+    else:
+        # never let Catalyst broadcast the corpus-sized probe side —
+        # the _pairs_with_jaccard lesson; the prefix side stays the
+        # partition-local build side of a shuffled hash join
+        joined = prefixes.join(other.hint("shuffle_hash"), "sh")
+    candidates = joined.filter(keep).select(
+        F.least("doc", "__doc_o").alias("doc_a"),
+        F.greatest("doc", "__doc_o").alias("doc_b"),
     )
+    # verify sets ride the same doc-keyed exchange as the rank window
+    sets = ranked.groupBy("doc").agg(F.collect_set("sh").alias("shs"))
     a = sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"))
+    if broadcast_small_sides:
+        a, b = F.broadcast(a), F.broadcast(b)
+    else:
+        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
     return (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
@@ -354,6 +413,7 @@ def containment_pairs_prefix(
             / F.least("n_a", "n_b").cast("double"),
         )
         .filter(F.col("containment") >= threshold)
+        .distinct()
     )
 
 

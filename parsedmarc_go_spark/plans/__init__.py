@@ -155,6 +155,14 @@ _WINDOW_DEMOTED = (
     # doc agg, rotatable in-window) with a different smoothing formula
     # — born demoted, pytest value-checks it at two SFs
     "quality_kn_score",
+    # keep rule over PPJoin prefix pairs (round 11): its oracle is THE
+    # SAME SQL text as dedup_keep_best_containment's (the generators
+    # are output-identical by the pigeonhole guarantee, so one oracle
+    # serves both), and the prefix generator itself is equality-pinned
+    # to the hash-matched dedup_containment gate in test_dedup — born
+    # demoted, pytest value-checks it at two SFs; it carries the bench
+    # slot for the containment family instead (VERDICT r10 task 1)
+    "dedup_keep_best_containment_prefix",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

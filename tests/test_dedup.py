@@ -590,8 +590,11 @@ def test_containment_prefix_filter_equals_exact(spark):
 
     for t in (0.8, 0.5):
         exact = rows(ngram_containment_pairs(docs, threshold=t))
-        fast = rows(containment_pairs_prefix(docs, threshold=t))
-        assert fast == exact, f"threshold {t}"
+        for bc in (False, True):
+            fast = rows(
+                containment_pairs_prefix(docs, threshold=t, broadcast_small_sides=bc)
+            )
+            assert fast == exact, f"threshold {t} broadcast_small_sides {bc}"
     assert (1, 2) in {(a, b) for a, b, *_ in rows(
         containment_pairs_prefix(docs, threshold=0.8)
     )}
