@@ -230,3 +230,271 @@ def kafka_messages(df: DataFrame, kind: str) -> DataFrame:
             F.struct(F.lit("report_type").alias("key"), F.lit(kind).cast("binary").alias("value"))
         ).alias("headers"),
     )
+
+
+# --- K1 pretty-print parity (round 11, VERDICT r10 task 4) ----------------
+#
+# The reference's file/stdout JSON writer emits each report as
+# json.MarshalIndent(report, "", "  ") + "\n" (output.go:139/173/207) of
+# the NESTED parser struct, not the flat relational projection. Byte
+# parity therefore needs three things NDJSON doesn't give: (1) the Go
+# struct-tag field ORDER (Go marshals in declaration order,
+# parser/types.go:17-170), (2) Go's encoder conventions — RFC3339
+# timestamps, nil slices/pointers as null, omitempty fields dropped,
+# HTML-unsafe runes escaped (\u003c \u003e \u0026), RawMessage
+# re-indented — and (3) re-nesting the flat frames back into the
+# report_metadata / policy_published / records tree.
+#
+# This is the reference's operational per-report output (a human/file
+# sink, inherently small); assembly is driver-side via toLocalIterator
+# like write_directory, documented as such. The warehouse-scale path
+# stays write_json's distributed NDJSON.
+
+_GO_TIME = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _go_json(obj) -> str:
+    """json.MarshalIndent(obj, "", "  ") parity for the value types the
+    report structs contain (strings/ints/bools/null/dict/list)."""
+    s = json.dumps(obj, indent=2, ensure_ascii=False)
+    # Go's encoder HTML-escapes inside strings; these replacements are
+    # safe on the serialized form because <,>,& are never JSON syntax
+    return (
+        s.replace("&", "\\u0026").replace("<", "\\u003c").replace(">", "\\u003e")
+        .replace("\u2028", "\\u2028").replace("\u2029", "\\u2029")
+    )
+
+
+def _go_time(dt) -> str | None:
+    return None if dt is None else dt.strftime(_GO_TIME)
+
+
+def _nil_if_empty(lst):
+    """Go's appended-to slices are nil (-> null) when nothing appended."""
+    return list(lst) if lst else None
+
+
+def _nest_aggregate(report: dict, recs: list[dict]) -> dict:
+    """AggregateReport tree in parser/types.go:17-112 declaration order."""
+    out_records = []
+    for r in recs:
+        reasons = None
+        if r["policy_override_reasons"] or r["policy_override_comments"]:
+            types = r["policy_override_reasons"] or []
+            comments = r["policy_override_comments"] or []
+            width = max(len(types), len(comments))
+            reasons = [
+                {
+                    "type": types[i] if i < len(types) and types[i] != "" else None,
+                    "comment": comments[i] if i < len(comments) and comments[i] != "" else None,
+                }
+                for i in range(width)
+            ]
+        dkim = _nil_if_empty([
+            {"domain": d, "selector": s, "result": res}
+            for d, s, res in zip(
+                r["dkim_domains"] or [], r["dkim_selectors"] or [], r["dkim_results"] or []
+            )
+        ])
+        spf = _nil_if_empty([
+            {"domain": d, "scope": sc, "result": res}
+            for d, sc, res in zip(
+                r["spf_domains"] or [], r["spf_scopes"] or [], r["spf_results"] or []
+            )
+        ])
+        out_records.append({
+            "source": {
+                "ip_address": r["source_ip_address"],
+                "country": r["source_country"],
+                "reverse_dns": r["source_reverse_dns"],
+                "base_domain": r["source_base_domain"],
+                "name": r["source_name"],
+                "type": r["source_type"],
+            },
+            "count": r["count"],
+            "alignment": {
+                "spf": r["spf_aligned"],
+                "dkim": r["dkim_aligned"],
+                "dmarc": r["dmarc_aligned"],
+            },
+            "policy_evaluated": {
+                "disposition": r["disposition"],
+                "dkim": r["policy_eval_dkim"],
+                "spf": r["policy_eval_spf"],
+                "policy_override_reasons": reasons,
+            },
+            "identifiers": {
+                "header_from": r["header_from"],
+                "envelope_from": r["envelope_from"],
+                "envelope_to": r["envelope_to"],
+            },
+            "auth_results": {"dkim": dkim, "spf": spf},
+        })
+    return {
+        "xml_schema": report["xml_schema"],
+        "report_metadata": {
+            "org_name": report["org_name"],
+            "org_email": report["org_email"],
+            "org_extra_contact_info": report["org_extra_contact_info"],
+            "report_id": report["report_id"],
+            "begin_date": _go_time(report["begin_date"]),
+            "end_date": _go_time(report["end_date"]),
+            "errors": _nil_if_empty(report["errors"]),
+        },
+        "policy_published": {
+            "domain": report["domain"],
+            "adkim": report["adkim"],
+            "aspf": report["aspf"],
+            "p": report["p"],
+            "sp": report["sp"],
+            "pct": report["pct"],
+            "fo": report["fo"],
+        },
+        "records": out_records,
+    }
+
+
+def _nest_forensic(r: dict) -> dict:
+    """ForensicReport in types.go:115-136 order; parsed_sample is Go
+    json.RawMessage — MarshalIndent re-indents it, so embed the parsed
+    object rather than the string."""
+    try:
+        parsed = json.loads(r["parsed_sample"]) if r["parsed_sample"] else None
+    except (ValueError, TypeError):
+        parsed = None
+    return {
+        "feedback_type": r["feedback_type"],
+        "user_agent": r["user_agent"],
+        "version": r["version"],
+        "original_envelope_id": r["original_envelope_id"],
+        "original_mail_from": r["original_mail_from"],
+        "original_rcpt_to": r["original_rcpt_to"],
+        "arrival_date": _go_time(r["arrival_date"]),
+        "arrival_date_utc": _go_time(r["arrival_date_utc"]),
+        "subject": r["subject"],
+        "message_id": r["message_id"],
+        "authentication_results": r["authentication_results"],
+        "dkim_domain": r["dkim_domain"],
+        "source": {
+            "ip_address": r["source_ip_address"],
+            "country": r["source_country"],
+            "reverse_dns": r["source_reverse_dns"],
+            "base_domain": r["source_base_domain"],
+            "name": r["source_name"],
+            "type": r["source_type"],
+        },
+        "delivery_result": r["delivery_result"],
+        "auth_failure": _nil_if_empty(r["auth_failure"]),
+        "reported_domain": r["reported_domain"],
+        "authentication_mechanisms": _nil_if_empty(r["authentication_mechanisms"]),
+        "sample_headers_only": r["sample_headers_only"],
+        "sample": r["sample"],
+        "parsed_sample": parsed,
+    }
+
+
+def _nest_smtp_tls(policies: list[dict], failures: list[dict]) -> dict:
+    """SMTPTLSReport in types.go:139-170 order; the flat frames carry
+    one row per policy / per failure detail — re-group them. omitempty
+    fields (policy_strings, mx_host_patterns, failure_details, and the
+    pointer fields of each failure) are DROPPED when empty/null,
+    matching the struct tags."""
+    head = policies[0]
+    out_policies = []
+    for p in policies:
+        pol = {"policy_domain": p["policy_domain"], "policy_type": p["policy_type"]}
+        if p["policy_strings"]:
+            pol["policy_strings"] = list(p["policy_strings"])
+        if p["mx_host_patterns"]:
+            pol["mx_host_patterns"] = list(p["mx_host_patterns"])
+        pol["successful_session_count"] = p["successful_session_count"]
+        pol["failed_session_count"] = p["failed_session_count"]
+        details = []
+        for f in failures:
+            if f["policy_domain"] != p["policy_domain"]:
+                continue
+            d = {
+                "result_type": f["result_type"],
+                "failed_session_count": f["failed_session_count"],
+            }
+            for k, col in (
+                ("sending_mta_ip", "sending_mta_ip"),
+                ("receiving_ip", "receiving_ip"),
+                ("receiving_mx_hostname", "receiving_mx_hostname"),
+                ("receiving_mx_helo", "receiving_mx_helo"),
+                ("additional_info_uri", "additional_info_uri"),
+                ("failure_reason_code", "failure_reason_code"),
+            ):
+                if f[col]:
+                    d[k] = f[col]
+            details.append(d)
+        if details:
+            pol["failure_details"] = details
+        out_policies.append(pol)
+    return {
+        "organization_name": head["organization_name"],
+        "begin_date": _go_time(head["begin_date"]),
+        "end_date": _go_time(head["end_date"]),
+        "contact_info": head["contact_info"],
+        "report_id": head["report_id"],
+        "policies": out_policies,
+    }
+
+
+def pretty_json_reports(
+    kind: str,
+    reports: DataFrame,
+    records: DataFrame | None = None,
+) -> list[str]:
+    """One MarshalIndent-parity JSON document per report, in the
+    reference's per-report framing (each ends WITHOUT the trailing
+    newline; the writer joins with '\\n' and appends one, matching the
+    Write(data); Write("\\n") sequence)."""
+    if kind == "aggregate":
+        recs_by_key: dict[tuple, list[dict]] = {}
+        for row in (records.toLocalIterator() if records is not None else []):
+            d = row.asDict(recursive=True)
+            recs_by_key.setdefault((d["org_name"], d["report_id"]), []).append(d)
+        return [
+            _go_json(_nest_aggregate(d, recs_by_key.get((d["org_name"], d["report_id"]), [])))
+            for d in (r.asDict(recursive=True) for r in reports.toLocalIterator())
+        ]
+    if kind == "forensic":
+        return [
+            _go_json(_nest_forensic(r.asDict(recursive=True)))
+            for r in reports.toLocalIterator()
+        ]
+    if kind == "smtp_tls":
+        fails_by_rid: dict[str, list[dict]] = {}
+        for row in (records.toLocalIterator() if records is not None else []):
+            d = row.asDict(recursive=True)
+            fails_by_rid.setdefault(d["report_id"], []).append(d)
+        pols_by_rid: dict[str, list[dict]] = {}
+        order: list[str] = []
+        for row in reports.toLocalIterator():
+            d = row.asDict(recursive=True)
+            if d["report_id"] not in pols_by_rid:
+                order.append(d["report_id"])
+            pols_by_rid.setdefault(d["report_id"], []).append(d)
+        return [
+            _go_json(_nest_smtp_tls(pols_by_rid[rid], fails_by_rid.get(rid, [])))
+            for rid in order
+        ]
+    raise ValueError(f"unknown report kind: {kind}")
+
+
+def write_json_pretty(
+    kind: str,
+    reports: DataFrame,
+    records: DataFrame | None = None,
+    path: str | None = None,
+) -> str:
+    """K1 in the reference's exact file/stdout format: pretty-printed
+    reports concatenated with newlines (output.go:139-153). Returns the
+    text; writes it when ``path`` is given."""
+    docs = pretty_json_reports(kind, reports, records)
+    text = "\n".join(docs) + ("\n" if docs else "")
+    if path:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(text)
+    return text
