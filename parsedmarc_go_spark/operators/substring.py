@@ -97,6 +97,8 @@ def duplicated_spans(
     k: int = 8,
     keep_first: bool = True,
     seen_keys: DataFrame | None = None,
+    salted: bool = False,
+    n_salts: int = 64,
 ) -> DataFrame:
     """Maximal duplicated token spans per document.
 
@@ -130,16 +132,47 @@ def duplicated_spans(
     g = _gram_stream(docs, id_col, text_col, k).withColumn(
         "okey", F.col(id_col).cast("long") * _KEY_BASE + F.col("pos")
     )
-    # one digest-keyed window gives both the duplicate test and the
-    # winner rule — no count-agg + self-join subtree recompute
-    w = Window.partitionBy("gh")
-    flagged = g.select(
-        id_col,
-        "pos",
-        "gh",
-        (F.count("*").over(w) >= 2).alias("is_dup"),
-        (F.col("okey") == F.min("okey").over(w)).alias("is_winner"),
-    )
+    if salted:
+        # Two-phase skew fallback (VERDICT r10 task 5; the salted_agg
+        # idiom, operators/skew.py): a corpus-scale hot gram — site
+        # boilerplate repeated 10⁸× — lands its ENTIRE occurrence list
+        # in one window partition above, and window exchanges get no
+        # help from AQE. Here the count+min fold first spreads over
+        # (gh, salt) reducers (map-side combine bounds each partial),
+        # merges S partials per digest, and rejoins the bounded
+        # (gh, cnt, min_okey) stats to the gram stream — a shuffle
+        # JOIN, which AQE's OptimizeSkewedJoin can split when the
+        # probe side's hot partition exceeds the skew threshold.
+        # Output is equality-pinned to the window path in
+        # test_substring; default stays the single-window form (one
+        # shuffle cheaper) for corpora without pathological grams.
+        salt = F.pmod(F.xxhash64("okey"), F.lit(n_salts)).alias("__salt")
+        partial = (
+            g.withColumn("__salt", salt)
+            .groupBy("gh", "__salt")
+            .agg(F.count("*").alias("__c"), F.min("okey").alias("__m"))
+        )
+        stats = partial.groupBy("gh").agg(
+            F.sum("__c").alias("__cnt"), F.min("__m").alias("__min_okey")
+        )
+        flagged = g.join(stats, "gh").select(
+            id_col,
+            "pos",
+            "gh",
+            (F.col("__cnt") >= 2).alias("is_dup"),
+            (F.col("okey") == F.col("__min_okey")).alias("is_winner"),
+        )
+    else:
+        # one digest-keyed window gives both the duplicate test and the
+        # winner rule — no count-agg + self-join subtree recompute
+        w = Window.partitionBy("gh")
+        flagged = g.select(
+            id_col,
+            "pos",
+            "gh",
+            (F.count("*").over(w) >= 2).alias("is_dup"),
+            (F.col("okey") == F.min("okey").over(w)).alias("is_winner"),
+        )
     cond = F.col("is_dup") & (~F.col("is_winner") if keep_first else F.lit(True))
     if seen_keys is not None:
         # seen_keys must be gh-DISTINCT (contract — same as

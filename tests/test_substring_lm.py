@@ -449,3 +449,51 @@ def test_kn_score_hand_computed(spark):
     # smoothing sanity: a seen pair beats an unseen pair in the same
     # context, which beats an unseen context
     assert p_ab > p_ac and got[1][1] < got[2][1]
+
+
+def test_duplicated_spans_salted_equals_window(spark, substring_docs):
+    """VERDICT r10 task 5: the two-phase salted fallback (partial
+    count/min over (gh, salt) -> merge -> stats re-join) must be
+    output-identical to the digest-window default — on the planted
+    fixture, in both keep_first modes, and on the driver's testdata."""
+    from parsedmarc_go_spark.tables import load
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_dup_grams) for r in df.collect()
+        )
+
+    for keep_first in (True, False):
+        want = rows(duplicated_spans(substring_docs, k=8, keep_first=keep_first))
+        got = rows(
+            duplicated_spans(
+                substring_docs, k=8, keep_first=keep_first, salted=True, n_salts=7
+            )
+        )
+        assert got == want, keep_first
+
+    corpus = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    assert rows(duplicated_spans(corpus, k=8, salted=True)) == rows(
+        duplicated_spans(corpus, k=8)
+    )
+
+
+def test_duplicated_spans_salted_plan_has_no_gram_window(spark):
+    """The skew mechanism itself: on a corpus whose hot gram repeats in
+    every document (planted boilerplate), the salted plan must contain
+    NO window exchange keyed on the gram digest — the gh work happens
+    in the two-phase aggregate + a shuffle JOIN (which AQE's skew
+    splitting can subdivide; window exchanges it cannot) — and the only
+    Window nodes left are the per-doc island pass."""
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [(i, f"u{i} v{i} " + boiler) for i in range(200)], ["doc_id", "text"]
+    )
+    df = duplicated_spans(docs, k=8, salted=True)
+    p = _final_plan(df)
+    window_lines = [ln for ln in p.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    assert window_lines, "island pass must still be a window"
+    assert all("gh" not in ln for ln in window_lines), p
+    # the hot-gram fold is a real two-phase aggregate: partials keyed
+    # on (gh, salt) before the gh merge
+    assert "__salt" in p, p
