@@ -166,9 +166,14 @@ def main() -> None:
     # medians bounds the natural spread any cross-round comparison sits
     # inside — if |first - repeat| rivals the cross-round delta, the
     # drift is the session, not the code
+    # a1 included since r11 (VERDICT r10 task 6): the first gate of the
+    # mix is where any residual warm-up or session contention aliases
+    # into cross-round sf1 comparisons — its timed-pass vs end-of-session
+    # gap bounds that error in the artifact itself (quiet-session target:
+    # first-query wall within 1.5x of its repeat median)
     repeat_medians = {
         name: round(measure(name)[1], 3)
-        for name in ("j2_enrichment_lookup", "w1_latest_by_key")
+        for name in ("a1_daily_volume", "j2_enrichment_lookup", "w1_latest_by_key")
     }
 
     # session config stamp: the knobs that move wall-clock between

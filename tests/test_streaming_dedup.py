@@ -825,3 +825,60 @@ def test_store_meta_written_crash_safe(spark, tmp_path):
     meta = _read_meta_dict(spark, store)
     assert int(meta["bloom_m"]) == 256
     assert not _os.path.exists(_meta_path(store).rstrip("/") + ".old")
+
+
+def test_stream_semdedup_chain_divergence_bound(spark, tmp_path):
+    """VERDICT r10 task 8: the documented greedy-online vs batch
+    divergence, MEASURED on planted chain geometry. A chain A~B~C~D~E
+    (adjacent cosine >= tau, non-adjacent < tau) arriving one member
+    per batch retains the greedy maximal independent set of the chain
+    — ceil(L/2) members: each arrival drops iff it matches a RETAINED
+    neighbor, and history never revisits — while batch semdedup over
+    the union collapses the whole component to one survivor. That is
+    the worst-case bound stated in streaming/dedup.py and SCALE.md:
+    stream-retained <= MIS(component) with equality on a bare chain,
+    vs exactly 1 for batch; blob geometry (all pairwise >= tau) has
+    MIS = 1 and the paths agree (the parity test above)."""
+    import math as _math
+
+    from parsedmarc_go_spark.operators.clustering import semdedup
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import make_dedup_processor
+
+    dim = 8
+    tau = 0.95  # cos(17deg)=0.956 links adjacent; cos(34deg)=0.829 does not
+
+    def on_angle(deg):
+        r = _math.radians(deg)
+        return [_math.cos(r), _math.sin(r)] + [0.0] * (dim - 2)
+
+    L = 5
+    chain = [(i, on_angle(17 * i)) for i in range(L)]
+    schema = "vec_id long, embedding array<double>"
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(
+        out, store, mode="semdedup", id_col="vec_id",
+        semdedup_tau=tau, semdedup_n_clusters=1,
+    )
+    batches = [spark.createDataFrame([m], schema) for m in chain]
+    for b_id, b in enumerate(batches):
+        proc(b, b_id)
+
+    got = sorted(
+        r["vec_id"] for r in read_stream_table(spark, out, "docs_deduped").collect()
+    )
+    # greedy-online = MIS of the chain: every other member survives
+    assert got == [0, 2, 4]
+
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    batch_kept = sorted(
+        r["vec_id"]
+        for r in semdedup(union, n_clusters=1, tau=tau).filter("keep").collect()
+    )
+    # batch semdedup collapses the whole chained component to ONE
+    assert len(batch_kept) == 1
+    # the measured divergence: ceil(L/2) - 1 extra retained members
+    assert len(got) - len(batch_kept) == _math.ceil(L / 2) - 1
