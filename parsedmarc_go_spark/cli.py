@@ -198,6 +198,15 @@ def run_daemon(
     stop = threading.Event()
     imap_thread = None
     if cfg.imap.enabled and not cfg.parser.offline:
+        # skip_verify mirrors the reference's InsecureSkipVerify toggle
+        # (client.go TLS config); default stays full verification
+        imap_ctx = None
+        if cfg.imap.tls and cfg.imap.skip_verify:
+            import ssl as _ssl
+
+            imap_ctx = _ssl.create_default_context()
+            imap_ctx.check_hostname = False
+            imap_ctx.verify_mode = _ssl.CERT_NONE
         imap_thread = threading.Thread(
             target=watch_imap,
             args=(cfg.imap.host, cfg.imap.username, cfg.imap.password, eng.landing_dir),
@@ -206,6 +215,9 @@ def run_daemon(
                 "archive_mailbox": None if cfg.imap.delete_processed else cfg.imap.archive_mailbox,
                 "check_interval": cfg.imap.check_interval,
                 "stop_event": stop,
+                "port": cfg.imap.port,
+                "use_ssl": cfg.imap.tls,
+                "ssl_context": imap_ctx,
             },
             daemon=True,
         )

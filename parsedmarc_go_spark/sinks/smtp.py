@@ -28,6 +28,14 @@ class SMTPConfig:
     sender: str = "parsedmarc@localhost"
     recipients: list[str] = field(default_factory=list)
     use_tls: bool = True
+    # PEM bundle path for private-CA deployments (and the TLS stub
+    # test, which proves the verified STARTTLS handshake against a
+    # trust store holding only the test CA). A PATH, not an
+    # ssl.SSLContext: the config ships to executors with the
+    # foreachPartition closure, and contexts don't pickle — each
+    # executor builds its own default-security context from the file.
+    # None = the stdlib default trust store.
+    tls_cafile: str | None = None
 
 
 def build_report_message(
@@ -67,7 +75,9 @@ def send_reports(df: DataFrame, kind: str, config: SMTPConfig | None) -> None:
             if conf.use_tls:
                 # verified TLS: smtplib's default context skips cert
                 # validation; the reference's net/smtp.SendMail verifies
-                server.starttls(context=ssl.create_default_context())
+                server.starttls(
+                    context=ssl.create_default_context(cafile=conf.tls_cafile)
+                )
             if conf.username:
                 server.login(conf.username, conf.password or "")
             for row in rows:

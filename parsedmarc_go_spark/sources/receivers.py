@@ -265,21 +265,31 @@ def fetch_imap_once(
     archive_mailbox: str | None = "Archive",
     port: int | None = None,
     use_ssl: bool = True,
+    ssl_context=None,
 ) -> list[str]:
     """One poll cycle: fetch candidate messages, land them as .eml,
     archive (or leave) the originals. Network side effect — callers gate
     it exactly like the reference's offline flag. ``port``/``use_ssl``
     mirror the reference client's host:port + TLS toggle (client.go
     connection options) — and let tests drive the full protocol against
-    an in-process plaintext IMAP stub (tests/imap_server_stub.py), the
-    same executed-evidence pattern as the Kafka wire stub."""
+    an in-process IMAP stub (tests/imap_server_stub.py), the same
+    executed-evidence pattern as the Kafka wire stub. ``ssl_context``
+    (an ``ssl.SSLContext``) serves private-CA deployments — and the
+    TLS-wrapped stub, which proves the verified-handshake path with a
+    context trusting only the test CA; ``None`` keeps stdlib default
+    verification (the reference's crypto/tls default, client.go:37-84)."""
     import email
     import imaplib
 
     os.makedirs(landing_dir, exist_ok=True)
     landed: list[str] = []
-    cls = imaplib.IMAP4_SSL if use_ssl else imaplib.IMAP4
-    with cls(host, port or (993 if use_ssl else 143)) as conn:
+    if use_ssl:
+        conn_ctx = imaplib.IMAP4_SSL(
+            host, port or 993, ssl_context=ssl_context
+        )
+    else:
+        conn_ctx = imaplib.IMAP4(host, port or 143)
+    with conn_ctx as conn:
         conn.login(username, password)
         conn.select(mailbox)
         # UNSEEN, not ALL: processed mail is always marked (archived /
@@ -320,6 +330,7 @@ def watch_imap(
     max_polls: int | None = None,
     port: int | None = None,
     use_ssl: bool = True,
+    ssl_context=None,
 ) -> int:
     """Continuous poll loop (client.go:397-409 Watch): fetch_imap_once
     every `check_interval` seconds until `stop_event` is set (or
@@ -337,6 +348,7 @@ def watch_imap(
                 fetch_imap_once(
                     host, username, password, landing_dir, mailbox,
                     archive_mailbox, port=port, use_ssl=use_ssl,
+                    ssl_context=ssl_context,
                 )
             )
         except OSError as exc:  # connection/auth/protocol failures

@@ -26,7 +26,13 @@ class ImapServerStub:
     list[_Msg]. Plaintext (the client under test takes use_ssl=False),
     one mailbox selected per connection."""
 
-    def __init__(self, messages: list[bytes], user: str = "u", password: str = "p"):
+    def __init__(
+        self,
+        messages: list[bytes],
+        user: str = "u",
+        password: str = "p",
+        tls_context=None,
+    ):
         self.mailboxes: dict[str, list[_Msg]] = {
             "INBOX": [_Msg(m) for m in messages],
             "Archive": [],
@@ -59,7 +65,19 @@ class ImapServerStub:
             def _send_raw(self, data: bytes) -> None:
                 self.wfile.write(data)
 
-        self._server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        if tls_context is not None:
+            # implicit TLS (the 993-style transport the reference's
+            # client.go:37-58 dials): every accepted socket completes a
+            # real server-side handshake before any IMAP byte flows
+            class _TLSServer(socketserver.ThreadingTCPServer):
+                def get_request(self):
+                    sock, addr = super().get_request()
+                    return tls_context.wrap_socket(sock, server_side=True), addr
+
+            server_cls = _TLSServer
+        else:
+            server_cls = socketserver.ThreadingTCPServer
+        self._server = server_cls(("127.0.0.1", 0), Handler)
         self._server.daemon_threads = True
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)

@@ -1,9 +1,12 @@
 """In-process SMTP server test double (RFC 5321 subset: EHLO/HELO,
 MAIL, RCPT, DATA, RSET, QUIT) — enough for smtplib to complete real
 deliveries over a real socket, closing the K6 sink's executed-evidence
-gap the way the Kafka and IMAP stubs close K5/S16. Plaintext only; the
-sink under test passes use_tls=False (STARTTLS is answered with 454 so
-a misconfigured test fails loudly rather than hanging)."""
+gap the way the Kafka and IMAP stubs close K5/S16. Plaintext by
+default: the sink under test passes use_tls=False, and STARTTLS is
+answered with 454 so a misconfigured test fails loudly rather than
+hanging. With ``tls_context`` the stub advertises STARTTLS and
+completes a real server-side handshake on it — the verified-TLS
+delivery test's transport."""
 
 from __future__ import annotations
 
@@ -15,7 +18,8 @@ class SmtpServerStub:
     """Threaded SMTP double; `deliveries` collects
     (mail_from, [rcpt_to], data_str) per completed DATA transaction."""
 
-    def __init__(self):
+    def __init__(self, tls_context=None):
+        self._tls = tls_context
         self.deliveries: list[tuple[str, list[str], str]] = []
         self.errors: list[str] = []
         self._lock = threading.Lock()
@@ -34,9 +38,22 @@ class SmtpServerStub:
                         verb = cmd.split(" ", 1)[0].upper()
                         if verb in ("EHLO", "HELO"):
                             self._send("250-stub greets you")
+                            if stub._tls is not None:
+                                self._send("250-STARTTLS")
                             self._send("250 8BITMIME")
                         elif verb == "STARTTLS":
-                            self._send("454 TLS not available on the stub")
+                            if stub._tls is None:
+                                self._send("454 TLS not available on the stub")
+                            else:
+                                self._send("220 ready for TLS")
+                                # real handshake on the live socket, then
+                                # fresh buffered files over the TLS channel
+                                self.connection = stub._tls.wrap_socket(
+                                    self.connection, server_side=True
+                                )
+                                self.rfile = self.connection.makefile("rb")
+                                self.wfile = self.connection.makefile("wb", buffering=0)
+                                mail_from, rcpts = "", []
                         elif verb == "MAIL":
                             mail_from = cmd.split(":", 1)[1].strip().strip("<>")
                             self._send("250 OK")
