@@ -219,7 +219,12 @@ def main() -> None:
         # dedup_keep_best_containment, then r10.2 tokenize_maxmunch +
         # retrieval_hybrid_rerank — r9.1 totals = r10.2 minus those
         # four queries
-        "mix_version": "r10.2",
+        # r11: dedup_keep_best_containment -> _prefix (same output
+        # contract/oracle; the exact gate's sf0.1 wall was ~0.9 s vs
+        # the prefix composition's ~1.3 s — small-N constant overhead —
+        # but the prefix path is 4x at sf1 and the only runnable form
+        # at 100 TB, which is what the bench slot exists to track)
+        "mix_version": "r11",
         "mix": HEADLINE,
     }
     # The driver records only the TAIL of stdout (~4 KB): in round 7 the
