@@ -50,16 +50,33 @@ _KEY_BASE = 1_000_000
 
 
 def _gram_stream(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    ensure_parallelism: bool = True,
 ) -> DataFrame:
     """(doc_id, pos, gh) stream of k-token gram digests, one row per
     gram position, 0-based ``pos``. Tokenization is lowercase +
     single-space split (the text_chunking / decontamination convention,
     so the same tokens feed every sub-document operator). Documents
     shorter than k tokens emit nothing. All of split/slice/concat stays
-    inside whole-stage codegen; no shuffle happens here — gram rows
-    inherit the scan partitioning."""
-    toks = docs.select(
+    inside whole-stage codegen.
+
+    ``ensure_parallelism`` is the _shingle_stream guard (dedup.py:64):
+    the gram generation + sha256 is the CPU-heavy phase, and inheriting
+    a small parquet scan's partitioning serializes it — measured at sf1
+    (one scan file → 2 partitions): the gram stream alone cost 3.3 s of
+    the 6.5 s gate wall; repartitioning the RAW text first spreads it
+    over every core. Derived/joined inputs that already carry full
+    parallelism pass False to skip the df.rdd partition probe."""
+    base = docs
+    sc = docs.sparkSession.sparkContext
+    if ensure_parallelism and docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        # repartition the RAW text (before split/explode) so the serial
+        # single-file scan stage only reads + shuffles compact strings
+        base = base.repartition(F.col(id_col))
+    toks = base.select(
         F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
     ).filter(F.size("toks") >= k)
     # < 1e6 grams/doc guard for the keep-first ``okey``, applied per

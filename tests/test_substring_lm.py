@@ -237,16 +237,19 @@ def _final_plan(df) -> str:
 
 
 def test_substring_plan_shape(spark):
-    """The 100 TB contract: exactly two hash exchanges — one on the
-    gram digest (count + winner in a single window pass), one on
-    doc_id for the island windows + span aggregation — and no
-    broadcast of anything corpus-sized."""
+    """The 100 TB contract: at most three hash exchanges — the raw-text
+    parallelism spread (r11: the CPU-heavy gram+sha256 phase must not
+    inherit a small scan's partitioning; measured 6.5 → 2.9 s at sf1),
+    one on the gram digest (count + winner in a single window pass),
+    one on doc_id for the island windows + span aggregation — and no
+    broadcast of anything corpus-sized. All exchanges are doc- or
+    digest-keyed; none is a SinglePartition collapse."""
     from parsedmarc_go_spark.plans import QUERIES
     from tests.conftest import SF_SMOKE
 
     p = _final_plan(QUERIES["dedup_substring_spans"](spark, SF_SMOKE))
     exchanges = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
-    assert len(exchanges) == 2, p
+    assert len(exchanges) <= 3, p
     assert any("gh" in ln for ln in exchanges)
     assert any("doc_id" in ln for ln in exchanges)
     assert "CartesianProduct" not in p
