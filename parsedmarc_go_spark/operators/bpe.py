@@ -282,7 +282,16 @@ def maxmunch_encode(
             F.collect_list(F.struct(F.col("token"), F.lit(1)))
         ).alias("__vm")
     )
-    words = docs.select(
+    # the _shingle_stream parallelism guard (operators/dedup.py:64):
+    # the occurrence join + per-doc re-assembly downstream inherit THIS
+    # frame's partitioning, and a small parquet scan (one sf1 file → 2
+    # partitions) serializes the 3M-row occurrence pipeline — measured
+    # 6.4 → 2.6 s warm at sf1 after spreading the raw text first
+    base = docs
+    sc = docs.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(F.col(id_col))
+    words = base.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
             "pos", "word"
@@ -325,7 +334,17 @@ def maxmunch_encode(
         F.col("res.pieces").alias("syms"),
         F.col("res.failed").alias("__failed"),
     )
-    enc = words.join(seg, "word").select(id_col, "pos", "syms", "__failed")
+    # shuffle_hash with seg as build side: seg is ≤ distinct-words
+    # (bounded by vocabulary), words is the occurrence stream — but
+    # Catalyst sizes the occurrence side from the compact parquet scan
+    # underneath it and was observed BROADCASTING the 3M-row exploded
+    # occurrence frame at sf1 (driver HashedRelation of the whole
+    # corpus — the containment-join pathology, round 11). Building on
+    # seg is safe at any scale, never broadcasts, and leaves AQE free
+    # to skew-split the probe side's hot words (Zipf head).
+    enc = words.join(seg.hint("shuffle_hash"), "word").select(
+        id_col, "pos", "syms", "__failed"
+    )
     return (
         enc.groupBy(id_col)
         .agg(

@@ -1158,23 +1158,30 @@ def tokenize_maxmunch(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/bpe.py::maxmunch_encode."""
     from parsedmarc_go_spark.operators.bpe import maxmunch_encode
 
+    from parsedmarc_go_spark.tables import spread_scan
+
     docs = load(spark, sf_dir, "documents")
     itext = F.when(
         F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" zz#q"))
     ).otherwise(F.col("text"))
-    t = docs.select("doc_id", itext.alias("text"))
+    # spread the raw text first: the vocab build below explodes the
+    # corpus twice (token counts + the char alphabet) and would
+    # otherwise run the whole CPU-heavy pipeline at the scan's
+    # partition count (2 at sf1)
+    t = spread_scan(docs.select("doc_id", itext.alias("text")), "doc_id")
     toks = t.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     top30 = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("token"))
-        .limit(30)
-        .select("token")
+        counts.orderBy(F.desc("cnt"), F.asc("token")).limit(30).select("token")
     )
+    # the corpus alphabet == the DISTINCT-token alphabet, so explode
+    # characters off the token-count table (vocabulary-sized) instead
+    # of a second full-corpus explode — one corpus scan for the whole
+    # vocab build, at any scale
     chars = (
-        toks.select(F.explode(F.split(F.col("token"), "")).alias("token"))
+        counts.select(F.explode(F.split(F.col("token"), "")).alias("token"))
         .filter(F.col("token").rlike("^[a-z0-9]$"))
         .distinct()
     )

@@ -74,3 +74,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _scan_cache[key] = df
     return df
+
+
+def spread_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition a scan-rooted frame to full parallelism when the
+    file layout under-partitions it (one sf1 parquet file → 2
+    partitions) — the `_shingle_stream ensure_parallelism` guard
+    (operators/dedup.py:64) as a shared helper for CPU-heavy
+    explode/expression pipelines that would otherwise inherit the
+    scan's partitioning. The shuffle moves the RAW rows (compact —
+    before any explode amplification); consumers whose work is scan-
+    or IO-bound should NOT pay it, which is why this is opt-in per
+    pipeline rather than part of load()."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(F.col(key_col))
+    return df
