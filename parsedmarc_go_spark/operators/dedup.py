@@ -502,8 +502,16 @@ def minhash_lsh_pairs(
     # runs exactly once, inside this single job, with no persist
     left = buckets.select(F.col("doc").alias("doc_a"), "band", "sig")
     right = buckets.select(F.col("doc").alias("doc_b"), "band", "sig")
+    # shuffle_hash pins the shuffle self-join the paragraph above
+    # describes: without it Catalyst sizes the bucket frame from the
+    # compact parquet scan underneath and BROADCASTS one side (round-11
+    # audit) — a corpus x bands driver HashedRelation at scale, and no
+    # ReusedExchange. With the hint both sides shuffle on (band, sig)
+    # and the canonical subplan's exchange computes once; bucket
+    # groups are collision-sparse by design, so the partition-local
+    # build is bounded.
     candidates = (
-        left.join(right, ["band", "sig"])
+        left.join(right.hint("shuffle_hash"), ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -830,8 +838,11 @@ def simhash_banded_pairs(
         banded = banded.join(keep, ["band", "val"])
     left = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "val")
     right = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "val")
+    # shuffle_hash: pin the shuffle self-join (the minhash bucket-join
+    # rule) — Catalyst's compact-scan estimate otherwise broadcasts one
+    # corpus x bands side (round-11 audit)
     return (
-        left.join(right, ["band", "val"])
+        left.join(right.hint("shuffle_hash"), ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
         .distinct()
