@@ -116,7 +116,15 @@ def j3b_geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     192.168.0.0/16 → DE), misses → 'Unknown' (parser.go:1274-1277)."""
     from parsedmarc_go_spark.functions.enrich import geoip_enrich
 
-    ev = load(spark, sf_dir, "events").withColumn("ip", F.expr(_IP_EXPR))
+    from parsedmarc_go_spark.tables import spread_scan
+
+    # spread the raw events first (tables.spread_scan): the per-row IP
+    # synthesis + parse is the CPU phase, and the sf1 single-file scan
+    # under-parallelizes it (4 straggler-bound tasks; row-group-bound,
+    # so file-split tuning cannot help) — measured 3.5 -> 1.4 s warm
+    ev = spread_scan(load(spark, sf_dir, "events"), "event_id").withColumn(
+        "ip", F.expr(_IP_EXPR)
+    )
     # VALUES, not createDataFrame: a literal dim via createDataFrame
     # pays a Python->RDD pickle round trip (~0.8 s of pure fixed cost
     # per query); an inline VALUES relation parses JVM-side in ms
@@ -200,7 +208,12 @@ def j3c_geoip6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ipv6.py."""
     from parsedmarc_go_spark.functions.enrich import geoip_enrich, geoip_enrich6
 
-    ev = load(spark, sf_dir, "events").withColumn("ip", F.expr(_IP6_EXPR))
+    from parsedmarc_go_spark.tables import spread_scan
+
+    # same raw-row spread as j3b — the v6 parse path is heavier still
+    ev = spread_scan(load(spark, sf_dir, "events"), "event_id").withColumn(
+        "ip", F.expr(_IP6_EXPR)
+    )
     dim4 = spark.sql(
         "SELECT * FROM VALUES (167772160L, 184549375L, 'US'),"
         " (3232235520L, 3232301055L, 'DE') AS geo(start_ip, end_ip, country)"
@@ -239,9 +252,16 @@ def w1_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 — the engine's one window function: ReplacingMergeTree
     keep-latest semantics (docs/clickhouse.md:257-276), deterministic
     tie-break on event_id."""
+    from parsedmarc_go_spark.tables import spread_scan
+
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # spread first: the partial WindowGroupLimit sort runs pre-shuffle
+    # and was straggler-bound on the sf1 single-file scan (1.5 -> 1.0 s
+    # warm); pure aggregations do NOT get this treatment — their
+    # map-side partial agg collapses rows before any shuffle, and the
+    # raw-row spread measured as a net loss there
     return (
-        load(spark, sf_dir, "events")
+        spread_scan(load(spark, sf_dir, "events"), "event_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
