@@ -191,7 +191,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
+    """Rows-only gate, run with the hot-bucket guard ON (r11): the
+    closed-vocabulary corpus drives near-identical 64-bit simhashes, so
+    unguarded band buckets grow to thousands of members and the pair
+    explosion is quadratic in the hottest bucket (measured ~3 min/run
+    at sf1 unguarded vs seconds guarded). That is precisely the
+    operator's documented production posture — exact dedup first, then
+    simhash with max_bucket + stats so oversized buckets are dropped
+    LOUDLY, never silently (operators/dedup.py::simhash_banded_pairs).
+    Operator-level recall/equality semantics stay pinned on planted
+    fixtures in tests/test_dedup.py with the guard off."""
+    return simhash_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=6, max_bucket=256
+    )
 
 
 @query("doc_winnowing_fingerprints")
