@@ -269,6 +269,7 @@ def containment_pairs_prefix(
     n: int = 3,
     threshold: float = 0.8,
     broadcast_small_sides: bool = False,
+    max_broadcast_docs: int | None = 100_000,
 ) -> DataFrame:
     """ngram_containment_pairs at scale: PREFIX-FILTERED candidate
     generation (the All-Pairs/PPJoin prefix + positional filters —
@@ -307,18 +308,32 @@ def containment_pairs_prefix(
     Plan shape: distinct (doc,sh) → one shingle-keyed window (df) →
     one doc-keyed exchange serving BOTH the rank window and the
     collect_set verify sets (exchange reuse) → candidate join → two
-    broadcast set joins → codegen array_intersect → distinct on the
-    OUTPUT (≈ true-pair-sized; the r10 draft's distinct on the raw
-    candidate stream was its single most expensive exchange).
+    set joins (parallel broadcast stages in broadcast mode) → codegen
+    array_intersect → distinct on the OUTPUT (≈ true-pair-sized; the
+    r10 draft's distinct on the raw candidate stream was its single
+    most expensive exchange).
     ``broadcast_small_sides=True`` ships the prefix rows
     (~(1-t)·Σ|S|) as the candidate join's build side so the
-    corpus-sized probe side never shuffles, and broadcasts the per-doc
-    verify sets (one row per doc) into the candidate stream — right
-    whenever those fit the broadcast budget (they do at every test SF;
-    at 100 TB leave False: prefixes become the build side of a shuffled
-    hash join and the verify sets shuffle-hash-join the candidate
-    stream)."""
+    corpus-sized probe side never shuffles, and broadcasts the
+    per-doc verify sets into the candidate stream — the right plan at
+    every test SF, where a closed vocabulary makes the CANDIDATE
+    stream (Σdf² collisions) the big side and the set table tiny.
+    Both broadcasts scale with corpus doc count, and F.broadcast
+    bypasses autoBroadcastJoinThreshold, so the flag is guarded:
+    corpora over ``max_broadcast_docs`` input docs (counted — one
+    cheap eager pass; pass None to skip) fall back to the shuffle
+    path instead of silently OOMing a caller who left the flag on at
+    scale. In the shuffle path the bounded sides are the build sides
+    of shuffled hash joins: prefixes against the corpus index, then
+    the candidate stream against each per-doc set frame."""
     from pyspark.sql import Window
+
+    if broadcast_small_sides and max_broadcast_docs is not None:
+        # threshold probe, not a full count: limit(N+1) short-circuits
+        # the scan once N+1 rows exist, so at corpus scale the guard
+        # reads ~max_broadcast_docs rows instead of 100 TB of footers
+        if docs.limit(max_broadcast_docs + 1).count() > max_broadcast_docs:
+            broadcast_small_sides = False
 
     index = _shingle_index(docs, id_col, n).select(
         "doc", "n_shingles", F.xxhash64("shingle").alias("sh")
@@ -382,9 +397,14 @@ def containment_pairs_prefix(
         joined = other.join(F.broadcast(prefixes), "sh")
     else:
         # never let Catalyst broadcast the corpus-sized probe side —
-        # the _pairs_with_jaccard lesson; the prefix side stays the
-        # partition-local build side of a shuffled hash join
-        joined = prefixes.join(other.hint("shuffle_hash"), "sh")
+        # the _pairs_with_jaccard lesson. The SHUFFLE_HASH hint goes
+        # ON the prefix side because Spark builds the per-partition
+        # hash table from the HINTED side: hinting `other` here made
+        # every partition build an index-sized (and hot-shingle-
+        # skewed) table while probing with the small prefixes —
+        # exactly inverted. Build = prefixes (~(1-t)·Σ|S| rows,
+        # bounded), probe = the corpus index.
+        joined = prefixes.hint("shuffle_hash").join(other, "sh")
     candidates = joined.filter(keep).select(
         F.least("doc", "__doc_o").alias("doc_a"),
         F.greatest("doc", "__doc_o").alias("doc_b"),
@@ -394,12 +414,24 @@ def containment_pairs_prefix(
     a = sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"))
     if broadcast_small_sides:
+        # the per-doc set frames scale with CORPUS DOC COUNT — cheap
+        # at every test SF (where the candidate stream, not the sets,
+        # is the big side: a closed vocabulary makes Σdf² collisions
+        # dwarf the 5k-doc set table), unbounded at 100 TB. The
+        # count guard above flips this flag off before these
+        # F.broadcast calls can bypass autoBroadcastJoinThreshold on
+        # a corpus-scale set table.
         a, b = F.broadcast(a), F.broadcast(b)
+        paired = candidates.join(a, "doc_a").join(b, "doc_b")
     else:
-        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
+        # build-side rule as above: hint the candidate stream, never
+        # the corpus-sized sets (Spark builds from the HINTED side) —
+        # at scale candidates are prefix-filter-bounded while sets
+        # rows are one per corpus doc
+        paired = candidates.hint("shuffle_hash").join(a, "doc_a")
+        paired = paired.hint("shuffle_hash").join(b, "doc_b")
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
+        paired
         .select(
             "doc_a",
             "doc_b",

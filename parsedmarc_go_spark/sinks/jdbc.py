@@ -220,14 +220,29 @@ def ansi_ddl(df: DataFrame, table: str) -> str:
     return f"CREATE TABLE {table} ({cols})"
 
 
-def execute_ddl(spark: SparkSession, url: str, ddl: str, driver: str) -> None:
+def execute_ddl(
+    spark: SparkSession,
+    url: str,
+    ddl: str,
+    driver: str,
+    user: str | None = None,
+    password: str | None = None,
+) -> None:
     """Run one DDL statement over a plain java.sql connection — the
     reference's conn.Exec(ctx, tableSQL) step (clickhouse.go:101)
     without an extra client dependency: the driver jar already on the
-    executor classpath serves the driver-side connection too."""
+    executor classpath serves the driver-side connection too.
+    Credentials take the same user/password pair the insert writer
+    gets — an authenticated target must see them on the DDL connection
+    too, not only on the JDBC write options."""
     jvm = spark._jvm
     jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    if user is not None:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            url, user, "" if password is None else password
+        )
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         st = conn.createStatement()
         try:
@@ -285,5 +300,12 @@ def store_reports_jdbc(
                 if native_arrays
                 else ansi_ddl(out, table)
             )
-            execute_ddl(df.sparkSession, url, ddl, driver)
+            execute_ddl(
+                df.sparkSession,
+                url,
+                ddl,
+                driver,
+                user=kwargs.get("user"),
+                password=kwargs.get("password"),
+            )
         write_jdbc(out, url, table, driver=driver, **kwargs)

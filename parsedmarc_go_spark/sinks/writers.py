@@ -449,21 +449,47 @@ def pretty_json_reports(
     """One MarshalIndent-parity JSON document per report, in the
     reference's per-report framing (each ends WITHOUT the trailing
     newline; the writer joins with '\\n' and appends one, matching the
-    Write(data); Write("\\n") sequence)."""
+    Write(data); Write("\\n") sequence).
+
+    REPORT order is made deterministic by a driver-side stable sort
+    on the reports' natural keys — toLocalIterator on an unsorted
+    frame yields partition order, which silently reorders whenever
+    the upstream plan changes (split count, AQE). The reference emits
+    reports in directory-walk order, which a distributed scan can't
+    reproduce; the stable contract here is natural-key order, pinned
+    by the golden byte-diff tests. WITHIN a report, element order is
+    the source document's array order: one parent row's exploded
+    children stay consecutive and ordered under any narrow plan, and
+    the stable sort never reorders ties — a Spark-side orderBy over
+    data columns would scramble exactly that source order."""
     if kind == "aggregate":
         recs_by_key: dict[tuple, list[dict]] = {}
         for row in (records.toLocalIterator() if records is not None else []):
             d = row.asDict(recursive=True)
             recs_by_key.setdefault((d["org_name"], d["report_id"]), []).append(d)
+        reps = [r.asDict(recursive=True) for r in reports.toLocalIterator()]
+        reps.sort(
+            key=lambda d: (
+                d["org_name"] or "",
+                d["report_id"] or "",
+                str(d["begin_date"] or ""),
+            )
+        )
         return [
             _go_json(_nest_aggregate(d, recs_by_key.get((d["org_name"], d["report_id"]), [])))
-            for d in (r.asDict(recursive=True) for r in reports.toLocalIterator())
+            for d in reps
         ]
     if kind == "forensic":
-        return [
-            _go_json(_nest_forensic(r.asDict(recursive=True)))
-            for r in reports.toLocalIterator()
-        ]
+        reps = [r.asDict(recursive=True) for r in reports.toLocalIterator()]
+        reps.sort(
+            key=lambda d: (
+                str(d["arrival_date_utc"] or ""),
+                d["message_id"] or "",
+                d["subject"] or "",
+                d["sample"] or "",
+            )
+        )
+        return [_go_json(_nest_forensic(d)) for d in reps]
     if kind == "smtp_tls":
         fails_by_rid: dict[str, list[dict]] = {}
         for row in (records.toLocalIterator() if records is not None else []):
@@ -476,6 +502,12 @@ def pretty_json_reports(
             if d["report_id"] not in pols_by_rid:
                 order.append(d["report_id"])
             pols_by_rid.setdefault(d["report_id"], []).append(d)
+        order.sort(
+            key=lambda rid: (
+                pols_by_rid[rid][0]["organization_name"] or "",
+                rid or "",
+            )
+        )
         return [
             _go_json(_nest_smtp_tls(pols_by_rid[rid], fails_by_rid.get(rid, [])))
             for rid in order

@@ -63,9 +63,58 @@ def raw_explode_broadcasts(plan: str) -> list[str]:
 
 @pytest.mark.parametrize("name", FIXED_GATES)
 def test_no_raw_explode_under_broadcast(spark, name):
+    # earlier tests may leave persisted subtrees (e.g. the containment
+    # shingle index) whose ACCURATE small stats legitimately flip a
+    # join to broadcast at sf0.001 — the audit is about fresh-plan
+    # misestimates, so it must see an empty cache
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString().split(
         "== Initial Plan =="
     )[0]
     assert raw_explode_broadcasts(plan) == [], plan
+
+
+def test_containment_prefix_shuffle_builds_on_bounded_sides(spark):
+    """ADVICE r11 (medium): Spark builds the shuffled-hash table from
+    the HINTED side, so the hints in containment_pairs_prefix's
+    non-broadcast path must sit on the bounded frames — the prefix
+    rows for the candidate join, the candidate stream for the verify
+    joins — never on the corpus-sized index/sets. The code puts the
+    bounded frame on the LEFT of each hinted join, so every
+    ShuffledHashJoin in the plan must be BuildLeft; a BuildRight
+    would mean a partition-local, hot-shingle-skewed corpus build."""
+    spark.catalog.clearCache()
+    from parsedmarc_go_spark.operators.dedup import containment_pairs_prefix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = containment_pairs_prefix(docs, broadcast_small_sides=False)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    shj = [ln for ln in plan.splitlines() if "ShuffledHashJoin" in ln]
+    assert len(shj) >= 3, plan
+    assert all("BuildLeft" in ln for ln in shj), "\n".join(shj)
+
+
+def test_containment_prefix_broadcast_guard_flips_to_shuffle(spark):
+    """ADVICE r11 (low): broadcast_small_sides=True must not silently
+    broadcast a corpus-scale per-doc set table (F.broadcast bypasses
+    autoBroadcastJoinThreshold). Over max_broadcast_docs input docs
+    the flag flips to the shuffle path — plan shows shuffled hash
+    joins, no broadcast hash joins — and the output is unchanged."""
+    spark.catalog.clearCache()
+    from parsedmarc_go_spark.operators.dedup import containment_pairs_prefix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    guarded = containment_pairs_prefix(
+        docs, broadcast_small_sides=True, max_broadcast_docs=10
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+
+    wanted = containment_pairs_prefix(docs, broadcast_small_sides=True)
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(guarded) == key(wanted) and len(key(wanted)) > 0

@@ -238,3 +238,68 @@ def test_jdbc_five_table_store_executes_with_value_parity(spark, tmp_path):
         read_jdbc(spark, url, "dmarc_smtp_tls_failures", DERBY_DRIVER).count()
         == frames["smtp_tls_failures"].count() * 2
     )
+
+
+def test_execute_ddl_forwards_credentials(spark, tmp_path):
+    """ADVICE r11: create_tables=True against an authenticated target
+    must put the same user/password on the DDL connection as on the
+    insert writer — DriverManager.getConnection(url) alone fails
+    there. Derby's BUILTIN auth rejects a bare connection once
+    requireAuthentication is on, so the credentialed execute_ddl path
+    is exercised for real (and the old two-arg form is proven
+    insufficient by the negative case)."""
+    from parsedmarc_go_spark.sinks.jdbc import (
+        execute_ddl,
+        jdbc_driver_available,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    if not jdbc_driver_available(spark, DERBY_DRIVER):
+        pytest.skip("Derby embedded driver not on the classpath")
+    boot = f"jdbc:derby:{tmp_path}/auth_db;create=true"
+    # bootstrap: create the db, enable BUILTIN auth with one user
+    # (the provider must be set explicitly — this Derby build does
+    # not enforce requireAuthentication under the implicit default)
+    for prop, val in (
+        ("derby.authentication.provider", "BUILTIN"),
+        ("derby.user.app", "secret"),
+        ("derby.connection.requireAuthentication", "true"),
+        # without propertiesOnly, Derby lets (absent) system-wide
+        # properties override on reboot and auth silently stays off
+        ("derby.database.propertiesOnly", "true"),
+    ):
+        execute_ddl(
+            spark, boot,
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            f"'{prop}', '{val}')",
+            DERBY_DRIVER,
+        )
+    # Derby caches the auth switch per boot; shut the db down so the
+    # next connection sees requireAuthentication=true
+    try:
+        execute_ddl(
+            spark,
+            f"jdbc:derby:{tmp_path}/auth_db;shutdown=true;user=app;password=secret",
+            "VALUES 1",
+            DERBY_DRIVER,
+        )
+    except Exception:
+        pass  # shutdown signals success via SQLException by contract
+
+    url = f"jdbc:derby:{tmp_path}/auth_db"
+    # negative: uncredentialed DDL connection is refused
+    with pytest.raises(Exception):
+        execute_ddl(spark, url, "CREATE TABLE t_anon (x INTEGER)", DERBY_DRIVER)
+    # positive: credentialed DDL + credentialed write land
+    execute_ddl(
+        spark, url, "CREATE TABLE t_auth (x INTEGER)", DERBY_DRIVER,
+        user="app", password="secret",
+    )
+    df = spark.range(3).selectExpr("CAST(id AS INT) AS x")
+    write_jdbc(
+        df, url, "t_auth", driver=DERBY_DRIVER,
+        user="app", password="secret", isolation_level="READ_COMMITTED",
+    )
+    back = read_jdbc(spark, f"{url};user=app;password=secret", "t_auth", DERBY_DRIVER)
+    assert back.count() == 3

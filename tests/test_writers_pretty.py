@@ -139,3 +139,38 @@ def test_forensic_pretty_shape(spark):
     # never a double-encoded string
     ps = dict(doc)["parsed_sample"]
     assert ps is None or not isinstance(ps, str)
+
+
+def test_pretty_report_order_is_plan_independent(spark):
+    """ADVICE r11: pretty_json_reports must not inherit partition
+    order from toLocalIterator — report framing order has to survive
+    an upstream plan change. Scrambling the REPORTS frame's
+    partitioning (the records frame is keyed by report, so its
+    grouping is order-free at the report level) must leave the
+    rendered bytes identical, and the smtp_tls framing must come out
+    in natural-key order rather than first-seen order."""
+    _needs_samples()
+    from parsedmarc_go_spark.sources.ingest import ingest
+
+    res = ingest(spark, os.path.join(SAMPLES, "aggregate"), as_of="2024-01-15T00:00:00Z")
+    base = pretty_json_reports("aggregate", res.aggregate_reports, res.aggregate_records)
+    assert len(base) > 1, "needs a multi-report corpus to test ordering"
+    scrambled = pretty_json_reports(
+        "aggregate",
+        res.aggregate_reports.repartition(7),
+        res.aggregate_records,
+    )
+    assert scrambled == base
+
+    resf = ingest(spark, os.path.join(SAMPLES, "forensic"), as_of="2024-01-15T00:00:00Z")
+    fb = pretty_json_reports("forensic", resf.forensic_reports)
+    fs = pretty_json_reports("forensic", resf.forensic_reports.repartition(5))
+    assert fs == fb and len(fb) > 1
+
+    rest = ingest(spark, os.path.join(SAMPLES, "smtp_tls"), as_of="2024-01-15T00:00:00Z")
+    blocks = pretty_json_reports("smtp_tls", rest.smtp_tls_reports, rest.smtp_tls_failures)
+    keys = [
+        (doc["organization_name"], doc["report_id"])
+        for doc in (json.loads(b) for b in blocks)
+    ]
+    assert keys == sorted(keys) and len(keys) > 1
