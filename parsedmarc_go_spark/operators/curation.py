@@ -747,3 +747,99 @@ def corpus_delta(
         F.sum(F.when(F.col("__status") == "unchanged", 1).otherwise(0)).alias("n_unchanged"),
         F.sum("__delta").alias("net_char_delta"),
     )
+
+
+def curation_pipeline(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    strata_col: str = "source",
+    size_col: str = "n_chars",
+    budget: int = 2000,
+    jaccard_threshold: float = 0.7,
+    decontam_n: int = 8,
+    min_docs: int = 1,
+    quality_thresholds: dict | None = None,
+    persist_stages: bool = True,
+) -> DataFrame:
+    """The composed end-to-end pretraining-curation pipeline — the
+    workflow a 100 TB run actually executes, proving the individual
+    operators compose: Gopher quality filter → exact (sha256) dedup →
+    MinHash+LSH near-dup removal → n-gram decontamination against the
+    held-out benchmark → per-stratum hash-ordered token/char budget.
+
+    Returns one row per CORPUS document: ``doc_id, fate`` where fate
+    is the FIRST stage that dropped the document
+    (``quality:<rule> | exact_dup | near_dup | contaminated |
+    over_budget``) or ``kept``. The stage outputs are disjoint by
+    construction, so the result is a plain union — no final join.
+
+    Stage semantics (each stage sees only the previous survivors):
+    - quality: gopher_quality_filter's first-failing rule.
+    - exact_dup: every doc whose normalized-text sha256 group has a
+      smaller surviving doc_id (min-id representative wins).
+    - near_dup: any doc that pairs at exact Jaccard ≥ threshold with a
+      LOWER surviving doc_id (per-pair min-id keep — deterministic and
+      oracle-expressible; the component-aware alternative is
+      neardup_keep_best). Candidates come from minhash_lsh_pairs,
+      whose verified output equals the exact pair set (its gate's
+      recall argument).
+    - contaminated: ≥1 distinct token ``decontam_n``-gram shared with
+      the benchmark (GPT-3 §C posture).
+    - over_budget: per-``strata_col`` running ``size_col`` sum in
+      md5-hash order exceeds ``budget`` (sample_token_budget, hard cut
+      with ``min_docs`` floor).
+
+    Scale shape: every stage is its documented operator; the
+    composition itself adds only doc_id-keyed left_anti joins
+    (fixed-width keys, collapse into the stages' own exchanges).
+    Survivor frames persist between stages by default because the
+    near-dup and decontamination stages each consume their input more
+    than once internally — at true corpus scale replace persist with
+    checkpoints to parquet between stages (pipelines there are
+    restartable by contract, not cache-resident)."""
+    from parsedmarc_go_spark.functions.text import normalized_text
+    from parsedmarc_go_spark.operators.dedup import minhash_lsh_pairs
+
+    def _maybe_persist(df: DataFrame) -> DataFrame:
+        return df.persist() if persist_stages else df
+
+    q = gopher_quality_filter(corpus, **(quality_thresholds or {}))
+    q_fail = q.filter(~F.col("keep")).select(
+        "doc_id",
+        F.concat(F.lit("quality:"), F.col("fail_reason")).alias("fate"),
+    )
+    s1 = _maybe_persist(
+        corpus.join(q.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    )
+
+    fp = s1.select("doc_id", F.sha2(normalized_text("text"), 256).alias("__fp"))
+    winners = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep"))
+    exact_dups = (
+        fp.join(winners, "__fp")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id")
+    )
+    s2 = _maybe_persist(s1.join(exact_dups, "doc_id", "left_anti"))
+
+    pairs = minhash_lsh_pairs(s2, threshold=jaccard_threshold)
+    near = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    s3 = _maybe_persist(s2.join(near, "doc_id", "left_anti"))
+
+    dec = ngram_decontaminate(s3, benchmark, n=decontam_n)
+    contaminated = dec.filter(F.col("n_overlap") >= 1).select("doc_id")
+    s4 = _maybe_persist(s3.join(contaminated, "doc_id", "left_anti"))
+
+    kept = sample_token_budget(
+        s4, strata_col, size_col, budget, min_docs=min_docs
+    ).select("doc_id")
+    over = s4.join(kept, "doc_id", "left_anti").select("doc_id")
+
+    lit = lambda s: F.lit(s).alias("fate")  # noqa: E731
+    return (
+        q_fail
+        .unionByName(exact_dups.select("doc_id", lit("exact_dup")))
+        .unionByName(near.select("doc_id", lit("near_dup")))
+        .unionByName(contaminated.select("doc_id", lit("contaminated")))
+        .unionByName(over.select("doc_id", lit("over_budget")))
+        .unionByName(kept.select("doc_id", lit("kept")))
+    )

@@ -163,6 +163,13 @@ _WINDOW_DEMOTED = (
     # demoted, pytest value-checks it at two SFs; it carries the bench
     # slot for the containment family instead (VERDICT r10 task 1)
     "dedup_keep_best_containment_prefix",
+    # end-to-end curation pipeline (round 12): a COMPOSITION of five
+    # stages whose machineries are each oracle-checked by their own
+    # gates (gopher_quality_filter, dedup_exact, dedup_minhash_lsh,
+    # decontaminate_ngram, sample_token_budget — all rotatable
+    # in-window) — born demoted, pytest value-checks every document's
+    # fate at two SFs
+    "curation_pipeline",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -1372,3 +1372,185 @@ def quality_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 10 == 0)
     bigrams, contexts, continuations, totals = train_kn_bigram_lm(ref)
     return kn_score(docs, bigrams, contexts, continuations, totals)
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline (round 12): one gate that runs the
+# END-TO-END pretraining workflow — quality filter → exact dedup →
+# MinHash near-dup removal → benchmark decontamination → per-source
+# budget sample — and value-checks EVERY document's fate against one
+# oracle. The raw synthetic corpus has no exact duplicates, so the
+# gate plants (identically on both engines, the _containment_corpus /
+# PII-injection precedent):
+#   doc_id % 50 == 0  → held-out benchmark docs, tagged with the 8-token
+#                       eval phrase 'e0 … e7';
+#   doc_id % 10 == 1  → one fixed 60-token boilerplate (passes every
+#                       Gopher rule: 3.83 mean word len, distinct
+#                       bigrams) → exact-dup class, min id survives;
+#   doc_id % 10 == 2  → near-dup PAIRS: per 20-id block, 60 shared
+#                       tokens 'w(100+(block*61+i)%900)' plus one
+#                       distinguishing token ua/ub — shingle Jaccard
+#                       57/61 ≈ 0.934 within a block, ~0 across blocks
+#                       (token value ranges barely intersect);
+#   doc_id % 10 == 3  → the eval phrase appended → a guaranteed shared
+#                       8-gram with every benchmark doc;
+#   otherwise         → the document's own text (organic quality fails,
+#                       near-dup pairs, and incidental 8-gram overlaps
+#                       stay in — both engines see the same ones).
+_PIPELINE_EVAL_PHRASE = "e0 e1 e2 e3 e4 e5 e6 e7"
+_PIPELINE_BOILER = " ".join(f"q{i}a" for i in range(60))
+
+_PIPELINE_ORACLE = f"""
+    WITH it AS (
+      SELECT doc_id, source, n_chars,
+        CASE
+          WHEN doc_id % 50 = 0 THEN text || ' {_PIPELINE_EVAL_PHRASE}'
+          WHEN doc_id % 10 = 1 THEN '{_PIPELINE_BOILER}'
+          WHEN doc_id % 10 = 2 THEN
+            array_to_string(list_transform(range(0, 60),
+              i -> 'w' || CAST(100 + ((doc_id // 20) * 61 + i) % 900 AS VARCHAR)), ' ')
+            || CASE WHEN doc_id % 20 = 2 THEN ' ua' ELSE ' ub' END
+          WHEN doc_id % 10 = 3 THEN text || ' {_PIPELINE_EVAL_PHRASE}'
+          ELSE text
+        END AS text
+      FROM documents),
+    corp AS (SELECT * FROM it WHERE doc_id % 50 <> 0),
+    bench AS (SELECT * FROM it WHERE doc_id % 50 = 0),
+    t1 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corp),
+    s AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+            CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+            toks
+          FROM t1),
+    tb AS (SELECT doc_id,
+           CASE WHEN len(toks) < 2 THEN [] ELSE
+             list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           END AS bigrams
+           FROM s),
+    big AS (SELECT doc_id, unnest(bigrams) AS b FROM tb),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b),
+    bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS top_bc
+           FROM bc GROUP BY doc_id),
+    qual AS (SELECT s.doc_id,
+               CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'word_count'
+                    WHEN mean_word_len < 3.0 OR mean_word_len > 4.5 THEN 'mean_word_len'
+                    WHEN alpha_word_frac < 0.8 THEN 'alpha_words'
+                    WHEN CAST(top_bc AS DOUBLE) / CAST(nb AS DOUBLE) > 0.2
+                      THEN 'repetition'
+                    ELSE NULL END AS fail_reason
+             FROM s LEFT JOIN bs ON s.doc_id = bs.doc_id),
+    s1 AS (SELECT c.* FROM corp c JOIN qual q USING (doc_id)
+           WHERE q.fail_reason IS NULL),
+    fp AS (SELECT doc_id,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+           FROM s1),
+    fw AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY 1),
+    exd AS (SELECT fp.doc_id FROM fp JOIN fw USING (f)
+            WHERE fp.doc_id <> fw.keep_id),
+    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM exd)),
+    d2 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM s2),
+    sh AS (SELECT doc_id AS doc,
+             unnest(list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [] END)) AS shingle
+           FROM d2),
+    nsh AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY 1),
+    pp AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+           GROUP BY 1, 2),
+    near AS (SELECT DISTINCT pp.db AS doc_id
+             FROM pp JOIN nsh na ON pp.da = na.doc JOIN nsh nb ON pp.db = nb.doc
+             WHERE CAST(pp.shared AS DOUBLE)
+                     / CAST(na.n + nb.n - pp.shared AS DOUBLE) >= 0.7),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+    g3 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM s3),
+    cg AS (SELECT doc_id,
+             unnest(CASE WHEN len(toks) < 8 THEN [] ELSE
+               list_distinct(list_transform(range(1, len(toks) - 6),
+                                            i -> array_to_string(toks[i:i+7], ' ')))
+             END) AS ng
+           FROM g3),
+    bt AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM bench),
+    ev AS (SELECT DISTINCT
+             unnest(CASE WHEN len(toks) < 8 THEN [] ELSE
+               list_distinct(list_transform(range(1, len(toks) - 6),
+                                            i -> array_to_string(toks[i:i+7], ' ')))
+             END) AS ng
+           FROM bt),
+    cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (ng)),
+    s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    r AS (SELECT doc_id, source, n_chars,
+            CAST(sum(n_chars) OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+            row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM s4),
+    kept AS (SELECT doc_id FROM r WHERE cum <= 2000 OR rn <= 1)
+    SELECT doc_id, fate FROM (
+      SELECT doc_id, 'heldout' AS fate FROM bench
+      UNION ALL SELECT doc_id, 'quality:' || fail_reason AS fate
+                FROM qual WHERE fail_reason IS NOT NULL
+      UNION ALL SELECT doc_id, 'exact_dup' AS fate FROM exd
+      UNION ALL SELECT doc_id, 'near_dup' AS fate FROM near
+      UNION ALL SELECT doc_id, 'contaminated' AS fate FROM cont
+      UNION ALL SELECT doc_id, 'over_budget' AS fate FROM s4
+                WHERE doc_id NOT IN (SELECT doc_id FROM kept)
+      UNION ALL SELECT doc_id, 'kept' AS fate FROM kept
+    )
+"""
+
+
+def _pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted pipeline corpus (see the block comment above
+    _PIPELINE_ORACLE) — both engines derive the identical text from
+    doc_id, so every fate class is populated at every SF."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nd_tokens = F.expr(
+        "array_join(transform(sequence(0, 59), "
+        "i -> concat('w', cast(100 + ((doc_id div 20) * 61 + i) % 900 as string))), ' ')"
+    )
+    itext = (
+        F.when(d % 50 == 0, F.concat(F.col("text"), F.lit(" " + _PIPELINE_EVAL_PHRASE)))
+        .when(d % 10 == 1, F.lit(_PIPELINE_BOILER))
+        .when(
+            d % 10 == 2,
+            F.concat(
+                nd_tokens,
+                F.when(d % 20 == 2, F.lit(" ua")).otherwise(F.lit(" ub")),
+            ),
+        )
+        .when(d % 10 == 3, F.concat(F.col("text"), F.lit(" " + _PIPELINE_EVAL_PHRASE)))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", "source", "n_chars", itext.alias("text"))
+
+
+@query("curation_pipeline", oracle=_PIPELINE_ORACLE)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: the five-stage composition a real
+    pretraining run executes, with every document's fate value-checked
+    (operators/curation.py::curation_pipeline). Quality thresholds
+    match the gopher gate's tightened 4.5 mean-word-len so organic
+    fails stay exercised; budget 2000 chars/source cuts inside every
+    SF's per-source survivor mass."""
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    t = _pipeline_corpus(spark, sf_dir)
+    bench = t.filter(F.col("doc_id") % 50 == 0)
+    corpus = t.filter(F.col("doc_id") % 50 != 0)
+    fates = curation_pipeline(
+        corpus,
+        bench,
+        budget=2000,
+        quality_thresholds={"max_mean_word_len": 4.5},
+    )
+    return fates.unionByName(
+        bench.select("doc_id", F.lit("heldout").alias("fate"))
+    )

@@ -1,0 +1,56 @@
+"""The composed curation pipeline gate (round 12): every document gets
+exactly one fate, every fate class is populated, and the planted
+classes land where the plant says they must. The cell-level value
+check against the DuckDB oracle runs in test_queries_vs_duckdb at both
+SFs like every other gate."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from parsedmarc_go_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+FATES = {
+    "heldout", "exact_dup", "near_dup", "contaminated",
+    "over_budget", "kept", "quality:word_count", "quality:mean_word_len",
+}
+
+
+def _fates(spark):
+    return {r.doc_id: r.fate for r in QUERIES["curation_pipeline"](spark, SF).collect()}
+
+
+def test_every_doc_exactly_one_fate_all_classes_reachable(spark):
+    fates = _fates(spark)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(fates) == docs.count()  # one row per doc — stages are disjoint
+    by_fate = Counter(fates.values())
+    for f in FATES:
+        assert by_fate[f] > 0, f"fate {f} unreachable: {by_fate}"
+
+
+def test_planted_classes_land_where_planted(spark):
+    fates = _fates(spark)
+    # held-out benchmark docs
+    assert all(fates[d] == "heldout" for d in fates if d % 50 == 0)
+    # boilerplate class: exactly one survivor (min id), rest exact_dup
+    boiler = {d: f for d, f in fates.items() if d % 10 == 1}
+    dups = [d for d, f in boiler.items() if f == "exact_dup"]
+    non_dups = sorted(set(boiler) - set(dups))
+    assert len(non_dups) == 1 and non_dups[0] == min(boiler)
+    # planted near-dup pairs: the higher id (…%20==12, token 'ub') of
+    # each block pair drops as near_dup; the lower id survives past
+    # the near-dup stage (any fate EXCEPT near_dup/quality/exact_dup)
+    ub = [d for d in fates if d % 20 == 12]
+    ua = [d for d in fates if d % 20 == 2 and d % 10 == 2]
+    assert ub and all(fates[d] == "near_dup" for d in ub)
+    assert all(
+        fates[d] in {"kept", "over_budget", "contaminated"} for d in ua
+    ), {d: fates[d] for d in ua if fates[d] not in {"kept", "over_budget", "contaminated"}}
+    # eval-phrase class: every one that reaches the decontamination
+    # stage is contaminated — none may ever be 'kept' or 'over_budget'
+    tagged = {d: f for d, f in fates.items() if d % 10 == 3}
+    assert "contaminated" in set(tagged.values())
+    assert not {f for f in tagged.values()} & {"kept", "over_budget"}
