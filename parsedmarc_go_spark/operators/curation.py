@@ -759,7 +759,7 @@ def curation_pipeline(
     decontam_n: int = 8,
     min_docs: int = 1,
     quality_thresholds: dict | None = None,
-    persist_stages: bool = True,
+    checkpoint_stages: bool = True,
 ) -> DataFrame:
     """The composed end-to-end pretraining-curation pipeline — the
     workflow a 100 TB run actually executes, proving the individual
@@ -792,17 +792,32 @@ def curation_pipeline(
     Scale shape: every stage is its documented operator; the
     composition itself adds only doc_id-keyed left_anti joins
     (fixed-width keys, collapse into the stages' own exchanges).
-    Survivor frames persist between stages by default because the
-    near-dup and decontamination stages each consume their input more
-    than once internally — at true corpus scale replace persist with
+    Survivor frames LAZY-localCheckpoint between stages by default —
+    persist() alone measured 5× slower end-to-end, because caching
+    truncates re-execution but not the logical plan: five stages of
+    chained lineage (with minhash's internals inlined) made every
+    downstream action pay seconds of Catalyst analysis, while a
+    checkpoint resets the plan to a LogicalRDD. The checkpoints are
+    EAGER: each stage boundary materializes exactly once, at build
+    time — lazy checkpoints measured ~3× slower because the fate
+    union's six branches race to materialize the same boundary RDD
+    inside one job. At true corpus scale replace with reliable
     checkpoints to parquet between stages (pipelines there are
-    restartable by contract, not cache-resident)."""
+    restartable by contract, not cache-resident — and localCheckpoint
+    does not survive executor loss)."""
     from parsedmarc_go_spark.functions.text import normalized_text
     from parsedmarc_go_spark.operators.dedup import minhash_lsh_pairs
+    from parsedmarc_go_spark.tables import spread_scan
 
     def _maybe_persist(df: DataFrame) -> DataFrame:
-        return df.persist() if persist_stages else df
+        return df.localCheckpoint(eager=True) if checkpoint_stages else df
 
+    # every stage is CPU-heavy text work (token stats, shingling,
+    # minhashing, 8-grams); a scan-rooted corpus inherits the file
+    # layout's partitioning (one parquet file → 1-2 tasks), so spread
+    # the RAW rows to full parallelism once, before any stage pays for
+    # it (the r11 spread_scan finding — 4× on the substring gate)
+    corpus = _maybe_persist(spread_scan(corpus, "doc_id"))
     q = gopher_quality_filter(corpus, **(quality_thresholds or {}))
     q_fail = q.filter(~F.col("keep")).select(
         "doc_id",
@@ -812,9 +827,14 @@ def curation_pipeline(
         corpus.join(q.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
     )
 
+    # the DROP frames checkpoint too: each one is consumed twice (the
+    # survivor anti-join and its fate-union branch), and without the
+    # boundary the union branch re-runs the whole stage (hash agg /
+    # minhash / decontamination) a second time — measured ~2× on the
+    # end-to-end wall. The frames themselves are tiny (one id column).
     fp = s1.select("doc_id", F.sha2(normalized_text("text"), 256).alias("__fp"))
     winners = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep"))
-    exact_dups = (
+    exact_dups = _maybe_persist(
         fp.join(winners, "__fp")
         .filter(F.col("doc_id") != F.col("__keep"))
         .select("doc_id")
@@ -822,11 +842,15 @@ def curation_pipeline(
     s2 = _maybe_persist(s1.join(exact_dups, "doc_id", "left_anti"))
 
     pairs = minhash_lsh_pairs(s2, threshold=jaccard_threshold)
-    near = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near = _maybe_persist(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    )
     s3 = _maybe_persist(s2.join(near, "doc_id", "left_anti"))
 
     dec = ngram_decontaminate(s3, benchmark, n=decontam_n)
-    contaminated = dec.filter(F.col("n_overlap") >= 1).select("doc_id")
+    contaminated = _maybe_persist(
+        dec.filter(F.col("n_overlap") >= 1).select("doc_id")
+    )
     s4 = _maybe_persist(s3.join(contaminated, "doc_id", "left_anti"))
 
     kept = sample_token_budget(

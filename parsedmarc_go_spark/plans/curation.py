@@ -1382,35 +1382,54 @@ def quality_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle. The raw synthetic corpus has no exact duplicates, so the
 # gate plants (identically on both engines, the _containment_corpus /
 # PII-injection precedent):
-#   doc_id % 50 == 0  → held-out benchmark docs, tagged with the 8-token
-#                       eval phrase 'e0 … e7';
+#   doc_id % 50 == 0  → held-out benchmark docs, each tagged with ONE
+#                       of 8 eval-phrase variants ('e<k>0 … e<k>7',
+#                       k = (doc_id // 50) % 8 — all 8 variants are
+#                       covered by the first ten bench docs, so
+#                       coverage holds at every SF);
 #   doc_id % 10 == 1  → one fixed 60-token boilerplate (passes every
 #                       Gopher rule: 3.83 mean word len, distinct
 #                       bigrams) → exact-dup class, min id survives;
-#   doc_id % 10 == 2  → near-dup PAIRS: per 20-id block, 60 shared
-#                       tokens 'w(100+(block*61+i)%900)' plus one
-#                       distinguishing token ua/ub — shingle Jaccard
-#                       57/61 ≈ 0.934 within a block, ~0 across blocks
-#                       (token value ranges barely intersect);
-#   doc_id % 10 == 3  → the eval phrase appended → a guaranteed shared
-#                       8-gram with every benchmark doc;
+#   doc_id % 10 == 2  → near-dup pairs: 60 shared tokens
+#                       'w(100+(block%15)*60+i)' plus one
+#                       distinguishing token ua/ub. The 15 token
+#                       classes are PERFECTLY DISJOINT, so same-class
+#                       docs with the same ua/ub tag are EXACT dups
+#                       (the exact stage collapses them to one ua and
+#                       one ub keeper per class — bounded at every SF)
+#                       and the surviving pair has shingle Jaccard
+#                       57/61 ≈ 0.934. A draft used (block*61+i)%900,
+#                       whose 60-value windows overlap 59/60 for
+#                       blocks 59 apart — a quadratic near-dup blowup
+#                       from sf0.1 up (126k pairs);
+#   doc_id % 10 == 3  → eval-phrase variant doc_id % 8 appended → a
+#                       guaranteed shared 8-gram with the bench docs
+#                       carrying that variant. Variants exist because
+#                       ONE global phrase made every class-3 doc
+#                       collide in the same MinHash buckets (4M
+#                       candidate pairs at sf1 for 399 true pairs);
+#                       1/8 of the docs per variant keeps the verify
+#                       fan-in bounded without touching recall;
 #   otherwise         → the document's own text (organic quality fails,
 #                       near-dup pairs, and incidental 8-gram overlaps
 #                       stay in — both engines see the same ones).
-_PIPELINE_EVAL_PHRASE = "e0 e1 e2 e3 e4 e5 e6 e7"
 _PIPELINE_BOILER = " ".join(f"q{i}a" for i in range(60))
 
 _PIPELINE_ORACLE = f"""
     WITH it AS (
       SELECT doc_id, source, n_chars,
         CASE
-          WHEN doc_id % 50 = 0 THEN text || ' {_PIPELINE_EVAL_PHRASE}'
+          WHEN doc_id % 50 = 0 THEN text || ' ' ||
+            array_to_string(list_transform(range(0, 8),
+              i -> 'e' || CAST((doc_id // 50) % 8 AS VARCHAR) || CAST(i AS VARCHAR)), ' ')
           WHEN doc_id % 10 = 1 THEN '{_PIPELINE_BOILER}'
           WHEN doc_id % 10 = 2 THEN
             array_to_string(list_transform(range(0, 60),
-              i -> 'w' || CAST(100 + ((doc_id // 20) * 61 + i) % 900 AS VARCHAR)), ' ')
+              i -> 'w' || CAST(100 + ((doc_id // 20) % 15) * 60 + i AS VARCHAR)), ' ')
             || CASE WHEN doc_id % 20 = 2 THEN ' ua' ELSE ' ub' END
-          WHEN doc_id % 10 = 3 THEN text || ' {_PIPELINE_EVAL_PHRASE}'
+          WHEN doc_id % 10 = 3 THEN text || ' ' ||
+            array_to_string(list_transform(range(0, 8),
+              i -> 'e' || CAST(doc_id % 8 AS VARCHAR) || CAST(i AS VARCHAR)), ' ')
           ELSE text
         END AS text
       FROM documents),
@@ -1512,12 +1531,19 @@ def _pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, so every fate class is populated at every SF."""
     docs = load(spark, sf_dir, "documents")
     d = F.col("doc_id")
+
+    def phrase(k_sql: str):
+        return F.expr(
+            "array_join(transform(sequence(0, 7), "
+            f"i -> concat('e', cast({k_sql} as string), cast(i as string))), ' ')"
+        )
+
     nd_tokens = F.expr(
         "array_join(transform(sequence(0, 59), "
-        "i -> concat('w', cast(100 + ((doc_id div 20) * 61 + i) % 900 as string))), ' ')"
+        "i -> concat('w', cast(100 + ((doc_id div 20) % 15) * 60 + i as string))), ' ')"
     )
     itext = (
-        F.when(d % 50 == 0, F.concat(F.col("text"), F.lit(" " + _PIPELINE_EVAL_PHRASE)))
+        F.when(d % 50 == 0, F.concat(F.col("text"), F.lit(" "), phrase("(doc_id div 50) % 8")))
         .when(d % 10 == 1, F.lit(_PIPELINE_BOILER))
         .when(
             d % 10 == 2,
@@ -1526,7 +1552,7 @@ def _pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(d % 20 == 2, F.lit(" ua")).otherwise(F.lit(" ub")),
             ),
         )
-        .when(d % 10 == 3, F.concat(F.col("text"), F.lit(" " + _PIPELINE_EVAL_PHRASE)))
+        .when(d % 10 == 3, F.concat(F.col("text"), F.lit(" "), phrase("doc_id % 8")))
         .otherwise(F.col("text"))
     )
     return docs.select("doc_id", "source", "n_chars", itext.alias("text"))

@@ -88,5 +88,12 @@ def spread_scan(df: DataFrame, key_col: str) -> DataFrame:
     pipeline rather than part of load()."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(F.col(key_col))
+        # the partition COUNT is explicit: a bare repartition(col) is
+        # an AQE-coalescible exchange, and at test-SF byte sizes the
+        # coalescer folds compact text back to ONE partition — exactly
+        # the under-parallelism this helper exists to fix (measured:
+        # the curation pipeline's corpus landed in 1 partition and
+        # every CPU stage ran serial). defaultParallelism keeps the
+        # count cluster-relative at scale.
+        return df.repartition(sc.defaultParallelism, F.col(key_col))
     return df

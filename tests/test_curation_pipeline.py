@@ -40,15 +40,24 @@ def test_planted_classes_land_where_planted(spark):
     dups = [d for d, f in boiler.items() if f == "exact_dup"]
     non_dups = sorted(set(boiler) - set(dups))
     assert len(non_dups) == 1 and non_dups[0] == min(boiler)
-    # planted near-dup pairs: the higher id (…%20==12, token 'ub') of
-    # each block pair drops as near_dup; the lower id survives past
-    # the near-dup stage (any fate EXCEPT near_dup/quality/exact_dup)
-    ub = [d for d in fates if d % 20 == 12]
-    ua = [d for d in fates if d % 20 == 2 and d % 10 == 2]
-    assert ub and all(fates[d] == "near_dup" for d in ub)
-    assert all(
-        fates[d] in {"kept", "over_budget", "contaminated"} for d in ua
-    ), {d: fates[d] for d in ua if fates[d] not in {"kept", "over_budget", "contaminated"}}
+    # planted near-dup class: per disjoint token class (block % 15),
+    # the min-id 'ua' doc and min-id 'ub' doc survive the exact stage
+    # (every other class member is their exact dup); the surviving
+    # pair then resolves at the near-dup stage — 'ub' keeper (higher
+    # id) drops, 'ua' keeper survives past it
+    cls2 = [d for d in fates if d % 10 == 2]
+    by_class: dict[tuple, list[int]] = {}
+    for d in cls2:
+        by_class.setdefault(((d // 20) % 15, d % 20), []).append(d)
+    for (cls, tag), ids in sorted(by_class.items()):
+        keeper, rest = min(ids), sorted(ids)[1:]
+        assert all(fates[d] == "exact_dup" for d in rest), (cls, tag)
+        if tag == 12:
+            assert fates[keeper] == "near_dup", (cls, tag, fates[keeper])
+        else:
+            assert fates[keeper] in {"kept", "over_budget", "contaminated"}, (
+                cls, tag, fates[keeper],
+            )
     # eval-phrase class: every one that reaches the decontamination
     # stage is contaminated — none may ever be 'kept' or 'over_budget'
     tagged = {d: f for d, f in fates.items() if d % 10 == 3}
