@@ -807,7 +807,6 @@ def curation_pipeline(
     does not survive executor loss)."""
     from parsedmarc_go_spark.functions.text import normalized_text
     from parsedmarc_go_spark.operators.dedup import minhash_lsh_pairs
-    from parsedmarc_go_spark.tables import spread_scan
 
     def _maybe_persist(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if checkpoint_stages else df
@@ -816,8 +815,15 @@ def curation_pipeline(
     # minhashing, 8-grams); a scan-rooted corpus inherits the file
     # layout's partitioning (one parquet file → 1-2 tasks), so spread
     # the RAW rows to full parallelism once, before any stage pays for
-    # it (the r11 spread_scan finding — 4× on the substring gate)
-    corpus = _maybe_persist(spread_scan(corpus, "doc_id"))
+    # it. The partition count is EXPLICIT, not spread_scan's
+    # AQE-coalescible exchange: this repartition feeds a checkpoint,
+    # so its output IS the stored partitioning for every later stage,
+    # and the coalescer folds a compact text corpus to ONE partition
+    # (measured: every CPU stage ran serial).
+    sc = corpus.sparkSession.sparkContext
+    if checkpoint_stages and corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism, F.col("doc_id"))
+    corpus = _maybe_persist(corpus)
     q = gopher_quality_filter(corpus, **(quality_thresholds or {}))
     q_fail = q.filter(~F.col("keep")).select(
         "doc_id",

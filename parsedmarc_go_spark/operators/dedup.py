@@ -865,9 +865,16 @@ def simhash_banded_pairs(
             stats["skipped_buckets"] = int(sk["nb"])
             stats["skipped_rows"] = int(sk["nr"])
         keep = sizes.filter(F.col("__bn") <= max_bucket).select("band", "val")
-        # no broadcast hint: the keep-list scales with distinct band values
-        # (GBs at corpus scale); AQE picks broadcast when it actually fits
-        banded = banded.join(keep, ["band", "val"])
+        # LEFT SEMI, not inner: the join only filters banded rows, and
+        # a semi join can never build/broadcast its LEFT side — an
+        # unhinted inner join here let AQE broadcast the corpus×bands
+        # bucket stream as BuildLeft when its runtime size dipped under
+        # the threshold (caught intermittently by the plan audit). The
+        # keep-list (right, the only buildable side) is an aggregate of
+        # distinct band values: broadcast when it fits, shuffled
+        # otherwise — AQE decides, and both choices are bounded by
+        # bucket-key cardinality, never by corpus rows.
+        banded = banded.join(keep, ["band", "val"], "left_semi")
     left = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "val")
     right = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "val")
     # shuffle_hash: pin the shuffle self-join (the minhash bucket-join

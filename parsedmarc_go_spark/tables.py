@@ -88,12 +88,15 @@ def spread_scan(df: DataFrame, key_col: str) -> DataFrame:
     pipeline rather than part of load()."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        # the partition COUNT is explicit: a bare repartition(col) is
-        # an AQE-coalescible exchange, and at test-SF byte sizes the
-        # coalescer folds compact text back to ONE partition — exactly
-        # the under-parallelism this helper exists to fix (measured:
-        # the curation pipeline's corpus landed in 1 partition and
-        # every CPU stage ran serial). defaultParallelism keeps the
-        # count cluster-relative at scale.
-        return df.repartition(sc.defaultParallelism, F.col(key_col))
+        # deliberately COALESCIBLE (no explicit count): AQE right-sizes
+        # the exchange per query, and an A/B at sf0.1 measured the
+        # forced-defaultParallelism variant 1.5-3× SLOWER on every
+        # consumer gate (w1 0.33→0.92 s, maxmunch 1.20→2.33 s) — tiny
+        # corpora don't want 32 tasks. The ONE place the coalescer is
+        # wrong is a checkpoint/materialization boundary, where the
+        # exchange output IS the stored partitioning (the curation
+        # pipeline's corpus folded to 1 partition and every CPU stage
+        # ran serial) — such callers must pin their own explicit-count
+        # repartition instead of using this helper.
+        return df.repartition(F.col(key_col))
     return df
