@@ -777,12 +777,14 @@ def curation_pipeline(
     - quality: gopher_quality_filter's first-failing rule.
     - exact_dup: every doc whose normalized-text sha256 group has a
       smaller surviving doc_id (min-id representative wins).
-    - near_dup: any doc that pairs at exact Jaccard ≥ threshold with a
-      LOWER surviving doc_id (per-pair min-id keep — deterministic and
-      oracle-expressible; the component-aware alternative is
-      neardup_keep_best). Candidates come from minhash_lsh_pairs,
-      whose verified output equals the exact pair set (its gate's
-      recall argument).
+    - near_dup: the HIGHER id of every Jaccard ≥ threshold pair drops,
+      regardless of whether the lower partner itself survives — so on
+      a chain (1,2),(2,3) both 2 and 3 drop even though 2 (3's only
+      partner) is gone. Deterministic, oracle-expressible, and
+      deliberately aggressive; when chains should keep every other
+      member, use the component-aware neardup_keep_best instead.
+      Candidates come from minhash_lsh_pairs, whose verified output
+      equals the exact pair set (its gate's recall argument).
     - contaminated: ≥1 distinct token ``decontam_n``-gram shared with
       the benchmark (GPT-3 §C posture).
     - over_budget: per-``strata_col`` running ``size_col`` sum in
@@ -825,9 +827,15 @@ def curation_pipeline(
         corpus = corpus.repartition(sc.defaultParallelism, F.col("doc_id"))
     corpus = _maybe_persist(corpus)
     q = gopher_quality_filter(corpus, **(quality_thresholds or {}))
-    q_fail = q.filter(~F.col("keep")).select(
-        "doc_id",
-        F.concat(F.lit("quality:"), F.col("fail_reason")).alias("fate"),
+    # q_fail checkpoints like every other drop frame: its fate branch
+    # would otherwise re-run the whole quality subtree (including the
+    # corpus-wide repetition bigram aggregation) a second time at
+    # union-collect time
+    q_fail = _maybe_persist(
+        q.filter(~F.col("keep")).select(
+            "doc_id",
+            F.concat(F.lit("quality:"), F.col("fail_reason")).alias("fate"),
+        )
     )
     s1 = _maybe_persist(
         corpus.join(q.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
@@ -859,9 +867,14 @@ def curation_pipeline(
     )
     s4 = _maybe_persist(s3.join(contaminated, "doc_id", "left_anti"))
 
-    kept = sample_token_budget(
-        s4, strata_col, size_col, budget, min_docs=min_docs
-    ).select("doc_id")
+    # kept is consumed by both the over_budget anti-join and its own
+    # fate branch — checkpoint so the budget sort+window over s4 runs
+    # once, not once per consumer
+    kept = _maybe_persist(
+        sample_token_budget(
+            s4, strata_col, size_col, budget, min_docs=min_docs
+        ).select("doc_id")
+    )
     over = s4.join(kept, "doc_id", "left_anti").select("doc_id")
 
     lit = lambda s: F.lit(s).alias("fate")  # noqa: E731

@@ -237,9 +237,12 @@ def execute_ddl(
     too, not only on the JDBC write options."""
     jvm = spark._jvm
     jvm.java.lang.Class.forName(driver)
-    if user is not None:
+    if user is not None or password is not None:
+        # a password without a user must not silently degrade to the
+        # bare two-arg form (connecting anonymously against an
+        # authenticated target); forward both, empty-string-defaulted
         conn = jvm.java.sql.DriverManager.getConnection(
-            url, user, "" if password is None else password
+            url, "" if user is None else user, "" if password is None else password
         )
     else:
         conn = jvm.java.sql.DriverManager.getConnection(url)

@@ -461,7 +461,14 @@ def pretty_json_reports(
     the source document's array order: one parent row's exploded
     children stay consecutive and ordered under any narrow plan, and
     the stable sort never reorders ties — a Spark-side orderBy over
-    data columns would scramble exactly that source order."""
+    data columns would scramble exactly that source order. The
+    intra-report guarantee is therefore SCOPED to ingest-shaped
+    inputs: the flat frames carry no element-position column, so a
+    reports frame that has been re-shuffled (repartition, a wide
+    join) before reaching this writer can interleave one report's
+    policy/record rows and their rendered order is then
+    arrival-order. Pass ingest()'s frames (or any narrow derivation
+    of them) directly."""
     if kind == "aggregate":
         recs_by_key: dict[tuple, list[dict]] = {}
         for row in (records.toLocalIterator() if records is not None else []):
