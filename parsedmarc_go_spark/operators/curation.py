@@ -769,7 +769,7 @@ def curation_pipeline(
 
     Returns one row per CORPUS document: ``doc_id, fate`` where fate
     is the FIRST stage that dropped the document
-    (``quality:<rule> | exact_dup | near_dup | contaminated |
+    (``quality:<rule> | exact_dup | contaminated | near_dup |
     over_budget``) or ``kept``. The stage outputs are disjoint by
     construction, so the result is a plain union — no final join.
 
@@ -777,6 +777,12 @@ def curation_pipeline(
     - quality: gopher_quality_filter's first-failing rule.
     - exact_dup: every doc whose normalized-text sha256 group has a
       smaller surviving doc_id (min-id representative wins).
+    - contaminated: ≥1 distinct token ``decontam_n``-gram shared with
+      the benchmark (GPT-3 §C posture). Runs BEFORE near-dup on
+      purpose: the benchmark probe is a cheap broadcast join, and
+      benchmark-quoting documents are exactly the ones that share
+      long token runs — dropping them first shrinks the near-dup
+      stage's hottest shingles instead of paying Σdf² on them.
     - near_dup: the HIGHER id of every Jaccard ≥ threshold pair drops,
       regardless of whether the lower partner itself survives — so on
       a chain (1,2),(2,3) both 2 and 3 drop even though 2 (3's only
@@ -785,8 +791,6 @@ def curation_pipeline(
       member, use the component-aware neardup_keep_best instead.
       Candidates come from minhash_lsh_pairs, whose verified output
       equals the exact pair set (its gate's recall argument).
-    - contaminated: ≥1 distinct token ``decontam_n``-gram shared with
-      the benchmark (GPT-3 §C posture).
     - over_budget: per-``strata_col`` running ``size_col`` sum in
       md5-hash order exceeds ``budget`` (sample_token_budget, hard cut
       with ``min_docs`` floor).
@@ -855,17 +859,17 @@ def curation_pipeline(
     )
     s2 = _maybe_persist(s1.join(exact_dups, "doc_id", "left_anti"))
 
-    pairs = minhash_lsh_pairs(s2, threshold=jaccard_threshold)
-    near = _maybe_persist(
-        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    )
-    s3 = _maybe_persist(s2.join(near, "doc_id", "left_anti"))
-
-    dec = ngram_decontaminate(s3, benchmark, n=decontam_n)
+    dec = ngram_decontaminate(s2, benchmark, n=decontam_n)
     contaminated = _maybe_persist(
         dec.filter(F.col("n_overlap") >= 1).select("doc_id")
     )
-    s4 = _maybe_persist(s3.join(contaminated, "doc_id", "left_anti"))
+    s3 = _maybe_persist(s2.join(contaminated, "doc_id", "left_anti"))
+
+    pairs = minhash_lsh_pairs(s3, threshold=jaccard_threshold)
+    near = _maybe_persist(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    s4 = _maybe_persist(s3.join(near, "doc_id", "left_anti"))
 
     # kept is consumed by both the over_budget anti-join and its own
     # fate branch — checkpoint so the budget sort+window over s4 runs
@@ -881,8 +885,8 @@ def curation_pipeline(
     return (
         q_fail
         .unionByName(exact_dups.select("doc_id", lit("exact_dup")))
-        .unionByName(near.select("doc_id", lit("near_dup")))
         .unionByName(contaminated.select("doc_id", lit("contaminated")))
+        .unionByName(near.select("doc_id", lit("near_dup")))
         .unionByName(over.select("doc_id", lit("over_budget")))
         .unionByName(kept.select("doc_id", lit("kept")))
     )

@@ -1377,9 +1377,13 @@ def quality_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # The composed curation pipeline (round 12): one gate that runs the
 # END-TO-END pretraining workflow — quality filter → exact dedup →
-# MinHash near-dup removal → benchmark decontamination → per-source
+# benchmark decontamination → MinHash near-dup removal → per-source
 # budget sample — and value-checks EVERY document's fate against one
-# oracle. The raw synthetic corpus has no exact duplicates, so the
+# oracle. (Decontamination precedes near-dup: the benchmark probe is
+# a cheap broadcast join, and the quote-carrying docs it removes are
+# exactly the ones whose shared token runs make the near-dup stage —
+# and its Σdf² SQL oracle — hot; with the old order the sf1 oracle
+# spilled past 70 GB of DuckDB temp on the planted phrase shingles.) The raw synthetic corpus has no exact duplicates, so the
 # gate plants (identically on both engines, the _containment_corpus /
 # PII-injection precedent):
 #   doc_id % 50 == 0  → held-out benchmark docs, each tagged with ONE
@@ -1416,7 +1420,7 @@ def quality_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_BOILER = " ".join(f"q{i}a" for i in range(60))
 
 _PIPELINE_ORACLE = f"""
-    WITH it AS (
+    WITH it AS MATERIALIZED (
       SELECT doc_id, source, n_chars,
         CASE
           WHEN doc_id % 50 = 0 THEN text || ' ' ||
@@ -1433,8 +1437,8 @@ _PIPELINE_ORACLE = f"""
           ELSE text
         END AS text
       FROM documents),
-    corp AS (SELECT * FROM it WHERE doc_id % 50 <> 0),
-    bench AS (SELECT * FROM it WHERE doc_id % 50 = 0),
+    corp AS MATERIALIZED (SELECT * FROM it WHERE doc_id % 50 <> 0),
+    bench AS MATERIALIZED (SELECT * FROM it WHERE doc_id % 50 = 0),
     t1 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corp),
     s AS (SELECT doc_id,
             CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1453,7 +1457,7 @@ _PIPELINE_ORACLE = f"""
     bc AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b),
     bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, max(c) AS top_bc
            FROM bc GROUP BY doc_id),
-    qual AS (SELECT s.doc_id,
+    qual AS MATERIALIZED (SELECT s.doc_id,
                CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 'word_count'
                     WHEN mean_word_len < 3.0 OR mean_word_len > 4.5 THEN 'mean_word_len'
                     WHEN alpha_word_frac < 0.8 THEN 'alpha_words'
@@ -1461,32 +1465,16 @@ _PIPELINE_ORACLE = f"""
                       THEN 'repetition'
                     ELSE NULL END AS fail_reason
              FROM s LEFT JOIN bs ON s.doc_id = bs.doc_id),
-    s1 AS (SELECT c.* FROM corp c JOIN qual q USING (doc_id)
+    s1 AS MATERIALIZED (SELECT c.* FROM corp c JOIN qual q USING (doc_id)
            WHERE q.fail_reason IS NULL),
-    fp AS (SELECT doc_id,
+    fp AS MATERIALIZED (SELECT doc_id,
              sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
            FROM s1),
-    fw AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY 1),
-    exd AS (SELECT fp.doc_id FROM fp JOIN fw USING (f)
+    fw AS MATERIALIZED (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY 1),
+    exd AS MATERIALIZED (SELECT fp.doc_id FROM fp JOIN fw USING (f)
             WHERE fp.doc_id <> fw.keep_id),
-    s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM exd)),
-    d2 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM s2),
-    sh AS (SELECT doc_id AS doc,
-             unnest(list_distinct(CASE WHEN len(toks) >= 3
-               THEN list_transform(generate_series(1, len(toks) - 2),
-                                   i -> array_to_string(toks[i:i+2], ' '))
-               ELSE [] END)) AS shingle
-           FROM d2),
-    nsh AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY 1),
-    pp AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-           GROUP BY 1, 2),
-    near AS (SELECT DISTINCT pp.db AS doc_id
-             FROM pp JOIN nsh na ON pp.da = na.doc JOIN nsh nb ON pp.db = nb.doc
-             WHERE CAST(pp.shared AS DOUBLE)
-                     / CAST(na.n + nb.n - pp.shared AS DOUBLE) >= 0.7),
-    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near)),
-    g3 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM s3),
+    s2 AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM exd)),
+    g3 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM s2),
     cg AS (SELECT doc_id,
              unnest(CASE WHEN len(toks) < 8 THEN [] ELSE
                list_distinct(list_transform(range(1, len(toks) - 6),
@@ -1500,9 +1488,25 @@ _PIPELINE_ORACLE = f"""
                                             i -> array_to_string(toks[i:i+7], ' ')))
              END) AS ng
            FROM bt),
-    cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (ng)),
-    s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-    r AS (SELECT doc_id, source, n_chars,
+    cont AS MATERIALIZED (SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (ng)),
+    s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    d2 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM s3),
+    sh AS (SELECT doc_id AS doc,
+             unnest(list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [] END)) AS shingle
+           FROM d2),
+    nsh AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY 1),
+    pp AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+           GROUP BY 1, 2),
+    near AS MATERIALIZED (SELECT DISTINCT pp.db AS doc_id
+             FROM pp JOIN nsh na ON pp.da = na.doc JOIN nsh nb ON pp.db = nb.doc
+             WHERE CAST(pp.shared AS DOUBLE)
+                     / CAST(na.n + nb.n - pp.shared AS DOUBLE) >= 0.7),
+    s4 AS MATERIALIZED (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+    r AS MATERIALIZED (SELECT doc_id, source, n_chars,
             CAST(sum(n_chars) OVER (PARTITION BY source
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1510,14 +1514,14 @@ _PIPELINE_ORACLE = f"""
             row_number() OVER (PARTITION BY source
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           FROM s4),
-    kept AS (SELECT doc_id FROM r WHERE cum <= 2000 OR rn <= 1)
+    kept AS MATERIALIZED (SELECT doc_id FROM r WHERE cum <= 2000 OR rn <= 1)
     SELECT doc_id, fate FROM (
       SELECT doc_id, 'heldout' AS fate FROM bench
       UNION ALL SELECT doc_id, 'quality:' || fail_reason AS fate
                 FROM qual WHERE fail_reason IS NOT NULL
       UNION ALL SELECT doc_id, 'exact_dup' AS fate FROM exd
-      UNION ALL SELECT doc_id, 'near_dup' AS fate FROM near
       UNION ALL SELECT doc_id, 'contaminated' AS fate FROM cont
+      UNION ALL SELECT doc_id, 'near_dup' AS fate FROM near
       UNION ALL SELECT doc_id, 'over_budget' AS fate FROM s4
                 WHERE doc_id NOT IN (SELECT doc_id FROM kept)
       UNION ALL SELECT doc_id, 'kept' AS fate FROM kept
