@@ -63,3 +63,15 @@ def test_planted_classes_land_where_planted(spark):
     tagged = {d: f for d, f in fates.items() if d % 10 == 3}
     assert "contaminated" in set(tagged.values())
     assert not {f for f in tagged.values()} & {"kept", "over_budget"}
+
+
+def test_pipeline_oracle_materializes_stage_ctes():
+    """DuckDB 1.0 inlines multi-referenced CTEs; without MATERIALIZED
+    the fate union re-expands the corpus-wide quality aggregations
+    once per branch and the sf1 oracle spills past the disk (70+ GB
+    observed). Pin the keyword so an oracle edit can't silently
+    reintroduce the blowup."""
+    from parsedmarc_go_spark.plans import ORACLES
+
+    sql = ORACLES["curation_pipeline"]
+    assert sql.count("AS MATERIALIZED") >= 15
