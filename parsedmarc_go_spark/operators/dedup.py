@@ -270,6 +270,7 @@ def containment_pairs_prefix(
     threshold: float = 0.8,
     broadcast_small_sides: bool = False,
     max_broadcast_docs: int | None = 100_000,
+    max_broadcast_bytes: int = 256 << 20,
 ) -> DataFrame:
     """ngram_containment_pairs at scale: PREFIX-FILTERED candidate
     generation (the All-Pairs/PPJoin prefix + positional filters —
@@ -318,21 +319,41 @@ def containment_pairs_prefix(
     per-doc verify sets into the candidate stream — the right plan at
     every test SF, where a closed vocabulary makes the CANDIDATE
     stream (Σdf² collisions) the big side and the set table tiny.
-    Both broadcasts scale with corpus doc count, and F.broadcast
-    bypasses autoBroadcastJoinThreshold, so the flag is guarded:
-    corpora over ``max_broadcast_docs`` input docs (counted — one
-    cheap eager pass; pass None to skip) fall back to the shuffle
-    path instead of silently OOMing a caller who left the flag on at
-    scale. In the shuffle path the bounded sides are the build sides
+    Both broadcasts scale with corpus doc count AND per-doc set size,
+    and F.broadcast bypasses autoBroadcastJoinThreshold, so the flag
+    is guarded on an estimated broadcast BYTE size, not just a row
+    count (ADVICE r12: 90k very long documents pass a pure doc-count
+    guard yet their verify-set table can still OOM the driver): the
+    probe reads at most ``max_broadcast_docs + 1`` docs (a real
+    limit(N+1), so at corpus scale it reads ~N rows instead of 100 TB
+    of footers) and sums their token counts — tokens bound distinct
+    shingles from above, and each distinct shingle costs one 8-byte
+    xxhash64 long (plus array overhead) in the per-doc verify sets.
+    Over ``max_broadcast_docs`` docs OR over ``max_broadcast_bytes``
+    estimated set bytes, the flag falls back to the shuffle path
+    instead of silently OOMing a caller who left it on at scale.
+    Callers whose corpus is KNOWN bounded (the benched test-SF gates)
+    pass ``max_broadcast_docs=None`` to skip the probe job entirely.
+    In the shuffle path the bounded sides are the build sides
     of shuffled hash joins: prefixes against the corpus index, then
     the candidate stream against each per-doc set frame."""
     from pyspark.sql import Window
 
     if broadcast_small_sides and max_broadcast_docs is not None:
-        # threshold probe, not a full count: limit(N+1) short-circuits
-        # the scan once N+1 rows exist, so at corpus scale the guard
-        # reads ~max_broadcast_docs rows instead of 100 TB of footers
-        if docs.limit(max_broadcast_docs + 1).count() > max_broadcast_docs:
+        probe = (
+            docs.limit(max_broadcast_docs + 1)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.size(F.split(F.col("text"), " "))).alias("toks"),
+            )
+            .first()
+        )
+        # ~12 B per token in the broadcast set table: an 8-byte hash
+        # long + UnsafeArrayData word alignment/offsets. Token count
+        # over-counts DISTINCT shingles, so the estimate only errs
+        # toward the safe (shuffle) side.
+        est_bytes = int(probe["toks"] or 0) * 12
+        if probe["n"] > max_broadcast_docs or est_bytes > max_broadcast_bytes:
             broadcast_small_sides = False
 
     index = _shingle_index(docs, id_col, n).select(

@@ -1406,14 +1406,20 @@ def quality_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                       whose 60-value windows overlap 59/60 for
 #                       blocks 59 apart — a quadratic near-dup blowup
 #                       from sf0.1 up (126k pairs);
-#   doc_id % 10 == 3  → eval-phrase variant doc_id % 8 appended → a
-#                       guaranteed shared 8-gram with the bench docs
-#                       carrying that variant. Variants exist because
-#                       ONE global phrase made every class-3 doc
-#                       collide in the same MinHash buckets (4M
-#                       candidate pairs at sf1 for 399 true pairs);
-#                       1/8 of the docs per variant keeps the verify
-#                       fan-in bounded without touching recall;
+#   doc_id % 10 == 3  → eval-phrase variant (doc_id // 10) % 8
+#                       appended → a guaranteed shared 8-gram with the
+#                       bench docs carrying that variant. Variants
+#                       exist because ONE global phrase made every
+#                       class-3 doc collide in the same MinHash
+#                       buckets (4M candidate pairs at sf1 for 399
+#                       true pairs); 1/8 of the docs per variant keeps
+#                       the verify fan-in bounded without touching
+#                       recall. The key is (doc_id // 10) % 8, NOT
+#                       doc_id % 8 (ADVICE r12): class-3 ids are
+#                       10m+3 — odd — so doc_id % 8 only ever hits
+#                       {1,3,5,7} (four variants at 1/4 density, even
+#                       variants never planted), while doc_id // 10
+#                       spans every residue;
 #   otherwise         → the document's own text (organic quality fails,
 #                       near-dup pairs, and incidental 8-gram overlaps
 #                       stay in — both engines see the same ones).
@@ -1433,7 +1439,7 @@ _PIPELINE_ORACLE = f"""
             || CASE WHEN doc_id % 20 = 2 THEN ' ua' ELSE ' ub' END
           WHEN doc_id % 10 = 3 THEN text || ' ' ||
             array_to_string(list_transform(range(0, 8),
-              i -> 'e' || CAST(doc_id % 8 AS VARCHAR) || CAST(i AS VARCHAR)), ' ')
+              i -> 'e' || CAST((doc_id // 10) % 8 AS VARCHAR) || CAST(i AS VARCHAR)), ' ')
           ELSE text
         END AS text
       FROM documents),
@@ -1556,7 +1562,7 @@ def _pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(d % 20 == 2, F.lit(" ua")).otherwise(F.lit(" ub")),
             ),
         )
-        .when(d % 10 == 3, F.concat(F.col("text"), F.lit(" "), phrase("doc_id % 8")))
+        .when(d % 10 == 3, F.concat(F.col("text"), F.lit(" "), phrase("(doc_id div 10) % 8")))
         .otherwise(F.col("text"))
     )
     return docs.select("doc_id", "source", "n_chars", itext.alias("text"))

@@ -794,11 +794,15 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent. See operators/dedup.py::containment_pairs_prefix.
     broadcast_small_sides=True is the bench-scale posture (prefix rows
     and per-doc sets comfortably fit the 64 MB budget at every test
-    SF)."""
+    SF); max_broadcast_docs=None skips the guard's probe job — the
+    gate corpus is the test-SF documents table, known bounded (ADVICE
+    r12)."""
     from parsedmarc_go_spark.operators.dedup import containment_pairs_prefix
 
     t = _containment_corpus(spark, sf_dir)
-    return containment_pairs_prefix(t, threshold=0.8, broadcast_small_sides=True)
+    return containment_pairs_prefix(
+        t, threshold=0.8, broadcast_small_sides=True, max_broadcast_docs=None
+    )
 
 
 @query("dedup_keep_best_containment_prefix", oracle=_KEEP_CONTAINMENT_ORACLE)
@@ -817,6 +821,11 @@ def dedup_keep_best_containment_prefix(spark: SparkSession, sf_dir: str) -> Data
     )
 
     t = _containment_corpus(spark, sf_dir)
+    # max_broadcast_docs=None: known-bounded gate corpus — skip the
+    # guard probe job the r12 bench paid +~0.08 s for (ADVICE r12)
     return containment_keep(
-        t, containment_pairs_prefix(t, threshold=0.8, broadcast_small_sides=True)
+        t,
+        containment_pairs_prefix(
+            t, threshold=0.8, broadcast_small_sides=True, max_broadcast_docs=None
+        ),
     )

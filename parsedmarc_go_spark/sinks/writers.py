@@ -470,10 +470,17 @@ def pretty_json_reports(
     arrival-order. Pass ingest()'s frames (or any narrow derivation
     of them) directly."""
     if kind == "aggregate":
+        # records key on the FULL natural key the report sort
+        # disambiguates by — (org_name, report_id, begin_date) — so
+        # two reports sharing org/report_id with different date
+        # ranges each get only their own records instead of silently
+        # rendering the merged set (ADVICE r12)
         recs_by_key: dict[tuple, list[dict]] = {}
         for row in (records.toLocalIterator() if records is not None else []):
             d = row.asDict(recursive=True)
-            recs_by_key.setdefault((d["org_name"], d["report_id"]), []).append(d)
+            recs_by_key.setdefault(
+                (d["org_name"], d["report_id"], d["begin_date"]), []
+            ).append(d)
         reps = [r.asDict(recursive=True) for r in reports.toLocalIterator()]
         reps.sort(
             key=lambda d: (
@@ -483,7 +490,14 @@ def pretty_json_reports(
             )
         )
         return [
-            _go_json(_nest_aggregate(d, recs_by_key.get((d["org_name"], d["report_id"]), [])))
+            _go_json(
+                _nest_aggregate(
+                    d,
+                    recs_by_key.get(
+                        (d["org_name"], d["report_id"], d["begin_date"]), []
+                    ),
+                )
+            )
             for d in reps
         ]
     if kind == "forensic":

@@ -118,3 +118,36 @@ def test_containment_prefix_broadcast_guard_flips_to_shuffle(spark):
     wanted = containment_pairs_prefix(docs, broadcast_small_sides=True)
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(guarded) == key(wanted) and len(key(wanted)) > 0
+
+
+def test_containment_prefix_broadcast_guard_flips_on_bytes(spark):
+    """ADVICE r12 (low): the guard must flip on estimated broadcast
+    BYTES, not just doc count — a few very LONG documents pass a pure
+    doc-count threshold while their verify-set table (one hash long
+    per distinct shingle) can still OOM the driver. A 20-doc corpus
+    of ~50k-token documents (≈ 20·50k·12 B ≈ 12 MB estimate) under a
+    1 MB byte budget must take the shuffle path even though the doc
+    count is far below max_broadcast_docs."""
+    spark.catalog.clearCache()
+    from parsedmarc_go_spark.operators.dedup import containment_pairs_prefix
+
+    long_text = " ".join(f"tok{i % 997}x{i % 31}" for i in range(50_000))
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} starts {long_text}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    guarded = containment_pairs_prefix(
+        docs,
+        broadcast_small_sides=True,
+        max_broadcast_docs=1000,
+        max_broadcast_bytes=1 << 20,
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    # under the default byte budget the same corpus broadcasts
+    free = containment_pairs_prefix(
+        docs, broadcast_small_sides=True, max_broadcast_docs=1000
+    )
+    assert "BroadcastHashJoin" in (
+        free._jdf.queryExecution().executedPlan().toString()
+    )

@@ -288,8 +288,11 @@ def test_execute_ddl_forwards_credentials(spark, tmp_path):
         pass  # shutdown signals success via SQLException by contract
 
     url = f"jdbc:derby:{tmp_path}/auth_db"
-    # negative: uncredentialed DDL connection is refused
-    with pytest.raises(Exception):
+    # negative: uncredentialed DDL connection is refused — match the
+    # Derby auth rejection specifically (SQLState 08004 "Connection
+    # authentication failure"), so a driver-not-registered / bad-URL /
+    # generic Py4J failure can't satisfy this assertion (ADVICE r12)
+    with pytest.raises(Exception, match="08004|[Aa]uthentication"):
         execute_ddl(spark, url, "CREATE TABLE t_anon (x INTEGER)", DERBY_DRIVER)
     # positive: credentialed DDL + credentialed write land
     execute_ddl(

@@ -174,3 +174,56 @@ def test_pretty_report_order_is_plan_independent(spark):
         for doc in (json.loads(b) for b in blocks)
     ]
     assert keys == sorted(keys) and len(keys) > 1
+
+
+def test_pretty_records_keyed_by_full_natural_key(spark):
+    """ADVICE r12: two reports sharing (org_name, report_id) but
+    covering DIFFERENT date ranges must each render only their own
+    records — a (org, report_id)-keyed record map silently gives both
+    reports the merged record set."""
+    from datetime import datetime
+
+    from parsedmarc_go_spark.schemas import (
+        AGGREGATE_RECORDS_SCHEMA,
+        AGGREGATE_REPORTS_SCHEMA,
+    )
+
+    t1 = datetime(2024, 1, 1)
+    t2 = datetime(2024, 2, 1)
+
+    def report(begin):
+        d = {f.name: None for f in AGGREGATE_REPORTS_SCHEMA.fields}
+        d.update(org_name="acme", report_id="rid-1", begin_date=begin, end_date=begin)
+        return d
+
+    # the ingest records frame carries the policy_evaluated columns on
+    # top of the base schema
+    import pyspark.sql.types as T
+
+    rec_schema = T.StructType(
+        list(AGGREGATE_RECORDS_SCHEMA.fields)
+        + [
+            T.StructField("policy_eval_dkim", T.StringType(), True),
+            T.StructField("policy_eval_spf", T.StringType(), True),
+        ]
+    )
+
+    def record(begin, ip):
+        d = {f.name: None for f in rec_schema.fields}
+        d.update(
+            org_name="acme", report_id="rid-1", begin_date=begin,
+            source_ip_address=ip, count=1,
+        )
+        return d
+
+    reports = spark.createDataFrame(
+        [report(t1), report(t2)], AGGREGATE_REPORTS_SCHEMA
+    )
+    records = spark.createDataFrame(
+        [record(t1, "10.0.0.1"), record(t2, "10.0.0.2")], rec_schema
+    )
+    blocks = pretty_json_reports("aggregate", reports, records)
+    assert len(blocks) == 2
+    jan, feb = (json.loads(b) for b in blocks)  # natural-key sort: t1 first
+    assert [r["source"]["ip_address"] for r in jan["records"]] == ["10.0.0.1"]
+    assert [r["source"]["ip_address"] for r in feb["records"]] == ["10.0.0.2"]
