@@ -749,6 +749,56 @@ def corpus_delta(
     )
 
 
+def _hadoop_path(spark, path: str):
+    """(FileSystem, Path) through the JVM Hadoop API, so checkpoint
+    resume works identically on file://, hdfs:// and s3a:// — an
+    os.path probe would silently break every non-local scheme."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _hadoop_success_exists(spark, path: str) -> bool:
+    """A stage boundary counts as complete only when the commit
+    protocol's ``_SUCCESS`` marker exists — the committer writes it
+    LAST, so a write that died mid-flight is re-run, never trusted."""
+    fs, hpath = _hadoop_path(spark, path + "/_SUCCESS")
+    return bool(fs.exists(hpath))
+
+
+def _validate_or_write_manifest(spark, checkpoint_dir: str, params: dict) -> None:
+    """Pin the pipeline parameters to the checkpoint directory: a
+    resume with different thresholds would silently splice two
+    configurations (early stages from the old run, late stages from
+    the new) — refuse instead. First run writes the manifest."""
+    import json
+
+    blob = json.dumps(params, sort_keys=True)
+    fs, hpath = _hadoop_path(spark, checkpoint_dir + "/manifest.json")
+    if fs.exists(hpath):
+        jvm = spark.sparkContext._jvm
+        stream = fs.open(hpath)
+        try:
+            existing = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        if json.loads(existing) != params:
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir} was written with different "
+                f"pipeline parameters ({existing}); resuming with "
+                f"{blob} would mix configurations — use a fresh directory"
+            )
+        return
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(blob.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def curation_pipeline(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -760,6 +810,7 @@ def curation_pipeline(
     min_docs: int = 1,
     quality_thresholds: dict | None = None,
     checkpoint_stages: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The composed end-to-end pretraining-curation pipeline — the
     workflow a 100 TB run actually executes, proving the individual
@@ -807,14 +858,47 @@ def curation_pipeline(
     EAGER: each stage boundary materializes exactly once, at build
     time — lazy checkpoints measured ~3× slower because the fate
     union's six branches race to materialize the same boundary RDD
-    inside one job. At true corpus scale replace with reliable
-    checkpoints to parquet between stages (pipelines there are
-    restartable by contract, not cache-resident — and localCheckpoint
-    does not survive executor loss)."""
+    inside one job.
+
+    ``checkpoint_dir`` is the corpus-scale RELIABLE-checkpoint mode
+    (VERDICT r12 task 4 — localCheckpoint does not survive executor
+    loss; 100 TB pipelines are restartable by contract, not
+    cache-resident): every stage boundary writes to
+    ``<checkpoint_dir>/<stage>`` as parquet, gated on the write
+    committer's ``_SUCCESS`` marker, and a RERUN over the same
+    directory resumes from the last COMPLETE stage — completed
+    boundaries are read back, not recomputed; a boundary whose write
+    died mid-flight has no ``_SUCCESS`` and is rewritten (the
+    committer writes the marker last, so this is crash-safe on any
+    Hadoop filesystem, checked through the JVM FileSystem API — not
+    os.path — so s3a:///hdfs:// paths resume the same way). Every
+    stage is deterministic (hash-ordered budget, min-id winners), so
+    resume-after-kill equals the single-shot run byte-for-byte
+    (pinned in test_curation_pipeline). A parameter manifest is
+    written alongside and VALIDATED on resume — resuming with changed
+    thresholds against stale boundaries raises instead of silently
+    mixing two configurations. Input identity is the caller's
+    contract, as with Structured Streaming checkpoint dirs: point a
+    new corpus at a fresh directory."""
     from parsedmarc_go_spark.functions.text import normalized_text
     from parsedmarc_go_spark.operators.dedup import minhash_lsh_pairs
 
-    def _maybe_persist(df: DataFrame) -> DataFrame:
+    spark = corpus.sparkSession
+    if checkpoint_dir is not None:
+        params = {
+            "strata_col": strata_col, "size_col": size_col,
+            "budget": budget, "jaccard_threshold": jaccard_threshold,
+            "decontam_n": decontam_n, "min_docs": min_docs,
+            "quality_thresholds": quality_thresholds or {},
+        }
+        _validate_or_write_manifest(spark, checkpoint_dir, params)
+
+    def _boundary(df: DataFrame, stage: str) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/{stage}"
+            if not _hadoop_success_exists(spark, path):
+                df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
         return df.localCheckpoint(eager=True) if checkpoint_stages else df
 
     # every stage is CPU-heavy text work (token stats, shingling,
@@ -826,23 +910,28 @@ def curation_pipeline(
     # so its output IS the stored partitioning for every later stage,
     # and the coalescer folds a compact text corpus to ONE partition
     # (measured: every CPU stage ran serial).
-    sc = corpus.sparkSession.sparkContext
-    if checkpoint_stages and corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+    sc = spark.sparkContext
+    if (
+        (checkpoint_stages or checkpoint_dir is not None)
+        and corpus.rdd.getNumPartitions() < sc.defaultParallelism
+    ):
         corpus = corpus.repartition(sc.defaultParallelism, F.col("doc_id"))
-    corpus = _maybe_persist(corpus)
+    corpus = _boundary(corpus, "s0_corpus")
     q = gopher_quality_filter(corpus, **(quality_thresholds or {}))
     # q_fail checkpoints like every other drop frame: its fate branch
     # would otherwise re-run the whole quality subtree (including the
     # corpus-wide repetition bigram aggregation) a second time at
     # union-collect time
-    q_fail = _maybe_persist(
+    q_fail = _boundary(
         q.filter(~F.col("keep")).select(
             "doc_id",
             F.concat(F.lit("quality:"), F.col("fail_reason")).alias("fate"),
-        )
+        ),
+        "d1_quality_fates",
     )
-    s1 = _maybe_persist(
-        corpus.join(q.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    s1 = _boundary(
+        corpus.join(q.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"),
+        "s1_quality",
     )
 
     # the DROP frames checkpoint too: each one is consumed twice (the
@@ -852,32 +941,34 @@ def curation_pipeline(
     # end-to-end wall. The frames themselves are tiny (one id column).
     fp = s1.select("doc_id", F.sha2(normalized_text("text"), 256).alias("__fp"))
     winners = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep"))
-    exact_dups = _maybe_persist(
+    exact_dups = _boundary(
         fp.join(winners, "__fp")
         .filter(F.col("doc_id") != F.col("__keep"))
-        .select("doc_id")
+        .select("doc_id"),
+        "d2_exact_dups",
     )
-    s2 = _maybe_persist(s1.join(exact_dups, "doc_id", "left_anti"))
+    s2 = _boundary(s1.join(exact_dups, "doc_id", "left_anti"), "s2_exact")
 
     dec = ngram_decontaminate(s2, benchmark, n=decontam_n)
-    contaminated = _maybe_persist(
-        dec.filter(F.col("n_overlap") >= 1).select("doc_id")
+    contaminated = _boundary(
+        dec.filter(F.col("n_overlap") >= 1).select("doc_id"), "d3_contaminated"
     )
-    s3 = _maybe_persist(s2.join(contaminated, "doc_id", "left_anti"))
+    s3 = _boundary(s2.join(contaminated, "doc_id", "left_anti"), "s3_decontam")
 
     pairs = minhash_lsh_pairs(s3, threshold=jaccard_threshold)
-    near = _maybe_persist(
-        pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    near = _boundary(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "d4_near_dups"
     )
-    s4 = _maybe_persist(s3.join(near, "doc_id", "left_anti"))
+    s4 = _boundary(s3.join(near, "doc_id", "left_anti"), "s4_neardup")
 
     # kept is consumed by both the over_budget anti-join and its own
     # fate branch — checkpoint so the budget sort+window over s4 runs
     # once, not once per consumer
-    kept = _maybe_persist(
+    kept = _boundary(
         sample_token_budget(
             s4, strata_col, size_col, budget, min_docs=min_docs
-        ).select("doc_id")
+        ).select("doc_id"),
+        "d5_kept",
     )
     over = s4.join(kept, "doc_id", "left_anti").select("doc_id")
 

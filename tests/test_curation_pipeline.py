@@ -75,3 +75,89 @@ def test_pipeline_oracle_materializes_stage_ctes():
 
     sql = ORACLES["curation_pipeline"]
     assert sql.count("AS MATERIALIZED") >= 15
+
+
+def _pipeline_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from parsedmarc_go_spark.plans.curation import _pipeline_corpus
+
+    t = _pipeline_corpus(spark, SF)
+    return (
+        t.filter(F.col("doc_id") % 50 != 0),
+        t.filter(F.col("doc_id") % 50 == 0),
+    )
+
+
+_PIPE_KW = dict(budget=2000, quality_thresholds={"max_mean_word_len": 4.5})
+
+_STAGES = [
+    "s0_corpus", "d1_quality_fates", "s1_quality", "d2_exact_dups",
+    "s2_exact", "d3_contaminated", "s3_decontam", "d4_near_dups",
+    "s4_neardup", "d5_kept",
+]
+
+
+def test_checkpoint_dir_resume_equals_single_shot(spark, tmp_path):
+    """VERDICT r12 task 4: the reliable-checkpoint mode. A run killed
+    between stages and rerun over the same checkpoint_dir must (a)
+    REUSE every completed stage boundary — the parquet bytes on disk
+    stay untouched — and (b) produce fates byte-equal to a
+    single-shot run with no checkpointing at all."""
+    import os
+
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    corpus, bench = _pipeline_inputs(spark)
+    fate_key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+
+    single_shot = fate_key(curation_pipeline(corpus, bench, **_PIPE_KW))
+
+    ckpt = str(tmp_path / "ckpt")
+    full = fate_key(
+        curation_pipeline(corpus, bench, checkpoint_dir=ckpt, **_PIPE_KW)
+    )
+    assert full == single_shot
+    for stage in _STAGES:
+        assert os.path.exists(f"{ckpt}/{stage}/_SUCCESS"), stage
+
+    # simulate a kill between the decontamination and near-dup stages:
+    # later boundaries vanish (or, equivalently, never got _SUCCESS)
+    import shutil
+
+    for stage in ("d4_near_dups", "s4_neardup", "d5_kept"):
+        shutil.rmtree(f"{ckpt}/{stage}")
+    # a mid-flight write with no _SUCCESS must be treated as absent
+    os.makedirs(f"{ckpt}/d5_kept")
+    open(f"{ckpt}/d5_kept/part-00000.parquet", "w").close()
+
+    def mtimes(stage):
+        d = f"{ckpt}/{stage}"
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    before = {s: mtimes(s) for s in _STAGES[:7]}
+    resumed = fate_key(
+        curation_pipeline(corpus, bench, checkpoint_dir=ckpt, **_PIPE_KW)
+    )
+    assert resumed == single_shot
+    # completed boundaries were READ, not recomputed/rewritten
+    assert {s: mtimes(s) for s in _STAGES[:7]} == before
+    assert os.path.exists(f"{ckpt}/d4_near_dups/_SUCCESS")
+    assert os.path.exists(f"{ckpt}/d5_kept/_SUCCESS")
+
+
+def test_checkpoint_dir_refuses_parameter_drift(spark, tmp_path):
+    """Resuming a checkpoint directory with different pipeline
+    parameters would splice two configurations — must raise."""
+    import pytest
+
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    corpus, bench = _pipeline_inputs(spark)
+    ckpt = str(tmp_path / "ckpt2")
+    curation_pipeline(corpus, bench, checkpoint_dir=ckpt, **_PIPE_KW).collect()
+    with pytest.raises(ValueError, match="different pipeline parameters"):
+        curation_pipeline(
+            corpus, bench, checkpoint_dir=ckpt, budget=999,
+            quality_thresholds={"max_mean_word_len": 4.5},
+        )
