@@ -152,15 +152,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_JACCARD_ORACLE = """
     WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id AS doc,
              unnest(list_distinct(CASE WHEN len(toks) >= 3
                THEN list_transform(generate_series(1, len(toks) - 2),
                                    i -> array_to_string(toks[i:i+2], ' '))
                ELSE [] END)) AS shingle
       FROM d),
-    n AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
-    p AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
+    n AS MATERIALIZED (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    p AS MATERIALIZED (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
           GROUP BY 1, 2)
     SELECT p.da AS doc_a, p.db AS doc_b,
@@ -499,9 +499,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_components",
+    # pairs/edges are MATERIALIZED (r12 pipeline-oracle treatment,
+    # VERDICT r12 task 3): DuckDB inlines multi-referenced CTEs, so the
+    # un-hinted form re-ran the whole Σdf² pair computation once per
+    # reference — edges alone reads pairs twice, and every recursive
+    # iteration of reach re-touched the inlined edges subtree. The sf1
+    # sweep paid 700 s for what is a ~bounded closure over a small
+    # near-dup graph.
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE.format(thr=0.6)}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_JACCARD_ORACLE.format(thr=0.6)}),
+    edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs),
@@ -552,8 +559,8 @@ def dedup_cluster_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin is value-compared against this same SQL in pytest instead
 # (test_dedup.py::test_keep_best_exact_matches_oracle).
 _KEEP_BEST_ORACLE = f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE.format(thr=0.6)}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_JACCARD_ORACLE.format(thr=0.6)}),
+    edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs),
@@ -561,8 +568,8 @@ _KEEP_BEST_ORACLE = f"""
       SELECT a, b FROM edges
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-    lbl AS (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
-    q AS (
+    lbl AS MATERIALIZED (SELECT a AS doc, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+    q AS MATERIALIZED (
       SELECT doc_id,
              CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
              CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) AS nd,

@@ -11,9 +11,34 @@ matching the reference's PrepareBatch/append loop semantics.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_BATCH_SIZE = 10_000
+
+DUCKDB_DRIVER = "org.duckdb.DuckDBDriver"
+
+
+def find_duckdb_jdbc_jar() -> str | None:
+    """Locate a duckdb_jdbc driver jar in the machine's local artifact
+    caches (this sandbox has no network, but a cached jar may exist) —
+    the second-engine leg of the K4 dialect proof (VERDICT r12 task 7:
+    the same five-table DDL + insert + read-back must pass against a
+    NON-Derby target, or the ANSI translation is Derby-shaped without
+    anyone knowing). Returns None when absent so tests skip cleanly.
+    The jar must be on the DRIVER's system classpath
+    (spark.driver.extraClassPath at session build) — spark.jars loads
+    into Spark's application classloader, which java.sql.DriverManager
+    called over py4j does not see."""
+    for root in ("~/.cache/coursier", "~/.m2", "~/.ivy2", "~/.gradle"):
+        hits = glob.glob(
+            os.path.expanduser(f"{root}/**/duckdb_jdbc-*.jar"), recursive=True
+        )
+        if hits:
+            return sorted(hits)[-1]
+    return None
 
 
 def jdbc_driver_available(spark: SparkSession, driver: str) -> bool:
@@ -188,22 +213,38 @@ TABLE_FOR_FRAME: dict[str, str] = {
 }
 
 
-def ansi_ddl(df: DataFrame, table: str) -> str:
+# Per-driver unbounded-string column type (ADVICE/VERDICT r12: prove
+# the ANSI translation isn't Derby-shaped). Derby NEEDS CLOB — Spark's
+# JDBC writer sends StringType as a CLOB parameter there, and a VARCHAR
+# target column makes that a type-mismatch error. DuckDB has no CLOB
+# type at all ("Catalog Error: Type with name CLOB does not exist",
+# probed) — its unbounded string is VARCHAR. Unknown drivers get CLOB,
+# the stricter ANSI choice.
+STRING_TYPE_FOR_DRIVER: dict[str, str] = {
+    "org.apache.derby.jdbc.EmbeddedDriver": "CLOB",
+    "org.apache.derby.iapi.jdbc.AutoloadedDriver": "CLOB",
+    "org.duckdb.DuckDBDriver": "VARCHAR",
+}
+
+
+def ansi_ddl(df: DataFrame, table: str, driver: str | None = None) -> str:
     """CREATE TABLE for an array-less ANSI target, derived from the
     frame's own schema (so it can never drift from what the writer
-    emits): arrays -> JSON text, strings -> CLOB (what Spark's own
-    JDBC dialects emit for StringType — a VARCHAR target column makes
-    the writer's CLOB parameter a type-mismatch error on Derby),
-    boolean/int/bigint/timestamp native. The ClickHouse-only clauses
-    (ENGINE, PARTITION BY, bloom INDEX) have no ANSI equivalent and are
-    represented by the Parquet physical design instead (storage.py)."""
+    emits): arrays -> JSON text, strings -> the driver's unbounded
+    string type (STRING_TYPE_FOR_DRIVER — CLOB on Derby, VARCHAR on
+    DuckDB), boolean/int/bigint/timestamp native. The ClickHouse-only
+    clauses (ENGINE, PARTITION BY, bloom INDEX) have no ANSI
+    equivalent and are represented by the Parquet physical design
+    instead (storage.py)."""
     from pyspark.sql import types as T
+
+    string_type = STRING_TYPE_FOR_DRIVER.get(driver, "CLOB")
 
     def sql_type(dt: T.DataType) -> str:
         if isinstance(dt, T.ArrayType):
-            return "CLOB"
+            return string_type
         if isinstance(dt, T.StringType):
-            return "CLOB"
+            return string_type
         if isinstance(dt, T.BooleanType):
             return "BOOLEAN"
         if isinstance(dt, T.IntegerType):
@@ -301,7 +342,7 @@ def store_reports_jdbc(
             ddl = (
                 CLICKHOUSE_DDL[table]
                 if native_arrays
-                else ansi_ddl(out, table)
+                else ansi_ddl(out, table, driver=driver)
             )
             execute_ddl(
                 df.sparkSession,
