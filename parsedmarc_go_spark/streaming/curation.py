@@ -151,3 +151,326 @@ def stream_curation(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# --- the composed pipeline's streaming twin (round 13) ---------------------
+
+PIPELINE_FATES_TABLE = "pipeline_fates"
+_BUDGET_TABLE = "budget_state"
+
+
+def _budget_path(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "budget", _BUDGET_TABLE)
+
+
+def _read_budget_state(
+    spark: SparkSession, store_dir: str, strata_col: str,
+    exclude_batch_id: int | None = None,
+):
+    """Merged per-stratum budget totals (``spent`` chars of kept docs,
+    ``n_kept`` kept docs), or None before the first batch lands.
+    ``exclude_batch_id`` is the replay-idempotence filter — a re-run
+    of batch N must see the counters exactly as the first run did."""
+    from parsedmarc_go_spark.streaming.dedup import _hadoop_fs
+
+    path = _budget_path(store_dir)
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    df = spark.read.parquet(path)
+    if exclude_batch_id is not None:
+        df = df.filter(F.col("__batch_id") != exclude_batch_id)
+    return df.groupBy(strata_col).agg(
+        F.sum("chars_kept").alias("__spent"),
+        F.sum("docs_kept").alias("__prior_kept"),
+    )
+
+
+def make_curation_pipeline_processor(
+    out_dir: str,
+    store_dir: str,
+    benchmark: DataFrame,
+    strata_col: str = "source",
+    size_col: str = "n_chars",
+    budget: int = 2000,
+    jaccard_threshold: float = 0.7,
+    decontam_n: int = 8,
+    min_docs: int = 1,
+    quality_thresholds: dict | None = None,
+    n_buckets: int | None = None,
+    broadcast_probe_max_keys: int | None = None,
+):
+    """foreachBatch body for the STREAMING twin of the composed batch
+    curation pipeline (operators/curation.py::curation_pipeline,
+    VERDICT r12 task 6): every arriving document gets the same
+    five-stage fate — quality → exact dedup → decontamination →
+    near-dup → per-stratum budget — against PERSISTED incremental
+    state instead of a one-shot corpus:
+
+    - exact / near-dup history live in the bucketed fingerprint-store
+      layout of streaming/dedup.py (``<store_dir>/exact`` holds
+      normalized-text sha256 digests of retained representatives,
+      ``<store_dir>/minhash`` the banded MinHash bucket keys of
+      near-dup survivors — only SURVIVORS append, the streaming-dedup
+      store rule);
+    - the benchmark n-gram set is computed once at processor build and
+      cached (the stream-static pattern of make_curation_processor);
+    - budget state is an additive per-stratum counter table
+      (``chars_kept, docs_kept`` partials per ``__batch_id`` — the
+      aggstore SUM-monoid pattern, replay-idempotent by partition
+      overwrite + exclude-own-batch reads).
+
+    STREAM == BATCH PARITY AND ITS BOUNDS (pinned in
+    tests/test_streaming_curation.py): quality and decontamination are
+    per-document math against fixed references — parity is exact,
+    trigger split never matters. The dedup and budget stages are
+    order-dependent, and the streaming semantics are ARRIVAL-order
+    greedy: exact keeps the FIRST-SEEN representative (batch keeps the
+    min doc_id — identical when ids arrive ascending), near-dup drops
+    an arrival whose bands collide with retained history
+    (band-collision only, NO verify — history stores 16 fixed-width
+    keys per doc, not text) plus the batch rule (drop ``doc_b`` of
+    every verified pair) within the trigger. The near-dup divergence
+    direction is therefore EXTRA drops: a cross-trigger arrival whose
+    true Jaccard sits below the threshold can still band-collide with
+    a retained doc and drop (at b=16/r=2 the per-band collision
+    probability is j², so sub-threshold pairs at j≈0.4-0.7 usually DO
+    collide, while unrelated docs miss at ~1e-5) — pinned as a
+    deliberate divergence case in tests. The opposite (greedy-online
+    chain survivor, streaming/dedup.py's ⌈L/2⌉ bound) needs an
+    arrival's bands to miss EVERY retained doc, which the same S-curve
+    makes rare here; budget admits in arrival order within
+    the carried per-stratum totals (batch orders globally by the md5
+    hash key — identical when triggers arrive in hash order, and
+    deliberately NOT re-ordered online: online admission must be
+    stable, a kept doc is never evicted by a later smaller-hash
+    arrival)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from parsedmarc_go_spark.functions.text import normalized_text
+    from parsedmarc_go_spark.operators.curation import (
+        _hash_order_key,
+        gopher_quality_filter,
+    )
+    from parsedmarc_go_spark.operators.dedup import (
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+    )
+    from parsedmarc_go_spark.streaming.dedup import (
+        DEFAULT_BROADCAST_PROBE_MAX_KEYS,
+        DEFAULT_STORE_BUCKETS,
+        _read_meta_dict,
+        _write_store,
+        _write_store_meta,
+        probe_store,
+        read_fingerprints,
+    )
+
+    n_buckets = DEFAULT_STORE_BUCKETS if n_buckets is None else n_buckets
+    max_bcast = (
+        DEFAULT_BROADCAST_PROBE_MAX_KEYS
+        if broadcast_probe_max_keys is None
+        else broadcast_probe_max_keys
+    )
+    bench_ngrams = benchmark_ngrams(benchmark, decontam_n).cache()
+
+    def _ensure_store(spark: SparkSession, sub: str) -> tuple[str, int]:
+        d = os.path.join(store_dir, sub)
+        meta = _read_meta_dict(spark, d)
+        if meta is None:
+            _write_store_meta(spark, d, n_buckets)
+            return d, n_buckets
+        return d, int(meta["n_buckets"])
+
+    def _probe(spark, sub_dir, buckets, keys, batch_id):
+        """store ∩ keys, batch-bounded, replay-safe, checkpointed
+        before the store append that follows it."""
+        seen_full = read_fingerprints(spark, sub_dir, exclude_batch_id=batch_id)
+        n_keys = keys.count()
+        return probe_store(
+            seen_full, keys, buckets, broadcast_probe=n_keys <= max_bcast
+        ).localCheckpoint()
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+
+        def hold(df: DataFrame) -> DataFrame:
+            # EAGER localCheckpoint, not persist: the batch pipeline's
+            # round-12 lesson holds per micro-batch too — persist()
+            # truncates re-execution but not Catalyst's analysis of the
+            # chained five-stage lineage, and the six-branch fate
+            # union's analyzed plan grew until the plan-string logger
+            # alone OOMed the driver heap. A checkpoint resets each
+            # boundary to a LogicalRDD; micro-batch frames are bounded
+            # so the extra materialization is noise.
+            return df.localCheckpoint(eager=True)
+
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            batch = hold(batch)
+
+            # 1. quality — per-doc math, parity exact
+            q = gopher_quality_filter(batch, **(quality_thresholds or {}))
+            q_fail = hold(
+                q.filter(~F.col("keep")).select(
+                    "doc_id",
+                    F.concat(F.lit("quality:"), F.col("fail_reason")).alias("fate"),
+                )
+            )
+            s1 = hold(
+                batch.join(
+                    q.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+                )
+            )
+
+            # 2. exact dedup vs history + within-batch keep-first
+            exact_dir, eb = _ensure_store(spark, "exact")
+            fps = s1.select(
+                "doc_id", F.sha2(normalized_text("text"), 256).alias("ph")
+            )
+            e_keys = hold(fps.select("ph").distinct())
+            e_seen = _probe(spark, exact_dir, eb, e_keys, batch_id)
+            w = Window.partitionBy("ph").orderBy(F.col("doc_id"))
+            exact_dups = hold(
+                fps.join(
+                    e_seen.withColumn("__seen", F.lit(True)), "ph", "left"
+                )
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__seen").isNotNull() | (F.col("__rn") > 1))
+                .select("doc_id")
+            )
+            s2 = hold(s1.join(exact_dups, "doc_id", "left_anti"))
+            _write_store(
+                e_keys.join(e_seen, "ph", "left_anti"), exact_dir, batch_id, eb
+            )
+
+            # 3. decontamination — fixed broadcast reference, parity exact
+            dec = ngram_decontaminate(s2, n=decontam_n, bench_ngrams=bench_ngrams)
+            contaminated = hold(
+                dec.filter(F.col("n_overlap") >= 1).select("doc_id")
+            )
+            s3 = hold(s2.join(contaminated, "doc_id", "left_anti"))
+
+            # 4. near-dup: band collision vs survivor history, then the
+            # batch pipeline's per-pair rule (drop doc_b) within the batch
+            mh_dir, mb_ = _ensure_store(spark, "minhash")
+            sigs = hold(
+                minhash_band_signatures(s3, "doc_id").select(
+                    F.col("doc").alias("doc_id"),
+                    F.concat_ws(":", "band", "sig").alias("ph"),
+                )
+            )
+            m_keys = hold(sigs.select("ph").distinct())
+            m_seen = _probe(spark, mh_dir, mb_, m_keys, batch_id)
+            near_hist = hold(sigs.join(m_seen, "ph").select("doc_id").distinct())
+            remaining = hold(s3.join(near_hist, "doc_id", "left_anti"))
+            pairs = minhash_lsh_pairs(remaining, threshold=jaccard_threshold)
+            near_batch = hold(
+                pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+            )
+            s4 = hold(remaining.join(near_batch, "doc_id", "left_anti"))
+            new_mh = (
+                sigs.join(s4.select("doc_id"), "doc_id")
+                .select("ph")
+                .distinct()
+                .join(m_seen, "ph", "left_anti")
+            )
+            _write_store(new_mh, mh_dir, batch_id, mb_)
+
+            # 5. budget: arrival-order admission against carried totals
+            state = _read_budget_state(
+                spark, store_dir, strata_col, exclude_batch_id=batch_id
+            )
+            sized = s4
+            if state is not None:
+                sized = s4.join(state, strata_col, "left")
+            else:
+                sized = s4.withColumn("__spent", F.lit(None).cast("long")) \
+                          .withColumn("__prior_kept", F.lit(None).cast("long"))
+            order = Window.partitionBy(strata_col).orderBy(
+                _hash_order_key(sized), F.col("doc_id")
+            )
+            cum = (
+                F.sum(size_col).over(
+                    order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                + F.coalesce(F.col("__spent"), F.lit(0))
+            )
+            rn = (
+                F.row_number().over(order)
+                + F.coalesce(F.col("__prior_kept"), F.lit(0))
+            )
+            keep = (cum <= budget) | (rn <= min_docs)
+            decided = hold(
+                sized.withColumn("__keep", keep).select(
+                    "doc_id", strata_col, size_col, "__keep"
+                )
+            )
+            kept = decided.filter(F.col("__keep"))
+            over = decided.filter(~F.col("__keep"))
+            partial = kept.groupBy(strata_col).agg(
+                F.sum(size_col).cast("long").alias("chars_kept"),
+                F.count("*").alias("docs_kept"),
+            )
+            (
+                partial.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .parquet(_budget_path(store_dir))
+            )
+
+            lit = lambda s: F.lit(s).alias("fate")  # noqa: E731
+            fates = (
+                q_fail
+                .unionByName(exact_dups.select("doc_id", lit("exact_dup")))
+                .unionByName(contaminated.select("doc_id", lit("contaminated")))
+                .unionByName(near_hist.select("doc_id", lit("near_dup")))
+                .unionByName(near_batch.select("doc_id", lit("near_dup")))
+                .unionByName(over.select("doc_id", lit("over_budget")))
+                .unionByName(kept.select("doc_id", lit("kept")))
+            )
+            _write_table(fates, out_dir, PIPELINE_FATES_TABLE, batch_id)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return process_batch
+
+
+def stream_curation_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    benchmark: DataFrame,
+    schema=None,
+    max_files_per_trigger: int = 1000,
+    available_now: bool = True,
+    trigger_seconds: int | None = None,
+    **pipeline_kwargs,
+) -> StreamingQuery:
+    """readStream(parquet document shards) → the composed curation
+    pipeline per micro-batch → ``pipeline_fates`` table (one fate per
+    arriving document, the batch gate's row shape) with incremental
+    exact/near-dup/budget state under ``store_dir``."""
+    docs = (
+        spark.readStream.schema(schema or benchmark.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(landing_dir)
+    )
+    writer = docs.writeStream.foreachBatch(
+        make_curation_pipeline_processor(
+            out_dir, store_dir, benchmark, **pipeline_kwargs
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -108,3 +108,179 @@ def test_curation_processor_replay_idempotent(spark, tmp_path):
     proc(shard, 0)  # crash-and-replay of the same batch_id
     after = {t: _rows(read_stream_table(spark, out, t)) for t in tables}
     assert before == after
+
+
+# --- the composed pipeline's streaming twin (round 13) ---------------------
+
+_PIPE_KW = dict(quality_thresholds={"max_mean_word_len": 4.5})
+
+
+def _pipeline_inputs(spark):
+    from parsedmarc_go_spark.plans.curation import _pipeline_corpus
+
+    t = _pipeline_corpus(spark, SF_DIR)
+    return (
+        t.filter(F.col("doc_id") % 50 != 0),
+        t.filter(F.col("doc_id") % 50 == 0),
+    )
+
+
+def _stream_fates(spark, tmp_path, corpus, bench, splits, tag="", **kw):
+    """Drive the processor directly (the factored-out-foreachBatch
+    pattern) over successive trigger frames; return {doc_id: fate}."""
+    from parsedmarc_go_spark.streaming.curation import (
+        PIPELINE_FATES_TABLE,
+        make_curation_pipeline_processor,
+    )
+
+    out = str(tmp_path / f"pipe_out{tag}")
+    store = str(tmp_path / f"pipe_store{tag}")
+    proc = make_curation_pipeline_processor(out, store, bench, **kw)
+    for i, trigger in enumerate(splits):
+        proc(trigger, i)
+    fates = spark.read.parquet(os.path.join(out, PIPELINE_FATES_TABLE))
+    rows = fates.collect()
+    assert len(rows) == corpus.count()  # exactly one fate per doc
+    return {r.doc_id: r.fate for r in rows}, proc, out, store
+
+
+def test_stream_pipeline_two_trigger_parity(spark, tmp_path):
+    """VERDICT r12 task 6: the streaming twin's fates equal the batch
+    composed pipeline's over a two-trigger ascending-doc_id split of
+    the planted gate corpus — quality/exact/decontam/near-dup parity
+    is exact under that arrival order (see the processor docstring);
+    budget is neutralized (huge) here and pinned by its own ordered
+    test below."""
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    corpus, bench = _pipeline_inputs(spark)
+    big = 10**12
+    batch = {
+        r.doc_id: r.fate
+        for r in curation_pipeline(corpus, bench, budget=big, **_PIPE_KW).collect()
+    }
+    cut = 250
+    stream, proc, out, store = _stream_fates(
+        spark, tmp_path, corpus, bench,
+        [corpus.filter(F.col("doc_id") < cut), corpus.filter(F.col("doc_id") >= cut)],
+        budget=big, **_PIPE_KW,
+    )
+    assert stream == batch
+    # the planted classes all fired across the trigger boundary
+    fates = set(stream.values())
+    assert {"exact_dup", "near_dup", "contaminated", "kept"} <= fates
+    assert any(f.startswith("quality:") for f in fates)
+
+    # replay idempotence: re-running trigger 1 against the full stores
+    # must leave the fates and every store total unchanged
+    from parsedmarc_go_spark.streaming.curation import PIPELINE_FATES_TABLE
+
+    proc(corpus.filter(F.col("doc_id") < cut), 0)
+    fates2 = spark.read.parquet(os.path.join(out, PIPELINE_FATES_TABLE))
+    assert {r.doc_id: r.fate for r in fates2.collect()} == batch
+    ex = spark.read.parquet(os.path.join(store, "exact", "fingerprints"))
+    assert ex.count() == ex.select("ph").distinct().count()  # no dup appends
+
+
+def test_stream_pipeline_budget_parity_in_hash_order(spark, tmp_path):
+    """The budget stage's carried per-stratum counters equal the batch
+    window when arrival order matches the batch's md5-hash order —
+    the machinery-parity pin for stage 5 (kept/over_budget cuts and
+    the min_docs floor land identically across the trigger
+    boundary)."""
+    from pyspark.sql import Window
+
+    from parsedmarc_go_spark.operators.curation import (
+        _hash_order_key,
+        curation_pipeline,
+    )
+
+    # unique-token docs: every stage before budget is a no-op
+    docs = spark.createDataFrame(
+        [
+            (i, f"src{i % 3}", 600 + 37 * (i % 7),
+             " ".join(f"w{i}q{j}" for j in range(60)))
+            for i in range(60)
+        ],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10_000, "srcb", 10, " ".join(f"b{j}" for j in range(60)))],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    # the unique tokens run long (w59q59); this test pins the BUDGET
+    # machinery, so open the quality window rather than reshape them
+    kw = dict(quality_thresholds={"max_mean_word_len": 9.0})
+    batch = {
+        r.doc_id: r.fate
+        for r in curation_pipeline(docs, bench, budget=2000, **kw).collect()
+    }
+    assert "over_budget" in set(batch.values())  # the cut actually bites
+    # split triggers at each source's median HASH rank — arrival order
+    # then equals the batch window's (md5, doc_id) order
+    w = Window.partitionBy("source").orderBy(_hash_order_key(docs), F.col("doc_id"))
+    ranked = docs.withColumn("__rn", F.row_number().over(w))
+    t1 = ranked.filter(F.col("__rn") <= 10).drop("__rn")
+    t2 = ranked.filter(F.col("__rn") > 10).drop("__rn")
+    stream, *_ = _stream_fates(
+        spark, tmp_path, docs, bench, [t1, t2], budget=2000, **kw
+    )
+    assert stream == batch
+
+
+def test_stream_pipeline_neardup_collision_divergence_is_extra_drop(spark, tmp_path):
+    """The documented near-dup divergence, pinned in its exact
+    direction: a cross-trigger pair whose true Jaccard sits BELOW the
+    threshold (batch keeps both — minhash_lsh_pairs verifies) can
+    still band-collide with retained history and drop in the stream
+    (history stores band keys, not text, so there is nothing to
+    verify against). Same corpus co-resident in ONE trigger must
+    match batch exactly."""
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+    from parsedmarc_go_spark.operators.dedup import minhash_band_signatures
+
+    # 3-5 char tokens: mean word len 3.83 sits inside the gate's
+    # [3, 4.5] quality window, so both docs reach the near-dup stage
+    base = [f"tk{j}" for j in range(60)]
+    mid = list(base)
+    # perturb enough positions that jaccard < 0.7 but bands still collide
+    for p in (5, 15, 25, 35, 45, 55):
+        mid[p] = f"xk{p}"
+    a_text, b_text = " ".join(base), " ".join(mid)
+    docs = spark.createDataFrame(
+        [(1, "s", 400, a_text), (2, "s", 400, b_text)],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10_000, "sb", 10, " ".join(f"b{j}" for j in range(60)))],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    # preconditions: below threshold (batch keeps both), bands collide
+    from parsedmarc_go_spark.operators.dedup import ngram_jaccard_pairs
+
+    j = ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    assert j and j[0].jaccard < 0.7, j
+    sigs = minhash_band_signatures(docs, "doc_id").select(
+        "doc", F.concat_ws(":", "band", "sig").alias("ph")
+    )
+    collisions = sigs.groupBy("ph").count().filter(F.col("count") > 1).count()
+    assert collisions > 0, "fixture must band-collide to pin the divergence"
+
+    big = 10**12
+    batch = {
+        r.doc_id: r.fate
+        for r in curation_pipeline(docs, bench, budget=big, **_PIPE_KW).collect()
+    }
+    assert batch == {1: "kept", 2: "kept"}
+    # co-resident: stream matches batch (within-trigger pairs verify)
+    one, *_ = _stream_fates(
+        spark, tmp_path, docs, bench, [docs], tag="_co", budget=big, **_PIPE_KW
+    )
+    assert one == batch
+    # cross-trigger: the collision drops doc 2 — the extra-drop direction
+    two, *_ = _stream_fates(
+        spark, tmp_path, docs, bench,
+        [docs.filter(F.col("doc_id") == 1), docs.filter(F.col("doc_id") == 2)],
+        tag="_split", budget=big, **_PIPE_KW,
+    )
+    assert two == {1: "kept", 2: "near_dup"}
