@@ -12,7 +12,11 @@ import pandas as pd
 from parsedmarc_go_spark.tables import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+def oracle_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """A DuckDB connection with the testdata tables registered as
+    views — factored out so long sweeps (scripts/sf1_gates.py) can
+    hold ONE connection and pre-materialize shared subplans instead of
+    paying view registration + repeated CTE computation per gate."""
     import os
 
     con = duckdb.connect()
@@ -22,6 +26,11 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         # genuinely absent table still fails loudly at execution
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str, con=None) -> pd.DataFrame:
+    con = con or oracle_connection(sf_dir)
     return con.execute(sql).fetchdf()
 
 
@@ -36,8 +45,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(spark_df, oracle_df: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
+    return compare_frames(spark_df.toPandas(), oracle_df)
+
+
+def compare_frames(spark_pd: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """compare() with the Spark side already materialized to pandas —
+    sweeps overlap the Spark collect and the DuckDB execute in
+    separate threads and hand both results here."""
     errs: list[str] = []
-    s = canon(spark_df.toPandas())
+    s = canon(spark_pd)
     o = canon(oracle_df)
     if list(s.columns) != list(o.columns):
         errs.append(f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}")
