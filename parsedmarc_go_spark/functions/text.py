@@ -101,25 +101,37 @@ def winnowing_fingerprints(
     document length while guaranteeing any shared substring of length
     ≥ k + window - 1 yields a shared fingerprint.
 
-    Expression-level: posexplode positions → substring k-grams →
-    xxhash64 → per-document sliding-window MIN (window frame over
-    position) → distinct. All codegen'd; the only shuffle is the
-    per-document window partition. Returns (id, pos, fingerprint).
+    Expression-level: char-array slices zipped into k-grams (the
+    _shingle_stream arrays_zip pattern — every step whole-stage
+    codegen; the original ``transform(sequence(...), i ->
+    substring(...))`` formulation evaluated its lambda INTERPRETED
+    once per character position, ~25 s serial on the sf1 gate corpus,
+    round 13) → posexplode → xxhash64 → per-document sliding-window
+    MIN (window frame over position) → distinct. The only shuffle is
+    the per-document window partition; scan-rooted single-file inputs
+    are hash-spread on the raw rows first. Returns (id, fingerprint).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(F.col(id_col))
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    chars = F.split(F.col("t"), "")
+    m = F.length("t") - (k - 1)
+    zipped = F.arrays_zip(*[F.slice(chars, 1 + j, m) for j in range(k)])
     grams = (
         df.select(F.col(id_col).alias("doc"), norm.alias("t"))
         .filter(F.length("t") >= k)
+        .select("doc", F.posexplode(zipped).alias("pos", "z"))
         .select(
             "doc",
-            F.posexplode(
-                F.expr(f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))")
-            ).alias("pos", "gram"),
+            "pos",
+            F.xxhash64(
+                F.concat_ws("", *[F.col(f"z.{j}") for j in range(k)])
+            ).alias("h"),
         )
-        .select("doc", "pos", F.xxhash64("gram").alias("h"))
     )
     w = W.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
     return (

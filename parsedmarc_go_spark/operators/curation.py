@@ -47,7 +47,9 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     )
 
 
-def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", ensure_parallelism: bool = True
+) -> DataFrame:
     """Gopher-style within-document repetition metrics.
 
     Returns one row per input row: ``doc_id, n_tokens, dup_token_frac,
@@ -59,20 +61,30 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shuffled on ``doc_id`` so the final join is co-partitioned. All
     divisions are one exact-int / exact-int double division, so the
     values are bit-identical to the DuckDB oracle.
-    """
-    toks = docs.select(
+
+    Bigrams are formed the ``_shingle_stream`` way — ``arrays_zip``
+    over two ``slice`` views, explode, ``concat_ws`` — every step
+    inside whole-stage codegen. The original formulation
+    (``transform(sequence(...), i -> concat(element_at ...))``) is a
+    HigherOrderFunction whose lambda EVALUATES INTERPRETED (~45 µs per
+    element), and a single-parquet-file scan runs it on ONE partition:
+    the sf1 gate measured 68 s for 16 MB of text — ~50× DuckDB on the
+    same box — with the lambda on a serial partition accounting for
+    nearly all of it (round 13; same lesson as the r12 fused-
+    repetition A/B, now applied to the ORIGINAL query too). The raw
+    rows are also hash-spread first when the input arrives in fewer
+    partitions than the cluster has slots (``ensure_parallelism`` —
+    the _shingle_stream probe/flag contract: pass False for derived
+    frames that already inherited parallelism)."""
+    d = docs
+    sc = docs.sparkSession.sparkContext
+    if ensure_parallelism and docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(F.col("doc_id"))
+    toks = d.select(
         "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
     )
-    with_bi = toks.withColumn(
-        "bigrams",
-        F.expr(
-            "CASE WHEN size(toks) < 2 THEN array() ELSE "
-            "transform(sequence(1, size(toks) - 1), "
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
-        ),
-    )
     tstat = (
-        with_bi.select("doc_id", F.explode("toks").alias("t"))
+        toks.select("doc_id", F.explode("toks").alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
@@ -82,8 +94,12 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.max("c").alias("top_c"),
         )
     )
+    m = F.size("toks") - 1
+    zipped = F.arrays_zip(F.slice("toks", 1, m), F.slice("toks", 2, m))
     bstat = (
-        with_bi.select("doc_id", F.explode("bigrams").alias("b"))
+        toks.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(zipped).alias("z"))
+        .select("doc_id", F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("b"))
         .groupBy("doc_id", "b")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
@@ -577,21 +593,38 @@ def gopher_quality_filter(
     on ``doc_id`` — so the filter costs exactly one repetition pass
     plus a narrow map, whatever the corpus size. All divisions are one
     exact-int / exact-int IEEE op, so the rule comparisons are
-    bit-identical to the DuckDB oracle."""
+    bit-identical to the DuckDB oracle.
+
+    The per-doc expressions stay inside whole-stage codegen (round 13;
+    the repetition_stats lesson): Σ token length is the split identity
+    ``length(lowered) - (n_tokens - 1)`` — exact, since the lowered
+    text IS the tokens joined by single spaces, in both engines'
+    codepoint semantics — instead of an interpreted
+    ``aggregate(transform(...))`` lambda pair, and the alpha-token
+    count is one ``regexp_count`` over the lowered text (each match
+    consumes its leading delimiter, so adjacent tokens can't overlap)
+    instead of an interpreted ``filter(x -> rlike)`` lambda. The two
+    lambdas ran ~45 µs/token on a serial scan partition — they, plus
+    repetition_stats' bigram lambda, were the sf1 gate's entire 75 s
+    wall."""
     thr = {**GOPHER_DEFAULTS, **thresholds}
+    lowered = F.lower(F.col(text_col))
     toks = docs.select(
-        "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
+        "doc_id",
+        lowered.alias("__lt"),
+        F.split(lowered, " ").alias("toks"),
     )
+    n = F.size("toks")
     stats = toks.select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
         (
-            F.expr("aggregate(transform(toks, x -> length(x)), 0L, (a, x) -> a + x)").cast("double")
-            / F.size("toks").cast("double")
+            (F.length("__lt") - (n - 1)).cast("double") / n.cast("double")
         ).alias("mean_word_len"),
         (
-            F.size(F.expr("filter(toks, x -> x rlike '[a-z]')")).cast("double")
-            / F.size("toks").cast("double")
+            F.regexp_count(F.col("__lt"), F.lit("(?:^| )[^ ]*[a-z][^ ]*"))
+            .cast("double")
+            / n.cast("double")
         ).alias("alpha_word_frac"),
     )
     rep = repetition_stats(docs, text_col).select("doc_id", "top_bigram_frac")
