@@ -690,15 +690,15 @@ _CONTAINMENT_CTES = """
                ELSE text END AS text
       FROM cls),
     d AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM base),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id AS doc,
              unnest(list_distinct(CASE WHEN len(toks) >= 3
                THEN list_transform(generate_series(1, len(toks) - 2),
                                    i -> array_to_string(toks[i:i+2], ' '))
                ELSE [] END)) AS shingle
       FROM d),
-    n AS (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
-    p AS (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
+    n AS MATERIALIZED (SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    p AS MATERIALIZED (SELECT a.doc AS da, b.doc AS db, COUNT(*) AS shared
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
           GROUP BY 1, 2)
 """

@@ -25,6 +25,80 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 
+def build_shared_oracles(con, oracles: dict, verbose: bool = True) -> dict:
+    """Precompute the pair subplans that several oracles embed and
+    rewrite those oracles to read the shared temp tables. Pure
+    rewrite: every temp table is created from the CANONICAL SQL
+    constant, substitutions are exact-string, and each replacement is
+    asserted to have applied — a template drift makes the sweep fail
+    loudly instead of silently recomputing. Equivalence of every
+    rewritten oracle against its canonical text is value-pinned at
+    sf0.01 in tests/test_sweep_rewrite.py."""
+    import time as _t
+
+    from parsedmarc_go_spark.plans.textops import (
+        _CONTAINMENT_CTES,
+        _CONTAINMENT_ORACLE,
+        _KEEP_CONTAINMENT_ORACLE,
+        _NGRAM_JACCARD_ORACLE,
+    )
+
+    def log(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    # jaccard family: dedup_ngram_jaccard / dedup_minhash_lsh are the
+    # template verbatim; the recursive cluster/keep_best oracles embed it
+    for thr, tbl in ((0.6, "sweep_pairs06"), (0.7, "sweep_pairs07")):
+        inner = _NGRAM_JACCARD_ORACLE.format(thr=thr)
+        if any(inner in sql for sql in oracles.values()):
+            t0 = _t.perf_counter()
+            con.execute(f"CREATE TEMP TABLE {tbl} AS {inner}")
+            log(f"shared pair table {tbl} (thr={thr}): {_t.perf_counter() - t0:.1f}s")
+            for name, sql in oracles.items():
+                if inner in sql:
+                    oracles[name] = sql.replace(inner, f"SELECT * FROM {tbl}")
+
+    # containment family: dedup_containment IS the pair query; the two
+    # keep-rule gates re-join the same p/n CTEs at the same threshold
+    # and walk the planted `base` docs — share both as temp tables
+    if any(
+        sql in (_CONTAINMENT_ORACLE, _KEEP_CONTAINMENT_ORACLE)
+        for sql in oracles.values()
+    ):
+        t0 = _t.perf_counter()
+        con.execute(f"CREATE TEMP TABLE sweep_cont_pairs AS {_CONTAINMENT_ORACLE}")
+        # unreferenced MATERIALIZED CTEs are pruned, so this reads the
+        # plant expressions only, not the shingle join
+        con.execute(
+            "CREATE TEMP TABLE sweep_cont_base AS "
+            f"WITH {_CONTAINMENT_CTES} SELECT doc_id FROM base"
+        )
+        log(f"shared containment tables: {_t.perf_counter() - t0:.1f}s")
+        pairs_cte_body = """SELECT p.da AS doc_a, p.db AS doc_b,
+             na.n_shingles AS n_a, nb.n_shingles AS n_b
+      FROM p JOIN n na ON p.da = na.doc JOIN n nb ON p.db = nb.doc
+      WHERE CAST(p.shared AS DOUBLE)
+               / CAST(least(na.n_shingles, nb.n_shingles) AS DOUBLE) >= 0.8"""
+        keep_rewritten = _KEEP_CONTAINMENT_ORACLE
+        for old, new in (
+            (f"WITH {_CONTAINMENT_CTES},", "WITH"),
+            (
+                pairs_cte_body,
+                "SELECT doc_a, doc_b, n_a, n_b FROM sweep_cont_pairs",
+            ),
+            ("FROM base b", "FROM sweep_cont_base b"),
+        ):
+            assert old in keep_rewritten, f"containment template drifted: {old[:60]!r}"
+            keep_rewritten = keep_rewritten.replace(old, new)
+        for name, sql in oracles.items():
+            if sql == _CONTAINMENT_ORACLE:
+                oracles[name] = "SELECT * FROM sweep_cont_pairs"
+            elif sql == _KEEP_CONTAINMENT_ORACLE:
+                oracles[name] = keep_rewritten
+    return oracles
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf1")
@@ -43,33 +117,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Sweep hygiene (VERDICT r12 task 3): ONE DuckDB connection for the
-    # whole sweep, with the shingle-pair subplan the four jaccard-family
-    # oracles share computed ONCE per threshold as a temp table — the
+    # whole sweep, with the pair subplans the jaccard- and containment-
+    # family oracles share computed ONCE as temp tables — the
     # judge-sanctioned "precompute the shared pair-CTE once per sweep".
-    # Equivalence is by construction: the temp table IS the verbatim
-    # _NGRAM_JACCARD_ORACLE result on the same registered views in the
-    # same engine, and the rewrite textually substitutes that exact
-    # embedded string, so each gate's verdict is unchanged — only the
-    # redundant recomputation is gone. Correctness-of-the-oracle-text
-    # itself stays covered by pytest and the driver gate, which run the
-    # unrewritten SQL per query.
+    # Equivalence is by construction (the temp tables are the verbatim
+    # canonical SQL on the same views in the same engine; the rewrites
+    # substitute exact embedded strings) and PINNED by
+    # tests/test_sweep_rewrite.py, which value-compares every rewritten
+    # oracle against its canonical text at sf0.01. pytest and the
+    # driver gate always run the unrewritten SQL per query.
     con = oracle_connection(args.sf_dir)
-    oracles = dict(ORACLES)
-    from parsedmarc_go_spark.plans.textops import _NGRAM_JACCARD_ORACLE
-
-    for thr, tbl in ((0.6, "sweep_pairs06"), (0.7, "sweep_pairs07")):
-        inner = _NGRAM_JACCARD_ORACLE.format(thr=thr)
-        if any(inner in sql for sql in oracles.values()):
-            t0 = time.perf_counter()
-            con.execute(f"CREATE TEMP TABLE {tbl} AS {inner}")
-            print(
-                f"shared pair table {tbl} (thr={thr}): "
-                f"{time.perf_counter() - t0:.1f}s",
-                flush=True,
-            )
-            for name, sql in oracles.items():
-                if inner in sql:
-                    oracles[name] = sql.replace(inner, f"SELECT * FROM {tbl}")
+    oracles = build_shared_oracles(con, dict(ORACLES))
 
     pool = ThreadPoolExecutor(max_workers=1)
     results: dict[str, dict] = {}
