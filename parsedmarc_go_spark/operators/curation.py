@@ -785,11 +785,11 @@ def corpus_delta(
 def _hadoop_path(spark, path: str):
     """(FileSystem, Path) through the JVM Hadoop API, so checkpoint
     resume works identically on file://, hdfs:// and s3a:// — an
-    os.path probe would silently break every non-local scheme."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs, hpath
+    os.path probe would silently break every non-local scheme.
+    Delegates to the canonical storage.hadoop_fs accessor."""
+    from parsedmarc_go_spark.storage import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _hadoop_success_exists(spark, path: str) -> bool:

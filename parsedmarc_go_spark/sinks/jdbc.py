@@ -32,13 +32,25 @@ def find_duckdb_jdbc_jar() -> str | None:
     (spark.driver.extraClassPath at session build) — spark.jars loads
     into Spark's application classloader, which java.sql.DriverManager
     called over py4j does not see."""
+    hits: list[str] = []
     for root in ("~/.cache/coursier", "~/.m2", "~/.ivy2", "~/.gradle"):
-        hits = glob.glob(
+        hits += glob.glob(
             os.path.expanduser(f"{root}/**/duckdb_jdbc-*.jar"), recursive=True
         )
-        if hits:
-            return sorted(hits)[-1]
-    return None
+    if not hits:
+        return None
+
+    def version_key(path: str) -> tuple:
+        import re
+
+        m = re.search(r"duckdb_jdbc-([0-9][0-9.]*)", os.path.basename(path))
+        # numeric-tuple compare: 0.10.0 > 0.9.2 (a lexicographic sort
+        # mis-orders semantic versions — round-13 review); all roots
+        # are scanned before choosing, so a newer jar in ~/.m2 isn't
+        # shadowed by an older coursier one
+        return tuple(int(p) for p in m.group(1).rstrip(".").split(".")) if m else ()
+
+    return max(hits, key=version_key)
 
 
 def jdbc_driver_available(spark: SparkSession, driver: str) -> bool:

@@ -291,6 +291,15 @@ def compact_partitioned_index(
     return files_before, files_after
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) through the JVM Hadoop API — THE canonical
+    filesystem accessor (round-13 review: three copies had grown).
+    Works on any scheme (file://, hdfs://, s3a://), unlike os.path."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
 def swap_directory(spark: SparkSession, tmp: str, path: str) -> None:
     """Crash-safe directory swap (round-9 ADVICE fix): rename the live
     dir ASIDE first, rename the rewrite into place, then delete the old

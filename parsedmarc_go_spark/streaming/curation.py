@@ -183,8 +183,8 @@ def _read_budget_state(
     if exclude_batch_id is not None:
         df = df.filter(F.col("__batch_id") != exclude_batch_id)
     return df.groupBy(strata_col).agg(
-        F.sum("chars_kept").alias("__spent"),
-        F.sum("docs_kept").alias("__prior_kept"),
+        F.sum("chars_seen").alias("__spent"),
+        F.sum("docs_seen").alias("__prior_seen"),
     )
 
 
@@ -241,12 +241,15 @@ def make_curation_pipeline_processor(
     deliberate divergence case in tests. The opposite (greedy-online
     chain survivor, streaming/dedup.py's ⌈L/2⌉ bound) needs an
     arrival's bands to miss EVERY retained doc, which the same S-curve
-    makes rare here; budget admits in arrival order within
-    the carried per-stratum totals (batch orders globally by the md5
-    hash key — identical when triggers arrive in hash order, and
+    makes rare here; budget admits in arrival order against carried
+    per-stratum PREFIX totals — chars/docs over every processed
+    stratum doc, kept or dropped, because the batch rule is a prefix
+    cut (cum over ALL docs in hash order), not residual knapsack
+    fitting — identical to batch when triggers arrive in hash order
+    (pinned, including a crossing-then-small-doc case), and
     deliberately NOT re-ordered online: online admission must be
     stable, a kept doc is never evicted by a later smaller-hash
-    arrival)."""
+    arrival."""
     import os
 
     from pyspark.sql import Window
@@ -382,7 +385,13 @@ def make_curation_pipeline_processor(
             )
             _write_store(new_mh, mh_dir, batch_id, mb_)
 
-            # 5. budget: arrival-order admission against carried totals
+            # 5. budget: arrival-order admission against carried totals.
+            # The carried counters sum over ALL processed stratum docs
+            # (kept AND dropped), because the batch window's running
+            # total is a PREFIX sum over every doc in hash order —
+            # carrying only kept chars would re-open budget a dropped
+            # doc already consumed and silently admit later arrivals
+            # the batch rule rejects (round-13 review).
             state = _read_budget_state(
                 spark, store_dir, strata_col, exclude_batch_id=batch_id
             )
@@ -391,7 +400,7 @@ def make_curation_pipeline_processor(
                 sized = s4.join(state, strata_col, "left")
             else:
                 sized = s4.withColumn("__spent", F.lit(None).cast("long")) \
-                          .withColumn("__prior_kept", F.lit(None).cast("long"))
+                          .withColumn("__prior_seen", F.lit(None).cast("long"))
             order = Window.partitionBy(strata_col).orderBy(
                 _hash_order_key(sized), F.col("doc_id")
             )
@@ -403,7 +412,7 @@ def make_curation_pipeline_processor(
             )
             rn = (
                 F.row_number().over(order)
-                + F.coalesce(F.col("__prior_kept"), F.lit(0))
+                + F.coalesce(F.col("__prior_seen"), F.lit(0))
             )
             keep = (cum <= budget) | (rn <= min_docs)
             decided = hold(
@@ -413,16 +422,20 @@ def make_curation_pipeline_processor(
             )
             kept = decided.filter(F.col("__keep"))
             over = decided.filter(~F.col("__keep"))
-            partial = kept.groupBy(strata_col).agg(
-                F.sum(size_col).cast("long").alias("chars_kept"),
-                F.count("*").alias("docs_kept"),
+            partial = decided.groupBy(strata_col).agg(
+                F.sum(size_col).cast("long").alias("chars_seen"),
+                F.count("*").alias("docs_seen"),
             )
-            (
-                partial.withColumn("__batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("__batch_id")
-                .parquet(_budget_path(store_dir))
-            )
+            # skip an EMPTY partial: a partitioned write of an empty
+            # frame leaves a file-less directory that poisons every
+            # later read (see streaming/dedup.py::_write_store)
+            if not partial.isEmpty():
+                (
+                    partial.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("__batch_id")
+                    .parquet(_budget_path(store_dir))
+                )
 
             lit = lambda s: F.lit(s).alias("fate")  # noqa: E731
             fates = (

@@ -135,9 +135,9 @@ BLOOM_BROADCAST_MAX_BITS = 512 * 1024 * 1024
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+    from parsedmarc_go_spark.storage import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _bucket_expr(n_buckets: int):
@@ -415,7 +415,18 @@ def _write_store(
 ) -> None:
     """``n_buckets == 0`` is the legacy (pre-bucketed) layout:
     partition by ``__batch_id`` only, matching the flat store's
-    existing directory depth (ADVICE r10)."""
+    existing directory depth (ADVICE r10).
+
+    An EMPTY append is skipped outright (round-13 review): a
+    PARTITIONED write of an empty frame emits no part files and no
+    ``_SUCCESS`` — just a bare directory — and the next batch's
+    ``spark.read.parquet`` on a file-less store dies on
+    UNABLE_TO_INFER_SCHEMA, permanently poisoning the stream when the
+    empty write was the store's CREATION (an all-duplicate or
+    all-filtered first batch). Skipping is semantically identical:
+    overwriting zero partitions replaces nothing."""
+    if df.isEmpty():
+        return
     out = df.withColumn("__batch_id", F.lit(batch_id))
     part_cols = ["__batch_id"]
     if n_buckets:

@@ -126,18 +126,22 @@ def main() -> None:
     # tests/test_sweep_rewrite.py, which value-compares every rewritten
     # oracle against its canonical text at sf0.01. pytest and the
     # driver gate always run the unrewritten SQL per query.
+    names = list(QUERIES)
+    if args.only:
+        names = [n for n in args.only.split(",") if n in QUERIES]
     con = oracle_connection(args.sf_dir)
-    oracles = build_shared_oracles(con, dict(ORACLES))
+    # only precompute the shared subplans the gates BEING RUN embed:
+    # an --only run of one unrelated gate must not pay the Σdf² pair
+    # joins (round-13 review)
+    oracles = build_shared_oracles(
+        con, {n: ORACLES[n] for n in names if n in ORACLES}
+    )
 
     pool = ThreadPoolExecutor(max_workers=1)
     results: dict[str, dict] = {}
     if os.path.exists(args.out) and args.only:
         with open(args.out) as f:
             results = json.load(f).get("gates", results)
-
-    names = list(QUERIES)
-    if args.only:
-        names = [n for n in args.only.split(",") if n in QUERIES]
     for name in names:
         t0 = time.perf_counter()
         entry: dict = {}

@@ -284,3 +284,83 @@ def test_stream_pipeline_neardup_collision_divergence_is_extra_drop(spark, tmp_p
         tag="_split", budget=big, **_PIPE_KW,
     )
     assert two == {1: "kept", 2: "near_dup"}
+
+
+def test_stream_pipeline_survives_empty_stage_batches(spark, tmp_path):
+    """Round-13 review: a PARTITIONED write of an empty frame creates a
+    file-less directory that UNABLE_TO_INFER_SCHEMA-poisons every
+    later read. A first trigger whose docs ALL fail quality (empty
+    exact-store append, empty budget partial) must leave the stores
+    readable — the second trigger processes normally and its fates
+    match batch over the union."""
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    bad = spark.createDataFrame(  # 2-char tokens: mean_word_len < 3 fails
+        [(i, "s", 100, " ".join("ab" for _ in range(60))) for i in range(3)],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    good = spark.createDataFrame(
+        [(10 + i, "s", 300, " ".join(f"tk{i}x{j}" for j in range(60)))
+         for i in range(3)],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10_000, "sb", 10, " ".join(f"b{j}" for j in range(60)))],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    docs = bad.unionByName(good)
+    big = 10**12
+    batch = {
+        r.doc_id: r.fate
+        for r in curation_pipeline(docs, bench, budget=big, **_PIPE_KW).collect()
+    }
+    assert set(batch[i] for i in range(3)) == {"quality:mean_word_len"}
+    stream, *_ = _stream_fates(
+        spark, tmp_path, docs, bench, [bad, good], budget=big, **_PIPE_KW
+    )
+    assert stream == batch
+
+
+def test_stream_pipeline_budget_is_prefix_cut_not_residual_fit(spark, tmp_path):
+    """Round-13 review: the batch budget is a PREFIX cut — the running
+    total includes DROPPED docs, so once a stratum crosses the budget
+    nothing later in hash order is admitted. A small late arrival
+    that would fit the residual after a crossing doc must still be
+    over_budget in the stream (the carried counters sum ALL processed
+    docs, not kept chars)."""
+    import hashlib
+
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    ids = [1, 2, 3]
+    by_hash = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    # hash-rank order gets sizes [1500, 1000, 400]: doc2 crosses the
+    # 2000 budget (cum 2500), doc3 would FIT a residual (1500+400) but
+    # the prefix rule drops it (cum 2900)
+    sizes = dict(zip(by_hash, [1500, 1000, 400]))
+    docs = spark.createDataFrame(
+        [(i, "s", sizes[i], " ".join(f"u{i}v{j}" for j in range(60)))
+         for i in ids],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10_000, "sb", 10, " ".join(f"b{j}" for j in range(60)))],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    kw = dict(quality_thresholds={"max_mean_word_len": 9.0}, min_docs=1)
+    batch = {
+        r.doc_id: r.fate
+        for r in curation_pipeline(docs, bench, budget=2000, **kw).collect()
+    }
+    assert batch == {
+        by_hash[0]: "kept",
+        by_hash[1]: "over_budget",
+        by_hash[2]: "over_budget",
+    }
+    # triggers split mid-stratum AFTER the crossing doc, in hash order
+    t1 = docs.filter(F.col("doc_id").isin(by_hash[:2]))
+    t2 = docs.filter(F.col("doc_id") == by_hash[2])
+    stream, *_ = _stream_fates(
+        spark, tmp_path, docs, bench, [t1, t2], budget=2000, **kw
+    )
+    assert stream == batch

@@ -36,4 +36,7 @@ def test_rewritten_oracles_value_equal_canonical():
     for name in sorted(touched):
         a = canon(con.execute(rewritten[name]).fetchdf())
         b = canon(fresh.execute(ORACLES[name]).fetchdf())
-        pd.testing.assert_frame_equal(a, b, check_dtype=True), name
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=True)
+        except AssertionError as exc:  # attach WHICH gate diverged
+            raise AssertionError(f"rewritten oracle {name} diverged: {exc}")
