@@ -548,7 +548,17 @@ def lsh_topk_multitable(
     over the union candidate set — no per-table scans, no union nodes,
     no shuffle of the corpus. The at-rest layout for the indexed
     variant is one partitioned copy per table (build_lsh_index per
-    plane_offset); probe cost there is L partition-pruned reads."""
+    plane_offset); probe cost there is L partition-pruned reads.
+
+    The corpus scan is hash-spread first when it arrives in fewer
+    partitions than the cluster has slots (round 13): the L×n_planes
+    hyperplane dot products are HOF lambdas — bounded per row, but
+    32 of them × 64 dims is ~2k interpreted multiply-adds per vector,
+    and a single-parquet-file scan ran all of it on ONE partition
+    (~25 s serial at sf1 for work that parallelizes embarrassingly)."""
+    sc = vectors.sparkSession.sparkContext
+    if vectors.rdd.getNumPartitions() < sc.defaultParallelism:
+        vectors = vectors.repartition(F.col(id_col))
     cur = vectors
     qcur = query.select(F.col("q").alias(vec_col))
     for t in range(n_tables):
