@@ -93,6 +93,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
+    ensure_parallelism: bool = True,
 ):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     hash every k-char gram of the normalized text, then keep the
@@ -109,13 +110,17 @@ def winnowing_fingerprints(
     round 13) → posexplode → xxhash64 → per-document sliding-window
     MIN (window frame over position) → distinct. The only shuffle is
     the per-document window partition; scan-rooted single-file inputs
-    are hash-spread on the raw rows first. Returns (id, fingerprint).
+    are hash-spread on the raw rows first (``ensure_parallelism`` —
+    the repetition_stats probe/flag contract: pass False for derived
+    frames that already inherited parallelism, which also skips the
+    plan-analyzing ``df.rdd`` partition probe, ADVICE r13). Returns
+    (id, fingerprint).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if ensure_parallelism and df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(F.col(id_col))
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     chars = F.split(F.col("t"), "")

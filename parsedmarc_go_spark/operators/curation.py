@@ -818,18 +818,34 @@ def _validate_or_write_manifest(spark, checkpoint_dir: str, params: dict) -> Non
             )
         finally:
             stream.close()
-        if json.loads(existing) != params:
+        try:
+            existing_params = json.loads(existing)
+        except json.JSONDecodeError:
+            # a crash between create and write (pre-ADVICE-r13 layouts)
+            # leaves an empty/truncated manifest; name the recovery
+            # instead of dying in json.loads
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir} has a corrupt "
+                "manifest.json (truncated write from a crashed run) — "
+                "delete the directory and restart from scratch"
+            ) from None
+        if existing_params != params:
             raise ValueError(
                 f"checkpoint_dir {checkpoint_dir} was written with different "
                 f"pipeline parameters ({existing}); resuming with "
                 f"{blob} would mix configurations — use a fresh directory"
             )
         return
-    out = fs.create(hpath, True)
+    # tmp + atomic rename (the storage.swap_directory idiom): a crash
+    # between create and write must never leave a half-written manifest
+    # at the validated path (ADVICE r13)
+    fs_t, tmp = _hadoop_path(spark, checkpoint_dir + "/manifest.json.tmp")
+    out = fs_t.create(tmp, True)
     try:
         out.write(bytearray(blob.encode("utf-8")))
     finally:
         out.close()
+    fs.rename(tmp, hpath)
 
 
 def curation_pipeline(

@@ -531,6 +531,7 @@ def lsh_topk_multitable(
     multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ensure_parallelism: bool = True,
 ) -> DataFrame:
     """OR-amplified LSH ANN: L independent hyperplane tables (disjoint
     plane families via plane_offset), a vector is a candidate if it
@@ -555,9 +556,12 @@ def lsh_topk_multitable(
     hyperplane dot products are HOF lambdas — bounded per row, but
     32 of them × 64 dims is ~2k interpreted multiply-adds per vector,
     and a single-parquet-file scan ran all of it on ONE partition
-    (~25 s serial at sf1 for work that parallelizes embarrassingly)."""
+    (~25 s serial at sf1 for work that parallelizes embarrassingly).
+    ``ensure_parallelism=False`` skips the probe and the spread for
+    derived frames that already inherited parallelism (the
+    repetition_stats flag contract, ADVICE r13)."""
     sc = vectors.sparkSession.sparkContext
-    if vectors.rdd.getNumPartitions() < sc.defaultParallelism:
+    if ensure_parallelism and vectors.rdd.getNumPartitions() < sc.defaultParallelism:
         vectors = vectors.repartition(F.col(id_col))
     cur = vectors
     qcur = query.select(F.col("q").alias(vec_col))

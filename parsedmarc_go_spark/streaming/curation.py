@@ -291,11 +291,15 @@ def make_curation_pipeline_processor(
 
     def _probe(spark, sub_dir, buckets, keys, batch_id):
         """store ∩ keys, batch-bounded, replay-safe, checkpointed
-        before the store append that follows it."""
+        before the store append that follows it. The broadcast-vs-
+        shuffle pick needs only "is it under max_bcast", so the probe
+        is the containment-guard limit idiom — it short-circuits at
+        max_bcast + 1 rows instead of counting every key (ADVICE
+        r13)."""
         seen_full = read_fingerprints(spark, sub_dir, exclude_batch_id=batch_id)
-        n_keys = keys.count()
+        small = keys.limit(max_bcast + 1).count() <= max_bcast
         return probe_store(
-            seen_full, keys, buckets, broadcast_probe=n_keys <= max_bcast
+            seen_full, keys, buckets, broadcast_probe=small
         ).localCheckpoint()
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -470,9 +474,29 @@ def stream_curation_pipeline(
     """readStream(parquet document shards) → the composed curation
     pipeline per micro-batch → ``pipeline_fates`` table (one fate per
     arriving document, the batch gate's row shape) with incremental
-    exact/near-dup/budget state under ``store_dir``."""
+    exact/near-dup/budget state under ``store_dir``.
+
+    ``schema`` defaults to the LANDED shards' own schema (inferred
+    from the landing dir's parquet footers), not the benchmark's —
+    the benchmark frame need not share the shard shape, and a narrower
+    benchmark would silently null out shard columns the budget stage
+    needs (ADVICE r13). Starting a stream on an EMPTY landing dir
+    therefore requires an explicit ``schema``."""
+    if schema is None:
+        try:
+            schema = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(landing_dir)
+                .schema
+            )
+        except Exception:
+            raise ValueError(
+                f"landing_dir {landing_dir} has no readable parquet to "
+                "infer the document schema from — pass schema= "
+                "explicitly when starting on an empty landing dir"
+            ) from None
     docs = (
-        spark.readStream.schema(schema or benchmark.schema)
+        spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(landing_dir)

@@ -161,3 +161,38 @@ def test_checkpoint_dir_refuses_parameter_drift(spark, tmp_path):
             corpus, bench, checkpoint_dir=ckpt, budget=999,
             quality_thresholds={"max_mean_word_len": 4.5},
         )
+
+
+def test_corrupt_manifest_names_the_recovery(spark, tmp_path):
+    """ADVICE r13: a truncated manifest (crash between create and
+    write in pre-tmp-rename layouts) must raise the descriptive
+    'corrupt manifest' ValueError, not an opaque JSONDecodeError."""
+    import os
+
+    import pytest
+
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    corpus, bench = _pipeline_inputs(spark)
+    ckpt = str(tmp_path / "ckpt3")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "manifest.json"), "w"):
+        pass  # zero-byte manifest — the crash artifact
+    with pytest.raises(ValueError, match="corrupt manifest"):
+        curation_pipeline(corpus, bench, checkpoint_dir=ckpt, **_PIPE_KW)
+
+
+def test_manifest_write_is_tmp_plus_rename(spark, tmp_path):
+    """ADVICE r13: the manifest lands via tmp+rename — after a normal
+    run the validated path holds complete JSON and no .tmp remains."""
+    import json
+    import os
+
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    corpus, bench = _pipeline_inputs(spark)
+    ckpt = str(tmp_path / "ckpt4")
+    curation_pipeline(corpus, bench, checkpoint_dir=ckpt, **_PIPE_KW).collect()
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        assert json.load(f)["budget"] == 2000
+    assert not os.path.exists(os.path.join(ckpt, "manifest.json.tmp"))

@@ -364,3 +364,46 @@ def test_stream_pipeline_budget_is_prefix_cut_not_residual_fit(spark, tmp_path):
         spark, tmp_path, docs, bench, [t1, t2], budget=2000, **kw
     )
     assert stream == batch
+
+
+def test_stream_pipeline_infers_shard_schema_not_benchmarks(spark, tmp_path):
+    """ADVICE r13: the readStream schema comes from the LANDED shards,
+    not the benchmark frame — a narrower benchmark (doc_id, text only)
+    must not null out the shard columns the budget stage needs."""
+    import pytest
+
+    from parsedmarc_go_spark.streaming.curation import (
+        PIPELINE_FATES_TABLE,
+        stream_curation_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", 300, " ".join(f"tk{i}x{j}" for j in range(60)))
+         for i in range(3)],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    narrow_bench = spark.createDataFrame(
+        [(10_000, " ".join(f"b{j}" for j in range(60)))],
+        "doc_id long, text string",
+    )
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+
+    # empty landing dir: schema inference must fail loudly, not borrow
+    with pytest.raises(ValueError, match="pass schema= explicitly"):
+        stream_curation_pipeline(
+            spark, str(landing), str(tmp_path / "o0"), str(tmp_path / "c0"),
+            str(tmp_path / "s0"), narrow_bench,
+        )
+
+    docs.write.parquet(str(landing / "shard1"))
+    q = stream_curation_pipeline(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "store"), narrow_bench, budget=10**12,
+        quality_thresholds={"max_mean_word_len": 9.0},
+    )
+    q.awaitTermination(120)
+    fates = spark.read.parquet(str(tmp_path / "out" / PIPELINE_FATES_TABLE))
+    assert {r.doc_id: r.fate for r in fates.collect()} == {
+        0: "kept", 1: "kept", 2: "kept"
+    }

@@ -53,3 +53,18 @@ def test_shared_substring_shares_fingerprint(spark):
         by_doc.setdefault(r.doc, set()).add(r.fingerprint)
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_ensure_parallelism_flag_is_value_neutral(spark):
+    """ADVICE r13: the partition probe/spread is a physical hint only —
+    fingerprints with ensure_parallelism=False equal the default."""
+    from parsedmarc_go_spark.functions.text import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, winnowing_fingerprints(docs).collect()))
+    b = sorted(map(tuple,
+                   winnowing_fingerprints(docs, ensure_parallelism=False).collect()))
+    assert a == b
