@@ -170,6 +170,18 @@ _WINDOW_DEMOTED = (
     # in-window) — born demoted, pytest value-checks every document's
     # fate at two SFs
     "curation_pipeline",
+    # streaming twin of the composed pipeline (round 14): the same
+    # five-stage machinery as curation_pipeline (rotatable in-window)
+    # driven through two real micro-batch triggers — born demoted per
+    # the rotation protocol; WINDOW_SPEC r14 rotates it straight in
+    # (VERDICT r13 task 3), and pytest value-checks it at two SFs
+    "curation_pipeline_stream",
+    # reliable-checkpoint resume mode of the composed pipeline (round
+    # 14): identical values to curation_pipeline by the resume-parity
+    # contract — born demoted per the rotation protocol; WINDOW_SPEC
+    # r14 rotates it straight in (VERDICT r13 task 4), and pytest
+    # value-checks it at two SFs
+    "curation_pipeline_checkpoint",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

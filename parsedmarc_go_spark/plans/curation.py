@@ -1590,3 +1590,126 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fates.unionByName(
         bench.select("doc_id", F.lit("heldout").alias("fate"))
     )
+
+
+# --- the composed pipeline's streaming + reliable-checkpoint twins ---------
+#
+# Round 14 (VERDICT r13 tasks 3-4): the driver hash-checks the batch
+# composition via `curation_pipeline`; these two gates put the OTHER
+# two execution modes a 100 TB run actually uses under the same
+# value oracle — the Structured-Streaming twin (incremental state,
+# two real micro-batch triggers) and the parquet-checkpoint resume
+# path (_SUCCESS-gated read-back, the restartability contract).
+#
+# The stream gate neutralizes the BUDGET stage (budget = 10^12) and
+# oracles against _PIPELINE_ORACLE with the same neutralized cut:
+# stream==batch budget parity requires arrival in each stratum's
+# md5-hash order, while exact/near-dup parity requires ascending
+# doc_id arrival (first-seen == min-id winners) — one split cannot
+# satisfy both, and the hash-order budget machinery is already
+# value-checked by the batch gate plus pinned cross-trigger in
+# tests/test_streaming_curation.py::..._budget_parity_in_hash_order.
+# With ascending-id triggers every remaining stage is exactly batch
+# (quality/decontam per-doc, exact first-seen == min-id, near-dup
+# lower-id-first arrival == drop-higher rule; the residual band
+# false-positive/false-negative exposure is the batch gate's own
+# ~2e-5 band-miss argument, verified empirically at all three SFs).
+_PIPELINE_STREAM_ORACLE = _PIPELINE_ORACLE.replace(
+    "cum <= 2000", f"cum <= {10**12}"
+)
+
+
+def _gate_tmpdir(prefix: str) -> str:
+    """A session-lifetime scratch dir: the returned DataFrames are
+    LAZY parquet scans over it, so cleanup must wait for interpreter
+    exit (after the driver's collect), not function return."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+@query("curation_pipeline_stream", oracle=_PIPELINE_STREAM_ORACLE)
+def curation_pipeline_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin under the driver's value oracle: two real
+    readStream(availableNow) micro-batch triggers over an ascending-
+    doc_id split of the planted gate corpus, fates accumulated through
+    the persisted exact/minhash/budget stores
+    (streaming/curation.py::stream_curation_pipeline)."""
+    import os
+
+    from parsedmarc_go_spark.streaming.curation import (
+        PIPELINE_FATES_TABLE,
+        stream_curation_pipeline,
+    )
+
+    t = _pipeline_corpus(spark, sf_dir)
+    bench = t.filter(F.col("doc_id") % 50 == 0)
+    corpus = t.filter(F.col("doc_id") % 50 != 0)
+    cut = corpus.agg(F.max("doc_id")).collect()[0][0] // 2 + 1
+
+    root = _gate_tmpdir("pipe_stream_gate_")
+    landing = os.path.join(root, "landing")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    store = os.path.join(root, "store")
+    # verified near-dup mode: cross-trigger collisions are exact-
+    # Jaccard-verified against the stored shingle sets, making the
+    # stream's near set BIT-IDENTICAL to batch's (the greedy default's
+    # unverified history collisions drop sub-threshold pairs — the r13
+    # pinned divergence — which a value oracle cannot absorb)
+    kw = dict(
+        budget=10**12,
+        quality_thresholds={"max_mean_word_len": 4.5},
+        verify_near_dups=True,
+    )
+
+    # trigger 1: the low-id shard lands, stream drains it
+    corpus.filter(F.col("doc_id") < cut).write.parquet(
+        os.path.join(landing, "shard1")
+    )
+    stream_curation_pipeline(
+        spark, landing, out, ckpt, store, bench, **kw
+    ).awaitTermination()
+    # trigger 2: the high-id shard lands, same checkpoint resumes —
+    # only the NEW files form the second micro-batch
+    corpus.filter(F.col("doc_id") >= cut).write.parquet(
+        os.path.join(landing, "shard2")
+    )
+    stream_curation_pipeline(
+        spark, landing, out, ckpt, store, bench, **kw
+    ).awaitTermination()
+
+    fates = spark.read.parquet(os.path.join(out, PIPELINE_FATES_TABLE))
+    return fates.select("doc_id", "fate").unionByName(
+        bench.select("doc_id", F.lit("heldout").alias("fate"))
+    )
+
+
+@query("curation_pipeline_checkpoint", oracle=_PIPELINE_ORACLE)
+def curation_pipeline_checkpoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELIABLE-checkpoint mode under the driver's value oracle:
+    run the composed pipeline with a parquet checkpoint_dir (writes
+    every _SUCCESS-gated stage boundary), then run it AGAIN over the
+    same directory so the returned frame flows entirely through the
+    resume path — manifest validated, every boundary read back, no
+    stage recomputed (operators/curation.py::curation_pipeline).
+    Hash-equal to the localCheckpoint gate by construction; this gate
+    makes the driver prove it."""
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    t = _pipeline_corpus(spark, sf_dir)
+    bench = t.filter(F.col("doc_id") % 50 == 0)
+    corpus = t.filter(F.col("doc_id") % 50 != 0)
+    ckpt = _gate_tmpdir("pipe_ckpt_gate_")
+    kw = dict(budget=2000, quality_thresholds={"max_mean_word_len": 4.5})
+    # first pass writes the boundaries (eager per-stage writes at build
+    # time — no collect needed); second pass is the pure resume read
+    curation_pipeline(corpus, bench, checkpoint_dir=ckpt, **kw)
+    fates = curation_pipeline(corpus, bench, checkpoint_dir=ckpt, **kw)
+    return fates.unionByName(
+        bench.select("doc_id", F.lit("heldout").alias("fate"))
+    )

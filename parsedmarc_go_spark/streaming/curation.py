@@ -188,6 +188,131 @@ def _read_budget_state(
     )
 
 
+def _verified_near_dup_stage(
+    spark, s3, batch_id, threshold, max_bcast, hold, ensure_store
+):
+    """The batch-exact near-dup stage of the verified streaming mode
+    (see make_curation_pipeline_processor): returns
+    ``(near_hist, near_batch, s4)`` and appends this batch's band keys
+    and distinct shingle sets — for EVERY s3 doc, kept or dropped — to
+    the ``minhash_docs`` / ``shingles`` stores (distinct directory
+    names from the greedy mode's ``minhash``, so the two layouts never
+    mix in one store_dir).
+
+    Scale shape: the band store scan is bucket-pruned to the batch's
+    own key buckets and joined against the (bounded) batch signature
+    frame; candidate PAIRS — not the corpus — flow into the verify,
+    whose shingle-set retrieval is doc-bucket-pruned and broadcasts
+    only candidate-doc id lists (near-dup-population-sized, the
+    minhash_lsh_pairs verify argument)."""
+    from parsedmarc_go_spark.operators.dedup import (
+        _shingle_stream,
+        minhash_band_signatures,
+        minhash_lsh_pairs,
+    )
+    from parsedmarc_go_spark.streaming.dedup import (
+        _bucket_expr,
+        _write_store,
+        read_fingerprints,
+    )
+
+    mh_dir, mb_ = ensure_store(spark, "minhash_docs")
+    sh_dir, sb_ = ensure_store(spark, "shingles")
+    sigs = hold(
+        minhash_band_signatures(s3, "doc_id").select(
+            F.col("doc").alias("doc_id"),
+            F.concat_ws(":", "band", "sig").alias("ph"),
+        )
+    )
+    bsh = hold(_shingle_stream(s3, "doc_id", ensure_parallelism=False).distinct())
+
+    # cross-batch candidate pairs: history (ph, doc) ⋈ batch (ph, doc_id)
+    hist = read_fingerprints(spark, mh_dir, exclude_batch_id=batch_id)
+    if "doc" not in hist.columns:  # store not created yet (first batch)
+        cross = spark.createDataFrame([], "hist_doc long, cand_doc long")
+    else:
+        if mb_ and "__bucket" in hist.columns:
+            buckets = [
+                r[0]
+                for r in sigs.select(_bucket_expr(mb_).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            hist = hist.filter(F.col("__bucket").isin(buckets))
+        probe = sigs.select("ph", F.col("doc_id").alias("cand_doc"))
+        if probe.limit(max_bcast + 1).count() <= max_bcast:
+            probe = F.broadcast(probe)
+        cross = (
+            hist.select(F.col("doc").alias("hist_doc"), "ph")
+            .join(probe, "ph")
+            .select("hist_doc", "cand_doc")
+            .distinct()
+        )
+    cross = hold(cross)
+
+    # exact-Jaccard verify: batch-side sets from this batch's shingle
+    # stream, history-side sets read back from the shingle store
+    hist_ids = cross.select(F.col("hist_doc").alias("doc")).distinct()
+    shst = read_fingerprints(spark, sh_dir, exclude_batch_id=batch_id)
+    if "shingle" not in shst.columns:
+        sets_h = spark.createDataFrame([], "doc long, shs_h array<string>")
+    else:
+        if sb_ and "__bucket" in shst.columns:
+            hbuckets = [
+                r[0]
+                for r in hist_ids.select(_bucket_expr(sb_, "doc").alias("b"))
+                .distinct()
+                .collect()
+            ]
+            shst = shst.filter(F.col("__bucket").isin(hbuckets))
+        sets_h = (
+            shst.join(F.broadcast(hist_ids), "doc")
+            .groupBy("doc")
+            .agg(F.collect_set("shingle").alias("shs_h"))
+        )
+    cand_ids = cross.select(F.col("cand_doc").alias("doc")).distinct()
+    sets_b = (
+        bsh.join(F.broadcast(cand_ids), "doc")
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("shs_c"))
+    )
+    near_hist = hold(
+        cross.join(sets_h.withColumnRenamed("doc", "hist_doc"), "hist_doc")
+        .join(sets_b.withColumnRenamed("doc", "cand_doc"), "cand_doc")
+        .withColumn("shared", F.size(F.array_intersect("shs_h", "shs_c")))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.size("shs_h") + F.size("shs_c") - F.col("shared")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("cand_doc").alias("doc_id"))
+        .distinct()
+    )
+
+    # within-batch rule over the FULL batch s3 — the batch pipeline
+    # pairs over all of s3, so a doc history just dropped can still
+    # drop its own within-batch partner
+    pairs = minhash_lsh_pairs(s3, threshold=threshold)
+    # disjoint fate branches: a doc can be both a history drop and a
+    # within-batch doc_b — emit its near_dup fate exactly once
+    near_batch = hold(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .join(near_hist, "doc_id", "left_anti")
+    )
+    near = hold(near_hist.unionByName(near_batch))
+    s4 = hold(s3.join(near, "doc_id", "left_anti"))
+
+    _write_store(
+        sigs.select("ph", F.col("doc_id").alias("doc")), mh_dir, batch_id, mb_
+    )
+    _write_store(bsh, sh_dir, batch_id, sb_, bucket_col="doc")
+    return near_hist, near_batch, s4
+
+
 def make_curation_pipeline_processor(
     out_dir: str,
     store_dir: str,
@@ -201,6 +326,7 @@ def make_curation_pipeline_processor(
     quality_thresholds: dict | None = None,
     n_buckets: int | None = None,
     broadcast_probe_max_keys: int | None = None,
+    verify_near_dups: bool = False,
 ):
     """foreachBatch body for the STREAMING twin of the composed batch
     curation pipeline (operators/curation.py::curation_pipeline,
@@ -241,7 +367,32 @@ def make_curation_pipeline_processor(
     deliberate divergence case in tests. The opposite (greedy-online
     chain survivor, streaming/dedup.py's ⌈L/2⌉ bound) needs an
     arrival's bands to miss EVERY retained doc, which the same S-curve
-    makes rare here; budget admits in arrival order against carried
+    makes rare here.
+
+    ``verify_near_dups=True`` (round 14) replaces the greedy
+    collision-only history rule with BATCH-EXACT semantics: the
+    history stores keep (band-key, doc) pairs plus each arriving
+    near-dup-stage doc's distinct shingle set (dropped docs included —
+    the batch rule pairs over ALL of s3, so a doc dropped by one pair
+    must still be able to drop its own later partner), cross-batch
+    band collisions become (history-doc, arrival) candidate PAIRS, and
+    every candidate is verified with exact Jaccard against the stored
+    shingle set before dropping — exactly minhash_lsh_pairs' verify,
+    applied across the trigger boundary. Because band keys and shingle
+    sets are the same deterministic functions batch computes, the
+    cross-trigger candidate set and its verified subset are
+    BIT-IDENTICAL to the batch gate's when triggers arrive in
+    ascending doc_id order (drop-the-later-arrival == drop-doc_b), so
+    stream fates equal batch fates exactly — this mode backs the
+    driver-hash-checked ``curation_pipeline_stream`` gate. The price
+    is state: ~one distinct-shingle row per corpus token instead of 16
+    fixed-width keys per doc — the standard exactness/footprint
+    trade, and the stores stay bucket-pruned parquet so probes scan
+    only the candidate buckets at any corpus size. The default
+    (False) keeps the r13 greedy footprint and its pinned divergence
+    direction.
+
+    Budget admits in arrival order against carried
     per-stratum PREFIX totals — chars/docs over every processed
     stratum doc, kept or dropped, because the batch rule is a prefix
     cut (cum over ALL docs in hash order), not residual knapsack
@@ -363,31 +514,44 @@ def make_curation_pipeline_processor(
             )
             s3 = hold(s2.join(contaminated, "doc_id", "left_anti"))
 
-            # 4. near-dup: band collision vs survivor history, then the
-            # batch pipeline's per-pair rule (drop doc_b) within the batch
-            mh_dir, mb_ = _ensure_store(spark, "minhash")
-            sigs = hold(
-                minhash_band_signatures(s3, "doc_id").select(
-                    F.col("doc").alias("doc_id"),
-                    F.concat_ws(":", "band", "sig").alias("ph"),
+            # 4. near-dup. Verified mode (batch-exact, backs the driver
+            # gate): (band-key, doc) + shingle-set stores over ALL s3
+            # arrivals, cross-batch collisions verified with exact
+            # Jaccard, within-batch rule over the full batch s3.
+            # Greedy mode (default, r13): band collision vs survivor
+            # history — no verify — then the batch per-pair rule within
+            # the trigger; 16 fixed-width keys per doc of state.
+            if verify_near_dups:
+                near_hist, near_batch, s4 = _verified_near_dup_stage(
+                    spark, s3, batch_id, jaccard_threshold, max_bcast,
+                    hold, _ensure_store,
                 )
-            )
-            m_keys = hold(sigs.select("ph").distinct())
-            m_seen = _probe(spark, mh_dir, mb_, m_keys, batch_id)
-            near_hist = hold(sigs.join(m_seen, "ph").select("doc_id").distinct())
-            remaining = hold(s3.join(near_hist, "doc_id", "left_anti"))
-            pairs = minhash_lsh_pairs(remaining, threshold=jaccard_threshold)
-            near_batch = hold(
-                pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-            )
-            s4 = hold(remaining.join(near_batch, "doc_id", "left_anti"))
-            new_mh = (
-                sigs.join(s4.select("doc_id"), "doc_id")
-                .select("ph")
-                .distinct()
-                .join(m_seen, "ph", "left_anti")
-            )
-            _write_store(new_mh, mh_dir, batch_id, mb_)
+            else:
+                mh_dir, mb_ = _ensure_store(spark, "minhash")
+                sigs = hold(
+                    minhash_band_signatures(s3, "doc_id").select(
+                        F.col("doc").alias("doc_id"),
+                        F.concat_ws(":", "band", "sig").alias("ph"),
+                    )
+                )
+                m_keys = hold(sigs.select("ph").distinct())
+                m_seen = _probe(spark, mh_dir, mb_, m_keys, batch_id)
+                near_hist = hold(
+                    sigs.join(m_seen, "ph").select("doc_id").distinct()
+                )
+                remaining = hold(s3.join(near_hist, "doc_id", "left_anti"))
+                pairs = minhash_lsh_pairs(remaining, threshold=jaccard_threshold)
+                near_batch = hold(
+                    pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+                )
+                s4 = hold(remaining.join(near_batch, "doc_id", "left_anti"))
+                new_mh = (
+                    sigs.join(s4.select("doc_id"), "doc_id")
+                    .select("ph")
+                    .distinct()
+                    .join(m_seen, "ph", "left_anti")
+                )
+                _write_store(new_mh, mh_dir, batch_id, mb_)
 
             # 5. budget: arrival-order admission against carried totals.
             # The carried counters sum over ALL processed stratum docs

@@ -140,10 +140,13 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return hadoop_fs(spark, path)
 
 
-def _bucket_expr(n_buckets: int):
+def _bucket_expr(n_buckets: int, col: str = "ph"):
     """Digest → directory bucket. xxhash64 over the sha256 hex is
-    uniform; cast to int so partition-directory values round-trip."""
-    return F.pmod(F.xxhash64(F.col("ph")), F.lit(n_buckets)).cast("int")
+    uniform; cast to int so partition-directory values round-trip.
+    ``col`` names the bucketing key — digest stores bucket on ``ph``,
+    the verified-near-dup shingle store on ``doc`` (so probes prune by
+    the history doc ids they retrieve)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
 def _meta_path(store_dir: str) -> str:
@@ -411,7 +414,11 @@ def probe_store(
 
 
 def _write_store(
-    df: DataFrame, store_dir: str, batch_id: int, n_buckets: int
+    df: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    n_buckets: int,
+    bucket_col: str = "ph",
 ) -> None:
     """``n_buckets == 0`` is the legacy (pre-bucketed) layout:
     partition by ``__batch_id`` only, matching the flat store's
@@ -430,7 +437,7 @@ def _write_store(
     out = df.withColumn("__batch_id", F.lit(batch_id))
     part_cols = ["__batch_id"]
     if n_buckets:
-        out = out.withColumn("__bucket", _bucket_expr(n_buckets))
+        out = out.withColumn("__bucket", _bucket_expr(n_buckets, bucket_col))
         part_cols.append("__bucket")
     (
         out.write.mode("overwrite")

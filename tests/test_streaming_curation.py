@@ -407,3 +407,82 @@ def test_stream_pipeline_infers_shard_schema_not_benchmarks(spark, tmp_path):
     assert {r.doc_id: r.fate for r in fates.collect()} == {
         0: "kept", 1: "kept", 2: "kept"
     }
+
+
+def test_stream_pipeline_verified_mode_is_batch_exact_on_divergence_fixture(
+    spark, tmp_path
+):
+    """Round 14: verify_near_dups=True must erase the r13 divergence —
+    the same sub-threshold band-colliding pair that the greedy mode
+    drops cross-trigger (test above) is exact-Jaccard-verified against
+    the stored shingle sets and KEPT, matching batch bit-for-bit."""
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    base = [f"tk{j}" for j in range(60)]
+    mid = list(base)
+    for p in (5, 15, 25, 35, 45, 55):
+        mid[p] = f"xk{p}"
+    docs = spark.createDataFrame(
+        [(1, "s", 400, " ".join(base)), (2, "s", 400, " ".join(mid))],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10_000, "sb", 10, " ".join(f"b{j}" for j in range(60)))],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    big = 10**12
+    batch = {
+        r.doc_id: r.fate
+        for r in curation_pipeline(docs, bench, budget=big, **_PIPE_KW).collect()
+    }
+    assert batch == {1: "kept", 2: "kept"}
+    two, *_ = _stream_fates(
+        spark, tmp_path, docs, bench,
+        [docs.filter(F.col("doc_id") == 1), docs.filter(F.col("doc_id") == 2)],
+        tag="_ver", budget=big, verify_near_dups=True, **_PIPE_KW,
+    )
+    assert two == batch  # greedy mode pins {1: kept, 2: near_dup} above
+
+
+def test_stream_pipeline_verified_mode_chain_parity(spark, tmp_path):
+    """Batch drops the higher id of EVERY ≥threshold pair, even when
+    the lower partner was itself dropped — the verified stores keep
+    dropped docs' bands and shingles so a cross-trigger chain (1,2),
+    (2,3) with J(1,3) below threshold still drops 3 (its only partner,
+    2, died in trigger 1). The greedy survivor-only store cannot see
+    this pair."""
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    base = [f"ch{j}" for j in range(60)]
+    mid = list(base)
+    for p in range(0, 6):  # J(1,2) and J(2,3) ≈ 0.76, J(1,3) ≈ 0.57
+        mid[p] = f"ym{p}"
+    far = list(mid)
+    for p in range(12, 18):
+        far[p] = f"zf{p}"
+    docs = spark.createDataFrame(
+        [(1, "s", 400, " ".join(base)), (2, "s", 400, " ".join(mid)),
+         (3, "s", 400, " ".join(far))],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10_000, "sb", 10, " ".join(f"b{j}" for j in range(60)))],
+        "doc_id long, source string, n_chars long, text string",
+    )
+    from parsedmarc_go_spark.operators.dedup import ngram_jaccard_pairs
+
+    j = {(r.doc_a, r.doc_b): r.jaccard
+         for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert j[(1, 2)] >= 0.7 and j[(2, 3)] >= 0.7 and j[(1, 3)] < 0.7, j
+    big = 10**12
+    batch = {
+        r.doc_id: r.fate
+        for r in curation_pipeline(docs, bench, budget=big, **_PIPE_KW).collect()
+    }
+    assert batch == {1: "kept", 2: "near_dup", 3: "near_dup"}
+    stream, *_ = _stream_fates(
+        spark, tmp_path, docs, bench,
+        [docs.filter(F.col("doc_id") <= 2), docs.filter(F.col("doc_id") == 3)],
+        tag="_chain", budget=big, verify_near_dups=True, **_PIPE_KW,
+    )
+    assert stream == batch
