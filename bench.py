@@ -195,6 +195,40 @@ def main() -> None:
     # mix, is where residual contention aliases in.)
     repeat_medians = {name: round(measure(name)[1], 3) for name in HEADLINE}
 
+    # spread_scan A/B (VERDICT r13 task 2): the r13 slot-count guard
+    # taxed small scans; the r14 size gate (tables.SPREAD_SCAN_MIN_BYTES)
+    # must show never==auto at sf0.1 and the spread winning where it is
+    # claimed to. Stamped IN the artifact so the trade is auditable per
+    # round — interleaved passes (never/always alternating) because the
+    # ordered version aliased JIT warm-up into the comparison.
+    ab_gates = ["j3b_geoip_range_join", "j3c_geoip6_range_join",
+                "w1_latest_by_key"]
+    ab_raw: dict[str, dict[str, list[float]]] = {
+        n: {"never": [], "always": []} for n in ab_gates
+    }
+    prev_mode = os.environ.get("SPARK_GRAFT_SPREAD_SCAN")
+    try:
+        for mode in ("never", "always"):  # warm both paths off the clock
+            os.environ["SPARK_GRAFT_SPREAD_SCAN"] = mode
+            for n in ab_gates:
+                QUERIES[n](spark, sf_dir).collect()
+        for _ in range(3):
+            for mode in ("never", "always"):
+                os.environ["SPARK_GRAFT_SPREAD_SCAN"] = mode
+                for n in ab_gates:
+                    t0 = time.perf_counter()
+                    QUERIES[n](spark, sf_dir).collect()
+                    ab_raw[n][mode].append(time.perf_counter() - t0)
+    finally:
+        if prev_mode is None:
+            os.environ.pop("SPARK_GRAFT_SPREAD_SCAN", None)
+        else:
+            os.environ["SPARK_GRAFT_SPREAD_SCAN"] = prev_mode
+    spread_ab = {
+        n: {m: round(sorted(v)[1], 3) for m, v in modes.items()}
+        for n, modes in ab_raw.items()
+    }
+
     # session config stamp: the knobs that move wall-clock between
     # otherwise-identical runs, so cross-round diffs can rule them out
     jconf = spark.sparkContext._jsc.sc().conf()
@@ -231,6 +265,7 @@ def main() -> None:
         "sf": sf,
         "spread": spread,
         "repeat_medians": repeat_medians,
+        "spread_scan_ab": spread_ab,
         "session": session,
         # mix lineage so cross-round totals compare like-for-like:
         # r5 swapped j3_range_join → j3b_geoip_range_join (heavier,

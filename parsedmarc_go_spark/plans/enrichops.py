@@ -252,16 +252,18 @@ def w1_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 — the engine's one window function: ReplacingMergeTree
     keep-latest semantics (docs/clickhouse.md:257-276), deterministic
     tie-break on event_id."""
-    from parsedmarc_go_spark.tables import spread_scan
-
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    # spread first: the partial WindowGroupLimit sort runs pre-shuffle
-    # and was straggler-bound on the sf1 single-file scan (1.5 -> 1.0 s
-    # warm); pure aggregations do NOT get this treatment — their
-    # map-side partial agg collapses rows before any shuffle, and the
-    # raw-row spread measured as a net loss there
+    # NO raw-row spread here (round 14 A/B, interleaved + warm): the
+    # keep-latest window is not CPU-bound per row, and the extra
+    # exchange measured a net LOSS at BOTH SFs (sf0.1 0.31→0.47 s,
+    # sf1 1.26→2.20 s median) — the r13 "straggler-bound" reading was
+    # session-order noise. The WindowGroupLimit partial already prunes
+    # each scan partition to one row per key before the user_id
+    # shuffle, so the plan is shuffle-minimal as-is; spread_scan stays
+    # reserved for CPU-heavy expression pipelines (j3b/j3c IP parse)
+    # where the same A/B shows a 2-1.8× sf1 win.
     return (
-        spread_scan(load(spark, sf_dir, "events"), "event_id")
+        load(spark, sf_dir, "events")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")

@@ -76,7 +76,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_scan(df: DataFrame, key_col: str) -> DataFrame:
+# Below this input size the spread is pure overhead: the serial CPU
+# phase it parallelizes is sub-100 ms, while the added exchange costs
+# a fixed ~0.2-0.3 s per gate (BENCH_r12→r13: j3b 0.635→0.883 s, w1
+# 0.288→0.336 s at sf0.1 — the slot-count-only guard fired on every
+# small corpus). 4 MiB of compressed parquet splits into ≥128 KiB of
+# raw-row work per slot on 32 slots — enough for the CPU-heavy string
+# pipelines this helper serves (at sf1, events = 16 MiB and documents
+# = 6.5 MiB both clear it; every sf0.1 table stays under).
+SPREAD_SCAN_MIN_BYTES = 4 * 1024 * 1024
+
+
+def spread_scan(
+    df: DataFrame, key_col: str, min_bytes: int = SPREAD_SCAN_MIN_BYTES
+) -> DataFrame:
     """Repartition a scan-rooted frame to full parallelism when the
     file layout under-partitions it (one sf1 parquet file → 2
     partitions) — the `_shingle_stream ensure_parallelism` guard
@@ -85,7 +98,25 @@ def spread_scan(df: DataFrame, key_col: str) -> DataFrame:
     scan's partitioning. The shuffle moves the RAW rows (compact —
     before any explode amplification); consumers whose work is scan-
     or IO-bound should NOT pay it, which is why this is opt-in per
-    pipeline rather than part of load()."""
+    pipeline rather than part of load().
+
+    SIZE-gated, then slot-gated (VERDICT r13 task 2): inputs under
+    ``min_bytes`` (Catalyst's optimized-plan sizeInBytes — the
+    parquet file size for scan-rooted frames, no job run) skip both
+    the shuffle AND the plan-converting ``df.rdd`` partition probe;
+    the r13 slot-only guard taxed every small corpus ~0.25 s/gate for
+    a serial phase worth less than that. ``SPARK_GRAFT_SPREAD_SCAN``
+    ∈ {auto (default), never, always} overrides the gate — bench.py's
+    spread A/B uses it to stamp both sides in the artifact."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_SPREAD_SCAN", "auto")
+    if mode == "never":
+        return df
+    if mode != "always":
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        if int(str(stats.sizeInBytes())) < min_bytes:
+            return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         # deliberately COALESCIBLE (no explicit count): AQE right-sizes

@@ -282,3 +282,27 @@ def test_maxmunch_plan_runs_dp_on_distinct_words(spark):
     assert p.count("aggregate(sequence") <= 2, (
         "DP expression duplicated across occurrence-side operators:\n" + p
     )
+
+
+def test_spread_scan_is_size_gated(spark):
+    """VERDICT r13 task 2: spread_scan skips both the shuffle and the
+    partition probe for inputs under the byte floor, spreads above it,
+    and honors the SPARK_GRAFT_SPREAD_SCAN override."""
+    import os
+
+    from parsedmarc_go_spark.tables import load, spread_scan
+
+    small = load(spark, "/root/testdata/sf0.01", "events")
+    prev = os.environ.pop("SPARK_GRAFT_SPREAD_SCAN", None)
+    try:
+        assert spread_scan(small, "event_id") is small  # under the floor
+        assert spread_scan(small, "event_id", min_bytes=1) is not small
+        os.environ["SPARK_GRAFT_SPREAD_SCAN"] = "never"
+        assert spread_scan(small, "event_id", min_bytes=1) is small
+        os.environ["SPARK_GRAFT_SPREAD_SCAN"] = "always"
+        assert spread_scan(small, "event_id") is not small
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_SPREAD_SCAN", None)
+        else:
+            os.environ["SPARK_GRAFT_SPREAD_SCAN"] = prev
