@@ -236,6 +236,12 @@ STRING_TYPE_FOR_DRIVER: dict[str, str] = {
     "org.apache.derby.jdbc.EmbeddedDriver": "CLOB",
     "org.apache.derby.iapi.jdbc.AutoloadedDriver": "CLOB",
     "org.duckdb.DuckDBDriver": "VARCHAR",
+    # ClickHouse's unbounded string IS `String` (VERDICT r13 task 5).
+    # A ClickHouse target normally runs the literal CLICKHOUSE_DDL
+    # (MergeTree/partition/bloom clauses) through execute_ddl — this
+    # entry covers the generic ansi_ddl path so an ad-hoc frame write
+    # against the JDBC driver emits the right string type too.
+    "com.clickhouse.jdbc.ClickHouseDriver": "String",
 }
 
 
