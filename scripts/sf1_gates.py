@@ -6,8 +6,14 @@ edges at higher cardinality, chunk decomposition at real block sizes)
 would pass it. This script mirrors tests/oracle_harness.py over EVERY
 registered gate at an sf1 directory (scripts/make_sf.py output):
 oracle-bearing queries get the full value compare, rows-only queries a
-determinism check (two runs, same rows). Results stream to
-CORRECTNESS_SF1.json as they finish so a partial run still records.
+determinism check: ONE run computing an order-insensitive value hash
+in the same Spark job, compared against the hash the PREVIOUS sweep
+recorded for that gate (VERDICT r13 task 6 — the old in-session
+double-run paid a full recompute per gate, 46 s for bigstar alone, to
+catch exactly what a cross-sweep hash catches more cheaply AND across
+sessions; a legitimate output change shows up as hash_changed and the
+stale entry is cleared deliberately, never silently). Results stream
+to CORRECTNESS_SF1.json as they finish so a partial run still records.
 
 Usage: python scripts/sf1_gates.py [--sf-dir /tmp/spark_graft_sf1]
         [--only name1,name2]
@@ -99,6 +105,31 @@ def build_shared_oracles(con, oracles: dict, verbose: bool = True) -> dict:
     return oracles
 
 
+def rows_only_hash(df):
+    """Order-insensitive value hash of a rows-only gate's output in ONE
+    Spark job: xxhash64 over a canonical JSON rendering of each row
+    (columns in sorted name order; float/double formatted to 7
+    significant digits so last-bit float drift from a different
+    partial-aggregation merge order across sessions cannot flip the
+    hash), summed as decimal so the fold is commutative and
+    overflow-free. Returns (row_count, hash_string)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = []
+    for field in sorted(df.schema.fields, key=lambda f: f.name):
+        c = F.col(field.name)
+        if isinstance(field.dataType, (T.DoubleType, T.FloatType)):
+            c = F.format_string("%.6e", c)
+        cols.append(c.alias(field.name))
+    agg = df.select(
+        F.xxhash64(F.to_json(F.struct(*cols))).cast("decimal(38,0)").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("h").alias("hsum")
+    ).collect()[0]
+    return int(agg["n"]), str(agg["hsum"])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf1")
@@ -139,9 +170,12 @@ def main() -> None:
 
     pool = ThreadPoolExecutor(max_workers=1)
     results: dict[str, dict] = {}
-    if os.path.exists(args.out) and args.only:
+    prev_gates: dict[str, dict] = {}
+    if os.path.exists(args.out):
         with open(args.out) as f:
-            results = json.load(f).get("gates", results)
+            prev_gates = json.load(f).get("gates", {})
+    if args.only:
+        results = dict(prev_gates)
     for name in names:
         t0 = time.perf_counter()
         entry: dict = {}
@@ -149,20 +183,38 @@ def main() -> None:
             if name in ORACLES:
                 # overlap the two engines: DuckDB executes (GIL
                 # released) while Spark collects — per-gate wall is
-                # max(sides), not their sum
+                # max(sides), not their sum. spark_wall_s times the
+                # Spark side alone (VERDICT r13 task 8) so sweep-vs-
+                # bench deltas are auditable per round.
                 fut = pool.submit(run_oracle, oracles[name], args.sf_dir, con)
+                ts = time.perf_counter()
                 spark_pd = QUERIES[name](spark, args.sf_dir).toPandas()
+                entry["spark_wall_s"] = round(time.perf_counter() - ts, 2)
                 errs = compare_frames(spark_pd, fut.result())
                 entry["mode"] = "oracle"
                 entry["pass"] = not errs
                 if errs:
                     entry["errs"] = errs[:5]
             else:
-                r1 = QUERIES[name](spark, args.sf_dir).count()
-                r2 = QUERIES[name](spark, args.sf_dir).count()
+                # VERDICT r13 task 6: one run, order-insensitive value
+                # hash, compared against the hash the PREVIOUS sweep
+                # recorded — a cross-session determinism check that
+                # costs half what the old in-session double-run did. A
+                # deliberate output change surfaces as hash_changed
+                # (FAIL) until the stale entry is cleared on purpose.
+                ts = time.perf_counter()
+                rows, vhash = rows_only_hash(QUERIES[name](spark, args.sf_dir))
+                entry["spark_wall_s"] = round(time.perf_counter() - ts, 2)
                 entry["mode"] = "rows_only"
-                entry["rows"] = r1
-                entry["pass"] = r1 == r2
+                entry["rows"] = rows
+                entry["value_hash"] = vhash
+                prev_hash = prev_gates.get(name, {}).get("value_hash")
+                if prev_hash is None:
+                    entry["first_recording"] = True
+                    entry["pass"] = rows >= 0
+                else:
+                    entry["hash_changed"] = vhash != prev_hash
+                    entry["pass"] = not entry["hash_changed"]
         except Exception as exc:  # record and continue: one bad gate must
             entry["mode"] = "error"  # not hide the other 49
             entry["pass"] = False
