@@ -201,8 +201,12 @@ def main() -> None:
     # claimed to. Stamped IN the artifact so the trade is auditable per
     # round — interleaved passes (never/always alternating) because the
     # ordered version aliased JIT warm-up into the comparison.
-    ab_gates = ["j3b_geoip_range_join", "j3c_geoip6_range_join",
-                "w1_latest_by_key"]
+    # w1_latest_by_key is NOT in the A/B: its spread_scan call was
+    # removed at source (the same commit's measured net loss — the
+    # WindowGroupLimit partial prunes pre-shuffle), so both env modes
+    # would run the identical plan and the stamped rows would be pure
+    # session noise presented as a comparison (round-14 review).
+    ab_gates = ["j3b_geoip_range_join", "j3c_geoip6_range_join"]
     ab_raw: dict[str, dict[str, list[float]]] = {
         n: {"never": [], "always": []} for n in ab_gates
     }

@@ -845,7 +845,18 @@ def _validate_or_write_manifest(spark, checkpoint_dir: str, params: dict) -> Non
         out.write(bytearray(blob.encode("utf-8")))
     finally:
         out.close()
-    fs.rename(tmp, hpath)
+    # Hadoop FileSystem.rename reports failure by returning FALSE, not
+    # raising (e.g. a concurrent first run already created the
+    # destination) — proceeding without a manifest would let a later
+    # resume write ITS params and splice configurations, the exact bug
+    # this function refuses (round-14 review)
+    if not fs.rename(tmp, hpath):
+        raise IOError(
+            f"could not move manifest into place at {checkpoint_dir}"
+            "/manifest.json (rename returned false — concurrent "
+            "writer or filesystem refusal); refusing to run against "
+            "an unpinned checkpoint directory"
+        )
 
 
 def curation_pipeline(

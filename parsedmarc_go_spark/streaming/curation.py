@@ -440,6 +440,59 @@ def make_curation_pipeline_processor(
             return d, n_buckets
         return d, int(meta["n_buckets"])
 
+    _mode_pinned: list[bool] = []
+
+    def _ensure_mode(spark: SparkSession) -> None:
+        """Pin ``verify_near_dups`` to the store directory. The greedy
+        and verified modes keep near-dup history in DISJOINT substores
+        (``minhash`` vs ``minhash_docs``+``shingles``), so restarting
+        an existing store with the flag toggled would silently read
+        EMPTY history and wave every cross-trigger near-duplicate of
+        the earlier batches through as kept — the streaming analogue
+        of the batch checkpoint manifest's resume-with-changed-params
+        refusal (round-14 review). Same tmp+rename crash-safety as
+        _write_store_meta; checked once per processor build."""
+        if _mode_pinned:
+            return
+        from parsedmarc_go_spark.streaming.dedup import _hadoop_fs
+
+        d = os.path.join(store_dir, "pipeline_mode")
+        fs, hpath = _hadoop_fs(spark, d)
+        if fs.exists(hpath):
+            rows = spark.read.json(d).collect()
+            if not rows:
+                raise IOError(
+                    f"pipeline mode sidecar at {d} exists but is empty "
+                    "— the pinned near-dup mode is unrecoverable; "
+                    "restore the sidecar or recreate the store"
+                )
+            pinned = bool(rows[0]["verify_near_dups"])
+            if pinned != bool(verify_near_dups):
+                raise ValueError(
+                    f"store_dir {store_dir} was created with "
+                    f"verify_near_dups={pinned}; restarting with "
+                    f"verify_near_dups={bool(verify_near_dups)} would "
+                    "read the other mode's (empty) near-dup substores "
+                    "and silently forget all retained history — use a "
+                    "fresh store_dir (and checkpoint) to change modes"
+                )
+        else:
+            tmp = d + ".tmp"
+            (
+                spark.createDataFrame(
+                    [(bool(verify_near_dups),)], "verify_near_dups boolean"
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .json(tmp)
+            )
+            if not fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+                raise IOError(
+                    f"could not move pipeline mode sidecar into place at "
+                    f"{d} (rename returned false — concurrent writer?)"
+                )
+        _mode_pinned.append(True)
+
     def _probe(spark, sub_dir, buckets, keys, batch_id):
         """store ∩ keys, batch-bounded, replay-safe, checkpointed
         before the store append that follows it. The broadcast-vs-
@@ -455,6 +508,7 @@ def make_curation_pipeline_processor(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _ensure_mode(spark)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
 
         def hold(df: DataFrame) -> DataFrame:
@@ -647,13 +701,25 @@ def stream_curation_pipeline(
     needs (ADVICE r13). Starting a stream on an EMPTY landing dir
     therefore requires an explicit ``schema``."""
     if schema is None:
+        # only the CANNOT-INFER analysis error means "empty landing
+        # dir"; an IO/permission/corrupt-footer failure must PROPAGATE
+        # (the read_fingerprints contract, streaming/dedup.py) —
+        # rebranding it as "pass schema=" sends the operator at the
+        # wrong fix while the filesystem is broken (round-14 review)
+        from pyspark.errors import AnalysisException
+
         try:
             schema = (
                 spark.read.option("recursiveFileLookup", "true")
                 .parquet(landing_dir)
                 .schema
             )
-        except Exception:
+        except AnalysisException as exc:
+            if not (
+                "UNABLE_TO_INFER_SCHEMA" in str(exc)
+                or "PATH_NOT_FOUND" in str(exc)
+            ):
+                raise
             raise ValueError(
                 f"landing_dir {landing_dir} has no readable parquet to "
                 "infer the document schema from — pass schema= "

@@ -101,21 +101,33 @@ def spread_scan(
     pipeline rather than part of load().
 
     SIZE-gated, then slot-gated (VERDICT r13 task 2): inputs under
-    ``min_bytes`` (Catalyst's optimized-plan sizeInBytes — the
-    parquet file size for scan-rooted frames, no job run) skip both
-    the shuffle AND the plan-converting ``df.rdd`` partition probe;
-    the r13 slot-only guard taxed every small corpus ~0.25 s/gate for
-    a serial phase worth less than that. ``SPARK_GRAFT_SPREAD_SCAN``
-    ∈ {auto (default), never, always} overrides the gate — bench.py's
-    spread A/B uses it to stamp both sides in the artifact."""
+    ``min_bytes`` skip both the shuffle AND the plan-converting
+    ``df.rdd`` partition probe; the r13 slot-only guard taxed every
+    small corpus ~0.25 s/gate for a serial phase worth less than
+    that. The size read is the MAX over the optimized plan's LEAF
+    relations (the parquet file bytes, no job run) — NOT the frame's
+    own root estimate: Catalyst scales a Project's sizeInBytes by the
+    projected columns' default widths, so a narrow projection over a
+    big scan (the maxmunch corpus select) reported ~0.43× the file
+    size and silently skipped the spread the call exists to apply.
+    ``SPARK_GRAFT_SPREAD_SCAN`` ∈ {auto (default), never, always}
+    overrides the gate — bench.py's spread A/B uses it to stamp both
+    sides in the artifact."""
     import os
 
     mode = os.environ.get("SPARK_GRAFT_SPREAD_SCAN", "auto")
     if mode == "never":
         return df
     if mode != "always":
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
-        if int(str(stats.sizeInBytes())) < min_bytes:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        scan_bytes = max(
+            (
+                int(str(leaves.apply(i).stats().sizeInBytes()))
+                for i in range(leaves.size())
+            ),
+            default=0,
+        )
+        if scan_bytes < min_bytes:
             return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:

@@ -130,6 +130,26 @@ def rows_only_hash(df):
     return int(agg["n"]), str(agg["hsum"])
 
 
+def rows_only_verdict(vhash: str, prev_hash: str | None) -> dict:
+    """The cross-sweep compare verdict for one rows-only gate. On a
+    MISMATCH the previous hash stays the recorded reference — writing
+    the new hash would make the very next sweep self-accept the
+    regression, violating the 'cleared deliberately, never silently'
+    contract (round-14 review). A deliberate output change is accepted
+    by deleting the gate's value_hash from the artifact, which routes
+    the next sweep through first_recording."""
+    if prev_hash is None:
+        return {"value_hash": vhash, "first_recording": True, "pass": True}
+    if vhash == prev_hash:
+        return {"value_hash": vhash, "hash_changed": False, "pass": True}
+    return {
+        "value_hash": prev_hash,
+        "new_value_hash": vhash,
+        "hash_changed": True,
+        "pass": False,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf1")
@@ -207,14 +227,11 @@ def main() -> None:
                 entry["spark_wall_s"] = round(time.perf_counter() - ts, 2)
                 entry["mode"] = "rows_only"
                 entry["rows"] = rows
-                entry["value_hash"] = vhash
-                prev_hash = prev_gates.get(name, {}).get("value_hash")
-                if prev_hash is None:
-                    entry["first_recording"] = True
-                    entry["pass"] = rows >= 0
-                else:
-                    entry["hash_changed"] = vhash != prev_hash
-                    entry["pass"] = not entry["hash_changed"]
+                entry.update(
+                    rows_only_verdict(
+                        vhash, prev_gates.get(name, {}).get("value_hash")
+                    )
+                )
         except Exception as exc:  # record and continue: one bad gate must
             entry["mode"] = "error"  # not hide the other 49
             entry["pass"] = False

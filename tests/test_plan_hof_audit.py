@@ -94,10 +94,20 @@ ALLOWED_LAMBDA_COUNTS = {
 
 
 def _lambda_count(spark, name: str) -> int:
-    df = QUERIES[name](spark, SF)
-    return df._jdf.queryExecution().optimizedPlan().toString().count(
-        "lambdafunction"
-    )
+    # treeString elides operator argument lists past
+    # spark.sql.debug.maxToStringFields (default 25) as "... N more
+    # fields" — a lambda sitting past the cutoff in a wide select
+    # would silently pass the audit (round-14 review); pin the limit
+    # high for the duration of the count
+    prev = spark.conf.get("spark.sql.debug.maxToStringFields")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    try:
+        df = QUERIES[name](spark, SF)
+        return df._jdf.queryExecution().optimizedPlan().toString().count(
+            "lambdafunction"
+        )
+    finally:
+        spark.conf.set("spark.sql.debug.maxToStringFields", prev)
 
 
 def test_no_unsanctioned_hof_lambdas(spark):

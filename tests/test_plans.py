@@ -301,6 +301,27 @@ def test_spread_scan_is_size_gated(spark):
         assert spread_scan(small, "event_id", min_bytes=1) is small
         os.environ["SPARK_GRAFT_SPREAD_SCAN"] = "always"
         assert spread_scan(small, "event_id") is not small
+        os.environ.pop("SPARK_GRAFT_SPREAD_SCAN", None)
+
+        # round-14 review: the gate must read the LEAF scan bytes, not
+        # the frame's root estimate — Catalyst scales a Project's
+        # sizeInBytes by projected column widths (measured 0.43× on a
+        # (doc_id, text) select over documents), which silently
+        # disabled the spread for the maxmunch corpus at sf1. A narrow
+        # projection over the same scan must gate identically to the
+        # bare scan: floor between projected-root and leaf estimates
+        # spreads only if the LEAF size is what's compared.
+        from pyspark.sql import functions as F
+
+        proj = small.select("event_id", F.lower(F.col("event_type")).alias("t"))
+        root_est = int(
+            str(proj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        leaves = proj._jdf.queryExecution().optimizedPlan().collectLeaves()
+        leaf_est = int(str(leaves.apply(0).stats().sizeInBytes()))
+        assert root_est < leaf_est, "projection no longer shrinks the estimate"
+        mid = (root_est + leaf_est) // 2
+        assert spread_scan(proj, "event_id", min_bytes=mid) is not proj
     finally:
         if prev is None:
             os.environ.pop("SPARK_GRAFT_SPREAD_SCAN", None)

@@ -486,3 +486,40 @@ def test_stream_pipeline_verified_mode_chain_parity(spark, tmp_path):
         tag="_chain", budget=big, verify_near_dups=True, **_PIPE_KW,
     )
     assert stream == batch
+
+
+def test_stream_pipeline_refuses_near_dup_mode_toggle(spark, tmp_path):
+    """Round-14 review: the greedy and verified near-dup modes keep
+    history in DISJOINT substores (minhash vs minhash_docs+shingles),
+    so restarting an existing store with verify_near_dups toggled
+    would silently read EMPTY history and wave every cross-trigger
+    near-duplicate of the earlier batches through. The store pins its
+    mode on first use (the batch checkpoint-manifest idiom) and a
+    toggled restart raises instead of forgetting."""
+    import pytest
+
+    from parsedmarc_go_spark.streaming.curation import (
+        make_curation_pipeline_processor,
+    )
+
+    corpus, bench = _pipeline_inputs(spark)
+    shard = corpus.filter(F.col("doc_id") < 200)
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+
+    greedy = make_curation_pipeline_processor(
+        out, store, bench, verify_near_dups=False, **_PIPE_KW
+    )
+    greedy(shard, 0)
+
+    flipped = make_curation_pipeline_processor(
+        out, store, bench, verify_near_dups=True, **_PIPE_KW
+    )
+    with pytest.raises(ValueError, match="verify_near_dups"):
+        flipped(corpus.filter(F.col("doc_id") >= 200), 1)
+
+    # the SAME mode resumes fine (restart parity untouched)
+    resumed = make_curation_pipeline_processor(
+        out, store, bench, verify_near_dups=False, **_PIPE_KW
+    )
+    resumed(corpus.filter(F.col("doc_id") >= 200), 1)

@@ -40,3 +40,30 @@ def test_rewritten_oracles_value_equal_canonical():
             pd.testing.assert_frame_equal(a, b, check_dtype=True)
         except AssertionError as exc:  # attach WHICH gate diverged
             raise AssertionError(f"rewritten oracle {name} diverged: {exc}")
+
+
+def test_rows_only_verdict_never_overwrites_reference_on_mismatch():
+    """Round-14 review: a hash mismatch must keep the PREVIOUS hash as
+    the recorded reference — if the new hash were written, the very
+    next sweep would compare against it and silently self-accept the
+    regression (and a flapping gate would alternate PASS/FAIL instead
+    of failing consistently until deliberately cleared)."""
+    from sf1_gates import rows_only_verdict
+
+    first = rows_only_verdict("h1", None)
+    assert first == {"value_hash": "h1", "first_recording": True, "pass": True}
+
+    same = rows_only_verdict("h1", "h1")
+    assert same["pass"] and not same["hash_changed"]
+    assert same["value_hash"] == "h1"
+
+    changed = rows_only_verdict("h2", "h1")
+    assert not changed["pass"] and changed["hash_changed"]
+    assert changed["value_hash"] == "h1"  # the reference stands
+    assert changed["new_value_hash"] == "h2"
+    # the next sweep (same regressed output) must STILL fail
+    again = rows_only_verdict("h2", changed["value_hash"])
+    assert not again["pass"] and again["value_hash"] == "h1"
+    # deliberate acceptance: the entry is cleared -> first_recording
+    accepted = rows_only_verdict("h2", None)
+    assert accepted["pass"] and accepted["value_hash"] == "h2"
