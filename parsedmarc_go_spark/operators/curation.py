@@ -839,23 +839,49 @@ def _validate_or_write_manifest(spark, checkpoint_dir: str, params: dict) -> Non
     # tmp + atomic rename (the storage.swap_directory idiom): a crash
     # between create and write must never leave a half-written manifest
     # at the validated path (ADVICE r13)
-    fs_t, tmp = _hadoop_path(spark, checkpoint_dir + "/manifest.json.tmp")
+    # per-attempt UNIQUE tmp name: with a fixed tmp path, two racing
+    # first runs could interleave create/overwrite/rename so that run A
+    # renames run B's params into place and proceeds believing its own
+    # were pinned (round-14 review)
+    import uuid
+
+    fs_t, tmp = _hadoop_path(
+        spark, f"{checkpoint_dir}/manifest.json.tmp-{uuid.uuid4().hex}"
+    )
     out = fs_t.create(tmp, True)
     try:
         out.write(bytearray(blob.encode("utf-8")))
     finally:
         out.close()
     # Hadoop FileSystem.rename reports failure by returning FALSE, not
-    # raising (e.g. a concurrent first run already created the
-    # destination) — proceeding without a manifest would let a later
-    # resume write ITS params and splice configurations, the exact bug
-    # this function refuses (round-14 review)
-    if not fs.rename(tmp, hpath):
+    # raising (e.g. a concurrent first run won the race to create the
+    # destination). Whatever the rename outcome, the authority is the
+    # manifest NOW at the validated path: read it back and accept only
+    # if it pins exactly OUR params — a concurrent identical run is
+    # fine, a concurrent different-params run must refuse here, before
+    # any stage boundary is written under the wrong pin.
+    renamed = bool(fs.rename(tmp, hpath))
+    if not renamed:
+        fs_t.delete(tmp, False)
+    if not fs.exists(hpath):
         raise IOError(
             f"could not move manifest into place at {checkpoint_dir}"
-            "/manifest.json (rename returned false — concurrent "
-            "writer or filesystem refusal); refusing to run against "
-            "an unpinned checkpoint directory"
+            "/manifest.json (rename returned false and no manifest "
+            "exists — filesystem refusal); refusing to run against an "
+            "unpinned checkpoint directory"
+        )
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(hpath)
+    try:
+        landed = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    if json.loads(landed) != params:
+        raise ValueError(
+            f"checkpoint_dir {checkpoint_dir} was concurrently pinned "
+            f"with different pipeline parameters ({landed}); running "
+            f"with {blob} would mix configurations — use a fresh "
+            "directory"
         )
 
 

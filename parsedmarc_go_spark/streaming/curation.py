@@ -458,6 +458,38 @@ def make_curation_pipeline_processor(
 
         d = os.path.join(store_dir, "pipeline_mode")
         fs, hpath = _hadoop_fs(spark, d)
+        if not fs.exists(hpath):
+            # no sidecar: a store from before the sidecar existed must
+            # NOT be blind-pinned to the CURRENT flag — that would
+            # stamp the new mode over history recorded under the other
+            # one (the exact silent-loss bug this guard prevents;
+            # round-14 review). Infer the prior mode from which
+            # near-dup substores hold data: greedy writes `minhash`,
+            # verified writes `minhash_docs`+`shingles`.
+            def _sub_exists(sub: str) -> bool:
+                _, p = _hadoop_fs(spark, os.path.join(store_dir, sub))
+                return bool(fs.exists(p))
+
+            had_greedy = _sub_exists("minhash")
+            had_verified = _sub_exists("minhash_docs") or _sub_exists("shingles")
+            if had_greedy and had_verified:
+                raise ValueError(
+                    f"store_dir {store_dir} holds BOTH greedy (minhash) "
+                    "and verified (minhash_docs/shingles) near-dup "
+                    "substores and no pipeline_mode sidecar — its mode "
+                    "is ambiguous; recreate the store"
+                )
+            inferred = True if had_verified else (False if had_greedy else None)
+            if inferred is not None and inferred != bool(verify_near_dups):
+                raise ValueError(
+                    f"store_dir {store_dir} has no pipeline_mode sidecar "
+                    f"but its substores show it was used with "
+                    f"verify_near_dups={inferred}; restarting with "
+                    f"verify_near_dups={bool(verify_near_dups)} would "
+                    "silently forget the retained near-dup history — "
+                    "use a fresh store_dir (and checkpoint) to change "
+                    "modes"
+                )
         if fs.exists(hpath):
             rows = spark.read.json(d).collect()
             if not rows:

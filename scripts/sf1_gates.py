@@ -189,13 +189,18 @@ def main() -> None:
     )
 
     pool = ThreadPoolExecutor(max_workers=1)
-    results: dict[str, dict] = {}
     prev_gates: dict[str, dict] = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
             prev_gates = json.load(f).get("gates", {})
-    if args.only:
-        results = dict(prev_gates)
+    # seed from the previous artifact UNCONDITIONALLY: the artifact is
+    # rewritten after every gate, so starting empty meant an
+    # interrupted sweep erased every not-yet-run gate's reference hash
+    # — and the next sweep would then first_record a regressed output
+    # as the new truth (round-14 review). Stale entries are visibly
+    # stale (each gets overwritten as its gate runs); losing them
+    # silently was the bug.
+    results: dict[str, dict] = dict(prev_gates)
     for name in names:
         t0 = time.perf_counter()
         entry: dict = {}
@@ -236,6 +241,12 @@ def main() -> None:
             entry["mode"] = "error"  # not hide the other 49
             entry["pass"] = False
             entry["err"] = repr(exc)[:500]
+            # a transient error must not destroy the cross-sweep
+            # reference hash — without this carry, the sweep AFTER the
+            # error would first_record whatever it sees (round-14
+            # review's self-acceptance hole, error-path variant)
+            if "value_hash" in prev_gates.get(name, {}):
+                entry["value_hash"] = prev_gates[name]["value_hash"]
         entry["wall_s"] = round(time.perf_counter() - t0, 2)
         results[name] = entry
         status = "PASS" if entry["pass"] else "FAIL"

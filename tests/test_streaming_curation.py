@@ -523,3 +523,43 @@ def test_stream_pipeline_refuses_near_dup_mode_toggle(spark, tmp_path):
         out, store, bench, verify_near_dups=False, **_PIPE_KW
     )
     resumed(corpus.filter(F.col("doc_id") >= 200), 1)
+
+
+def test_stream_pipeline_mode_inferred_for_legacy_store(spark, tmp_path):
+    """A store created BEFORE the pipeline_mode sidecar existed must
+    not be blind-pinned to whatever flag the restart passes — the
+    prior mode is inferred from which near-dup substores hold state
+    (greedy writes `minhash`; verified writes minhash_docs+shingles),
+    and a conflicting restart refuses (round-14 review)."""
+    import shutil
+
+    import pytest
+
+    from parsedmarc_go_spark.streaming.curation import (
+        make_curation_pipeline_processor,
+    )
+
+    corpus, bench = _pipeline_inputs(spark)
+    shard = corpus.filter(F.col("doc_id") < 200)
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+
+    greedy = make_curation_pipeline_processor(
+        out, store, bench, verify_near_dups=False, **_PIPE_KW
+    )
+    greedy(shard, 0)
+    # simulate a pre-r14 store: the mode sidecar does not exist yet
+    shutil.rmtree(os.path.join(store, "pipeline_mode"))
+
+    flipped = make_curation_pipeline_processor(
+        out, store, bench, verify_near_dups=True, **_PIPE_KW
+    )
+    with pytest.raises(ValueError, match="substores show it was used"):
+        flipped(corpus.filter(F.col("doc_id") >= 200), 1)
+
+    # the matching mode re-pins and resumes
+    resumed = make_curation_pipeline_processor(
+        out, store, bench, verify_near_dups=False, **_PIPE_KW
+    )
+    resumed(corpus.filter(F.col("doc_id") >= 200), 1)
+    assert os.path.exists(os.path.join(store, "pipeline_mode"))
