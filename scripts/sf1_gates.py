@@ -263,6 +263,13 @@ def main() -> None:
                         "note": "sf_dir is transient scratch (regenerate it "
                         "with the command above); this artifact is the "
                         "record, the directory is not",
+                        "rows_only_hash_contract": "rows-only gates "
+                        "record an order-insensitive value hash compared "
+                        "against the previous sweep's; a mismatch FAILS "
+                        "and keeps the old hash as the reference — to "
+                        "deliberately accept a changed output, delete "
+                        "that gate's value_hash from this file and "
+                        "re-sweep (first_recording)",
                     },
                     "sf_dir": args.sf_dir,
                     "n_pass": sum(1 for e in results.values() if e["pass"]),
