@@ -41,6 +41,135 @@ NB_TABLE = "nb_scores"
 POSTINGS_TABLE = "postings"
 
 
+def _pin_pipeline_mode(
+    spark: SparkSession,
+    store_dir: str,
+    verify_near_dups: bool,
+    _race_hook=None,
+) -> None:
+    """Pin ``verify_near_dups`` to the store directory. The greedy and
+    verified modes keep near-dup history in DISJOINT substores
+    (``minhash`` vs ``minhash_docs``+``shingles``), so restarting an
+    existing store with the flag toggled would silently read EMPTY
+    history and wave every cross-trigger near-duplicate of the earlier
+    batches through as kept — the streaming analogue of the batch
+    checkpoint manifest's resume-with-changed-params refusal (round-14
+    review). First-run pins follow the _validate_or_write_manifest
+    contract (ADVICE r14): per-attempt UNIQUE tmp name + post-rename
+    read-back, so two racing first runs with different flags can never
+    both proceed — whichever sidecar lands is the authority, and the
+    run whose mode it does not pin refuses. ``_race_hook`` (tests
+    only) runs in the window between the no-sidecar check and our
+    rename, where a concurrent first run would land its sidecar."""
+    import os
+
+    from parsedmarc_go_spark.streaming.dedup import _hadoop_fs
+
+    d = os.path.join(store_dir, "pipeline_mode")
+    fs, hpath = _hadoop_fs(spark, d)
+    if not fs.exists(hpath):
+        # no sidecar: a store from before the sidecar existed must NOT
+        # be blind-pinned to the CURRENT flag — that would stamp the
+        # new mode over history recorded under the other one (the
+        # exact silent-loss bug this guard prevents; round-14 review).
+        # Infer the prior mode from which near-dup substores hold
+        # data: greedy writes `minhash`, verified writes
+        # `minhash_docs`+`shingles`.
+        def _sub_exists(sub: str) -> bool:
+            _, p = _hadoop_fs(spark, os.path.join(store_dir, sub))
+            return bool(fs.exists(p))
+
+        had_greedy = _sub_exists("minhash")
+        had_verified = _sub_exists("minhash_docs") or _sub_exists("shingles")
+        if had_greedy and had_verified:
+            raise ValueError(
+                f"store_dir {store_dir} holds BOTH greedy (minhash) "
+                "and verified (minhash_docs/shingles) near-dup "
+                "substores and no pipeline_mode sidecar — its mode "
+                "is ambiguous; recreate the store"
+            )
+        inferred = True if had_verified else (False if had_greedy else None)
+        if inferred is not None and inferred != bool(verify_near_dups):
+            raise ValueError(
+                f"store_dir {store_dir} has no pipeline_mode sidecar "
+                f"but its substores show it was used with "
+                f"verify_near_dups={inferred}; restarting with "
+                f"verify_near_dups={bool(verify_near_dups)} would "
+                "silently forget the retained near-dup history — "
+                "use a fresh store_dir (and checkpoint) to change "
+                "modes"
+            )
+    if fs.exists(hpath):
+        rows = spark.read.json(d).collect()
+        if not rows:
+            raise IOError(
+                f"pipeline mode sidecar at {d} exists but is empty "
+                "— the pinned near-dup mode is unrecoverable; "
+                "restore the sidecar or recreate the store"
+            )
+        pinned = bool(rows[0]["verify_near_dups"])
+        if pinned != bool(verify_near_dups):
+            raise ValueError(
+                f"store_dir {store_dir} was created with "
+                f"verify_near_dups={pinned}; restarting with "
+                f"verify_near_dups={bool(verify_near_dups)} would "
+                "read the other mode's (empty) near-dup substores "
+                "and silently forget all retained history — use a "
+                "fresh store_dir (and checkpoint) to change modes"
+            )
+        return
+    # first run: write-then-rename under a per-attempt UNIQUE tmp name
+    # (a fixed `d + '.tmp'` lets two racing first runs interleave
+    # write/overwrite/rename so run A proceeds under a sidecar pinning
+    # run B's mode — ADVICE r14). Whatever the rename boolean says,
+    # the authority is the sidecar NOW at the pinned path: read it
+    # back and accept only if it pins exactly OUR mode.
+    import uuid
+
+    tmp = d + f".tmp-{uuid.uuid4().hex}"
+    (
+        spark.createDataFrame(
+            [(bool(verify_near_dups),)], "verify_near_dups boolean"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(tmp)
+    )
+    if _race_hook is not None:
+        # tests only: the residual race window — a concurrent first
+        # run lands its sidecar after our no-sidecar check, before our
+        # rename
+        _race_hook()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(jpath(tmp), hpath):
+        # lost the race (or FS refusal) — clean our tmp and fall
+        # through to the read-back, which decides acceptance
+        fs.delete(jpath(tmp), True)
+    if not fs.exists(hpath):
+        raise IOError(
+            f"could not move pipeline mode sidecar into place at "
+            f"{d} (rename returned false and no sidecar exists — "
+            "filesystem refusal); refusing to run against an "
+            "unpinned store"
+        )
+    rows = spark.read.json(d).collect()
+    if not rows:
+        raise IOError(
+            f"pipeline mode sidecar at {d} landed empty — the "
+            "pinned near-dup mode is unrecoverable; restore the "
+            "sidecar or recreate the store"
+        )
+    landed = bool(rows[0]["verify_near_dups"])
+    if landed != bool(verify_near_dups):
+        raise ValueError(
+            f"store_dir {store_dir} was concurrently pinned with "
+            f"verify_near_dups={landed}; running with "
+            f"verify_near_dups={bool(verify_near_dups)} would mix "
+            "modes — use a fresh store_dir (and checkpoint) to "
+            "change modes"
+        )
+
+
 def make_curation_processor(
     out_dir: str,
     benchmark: DataFrame,
@@ -443,86 +572,9 @@ def make_curation_pipeline_processor(
     _mode_pinned: list[bool] = []
 
     def _ensure_mode(spark: SparkSession) -> None:
-        """Pin ``verify_near_dups`` to the store directory. The greedy
-        and verified modes keep near-dup history in DISJOINT substores
-        (``minhash`` vs ``minhash_docs``+``shingles``), so restarting
-        an existing store with the flag toggled would silently read
-        EMPTY history and wave every cross-trigger near-duplicate of
-        the earlier batches through as kept — the streaming analogue
-        of the batch checkpoint manifest's resume-with-changed-params
-        refusal (round-14 review). Same tmp+rename crash-safety as
-        _write_store_meta; checked once per processor build."""
         if _mode_pinned:
             return
-        from parsedmarc_go_spark.streaming.dedup import _hadoop_fs
-
-        d = os.path.join(store_dir, "pipeline_mode")
-        fs, hpath = _hadoop_fs(spark, d)
-        if not fs.exists(hpath):
-            # no sidecar: a store from before the sidecar existed must
-            # NOT be blind-pinned to the CURRENT flag — that would
-            # stamp the new mode over history recorded under the other
-            # one (the exact silent-loss bug this guard prevents;
-            # round-14 review). Infer the prior mode from which
-            # near-dup substores hold data: greedy writes `minhash`,
-            # verified writes `minhash_docs`+`shingles`.
-            def _sub_exists(sub: str) -> bool:
-                _, p = _hadoop_fs(spark, os.path.join(store_dir, sub))
-                return bool(fs.exists(p))
-
-            had_greedy = _sub_exists("minhash")
-            had_verified = _sub_exists("minhash_docs") or _sub_exists("shingles")
-            if had_greedy and had_verified:
-                raise ValueError(
-                    f"store_dir {store_dir} holds BOTH greedy (minhash) "
-                    "and verified (minhash_docs/shingles) near-dup "
-                    "substores and no pipeline_mode sidecar — its mode "
-                    "is ambiguous; recreate the store"
-                )
-            inferred = True if had_verified else (False if had_greedy else None)
-            if inferred is not None and inferred != bool(verify_near_dups):
-                raise ValueError(
-                    f"store_dir {store_dir} has no pipeline_mode sidecar "
-                    f"but its substores show it was used with "
-                    f"verify_near_dups={inferred}; restarting with "
-                    f"verify_near_dups={bool(verify_near_dups)} would "
-                    "silently forget the retained near-dup history — "
-                    "use a fresh store_dir (and checkpoint) to change "
-                    "modes"
-                )
-        if fs.exists(hpath):
-            rows = spark.read.json(d).collect()
-            if not rows:
-                raise IOError(
-                    f"pipeline mode sidecar at {d} exists but is empty "
-                    "— the pinned near-dup mode is unrecoverable; "
-                    "restore the sidecar or recreate the store"
-                )
-            pinned = bool(rows[0]["verify_near_dups"])
-            if pinned != bool(verify_near_dups):
-                raise ValueError(
-                    f"store_dir {store_dir} was created with "
-                    f"verify_near_dups={pinned}; restarting with "
-                    f"verify_near_dups={bool(verify_near_dups)} would "
-                    "read the other mode's (empty) near-dup substores "
-                    "and silently forget all retained history — use a "
-                    "fresh store_dir (and checkpoint) to change modes"
-                )
-        else:
-            tmp = d + ".tmp"
-            (
-                spark.createDataFrame(
-                    [(bool(verify_near_dups),)], "verify_near_dups boolean"
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .json(tmp)
-            )
-            if not fs.rename(spark._jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-                raise IOError(
-                    f"could not move pipeline mode sidecar into place at "
-                    f"{d} (rename returned false — concurrent writer?)"
-                )
+        _pin_pipeline_mode(spark, store_dir, verify_near_dups)
         _mode_pinned.append(True)
 
     def _probe(spark, sub_dir, buckets, keys, batch_id):

@@ -116,6 +116,13 @@ def spread_scan(
     import os
 
     mode = os.environ.get("SPARK_GRAFT_SPREAD_SCAN", "auto")
+    if mode not in ("auto", "never", "always"):
+        # a typo ('alway') must not silently run auto while a bench A/B
+        # stamps the numbers as the intended mode (ADVICE r14)
+        raise ValueError(
+            f"SPARK_GRAFT_SPREAD_SCAN={mode!r} is not one of "
+            "{'auto', 'never', 'always'}"
+        )
     if mode == "never":
         return df
     if mode != "always":

@@ -105,23 +105,68 @@ def build_shared_oracles(con, oracles: dict, verbose: bool = True) -> dict:
     return oracles
 
 
+def _type_has_float(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _type_has_float(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_type_has_float(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.MapType):
+        return _type_has_float(dt.keyType) or _type_has_float(dt.valueType)
+    return False
+
+
+def _canon_col(c, dt):
+    """Render every float/double anywhere in the value — top-level OR
+    nested in arrays/structs/maps — at 7 significant digits, so
+    last-bit drift from a different partial-aggregation merge order
+    cannot flip the hash regardless of nesting (ADVICE r14: to_json
+    serialized nested doubles at full precision). The transform
+    lambdas run interpreted, but only over the gate's final bounded
+    output, never a corpus column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return F.format_string("%.6e", c)
+    if not _type_has_float(dt):
+        return c
+    if isinstance(dt, T.ArrayType):
+        return F.transform(c, lambda x: _canon_col(x, dt.elementType))
+    if isinstance(dt, T.StructType):
+        inner = F.struct(
+            *[
+                _canon_col(c.getField(f.name), f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+        # F.struct over a NULL struct's fields yields a struct of
+        # nulls, not null — preserve the null so the JSON is faithful
+        return F.when(c.isNull(), F.lit(None)).otherwise(inner)
+    if isinstance(dt, T.MapType):
+        # float map KEYS don't occur in any registered schema; values
+        # get the recursive treatment
+        return F.transform_values(c, lambda k, v: _canon_col(v, dt.valueType))
+    return c
+
+
 def rows_only_hash(df):
     """Order-insensitive value hash of a rows-only gate's output in ONE
     Spark job: xxhash64 over a canonical JSON rendering of each row
     (columns in sorted name order; float/double formatted to 7
-    significant digits so last-bit float drift from a different
-    partial-aggregation merge order across sessions cannot flip the
-    hash), summed as decimal so the fold is commutative and
-    overflow-free. Returns (row_count, hash_string)."""
+    significant digits AT EVERY NESTING DEPTH so last-bit float drift
+    from a different partial-aggregation merge order across sessions
+    cannot flip the hash), summed as decimal so the fold is
+    commutative and overflow-free. Returns (row_count, hash_string)."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
-    cols = []
-    for field in sorted(df.schema.fields, key=lambda f: f.name):
-        c = F.col(field.name)
-        if isinstance(field.dataType, (T.DoubleType, T.FloatType)):
-            c = F.format_string("%.6e", c)
-        cols.append(c.alias(field.name))
+    cols = [
+        _canon_col(F.col(field.name), field.dataType).alias(field.name)
+        for field in sorted(df.schema.fields, key=lambda f: f.name)
+    ]
     agg = df.select(
         F.xxhash64(F.to_json(F.struct(*cols))).cast("decimal(38,0)").alias("h")
     ).agg(
@@ -130,18 +175,48 @@ def rows_only_hash(df):
     return int(agg["n"]), str(agg["hsum"])
 
 
-def rows_only_verdict(vhash: str, prev_hash: str | None) -> dict:
+# Gates whose registered docstrings declare their output depends on
+# float ACCUMULATION ORDER in index/centroid construction (ADVICE r14):
+# a cross-session hash flip there can be a legitimate re-build, not a
+# regression, and each flap would fail the sweep until someone manually
+# deleted the reference hash. For these gates a mismatch records BOTH
+# hashes, updates the reference, and passes with the exemption stamped
+# — their real correctness checks are the pytest recall/agreement pins
+# (RECALL.json, >=8/10 brute-force agreement, planted-cluster
+# recovery), which a genuine regression still trips.
+ACCUM_ORDER_SENSITIVE = {
+    "ann_ivf_topk": "IVF cell means are float sums over partitions (plans/vectorops.py module docstring)",
+    "ann_ivf_kmeans_topk": "Lloyd-loop centroids are float sums over partitions (test_kmeans pins agreement, not bits)",
+    "ann_ivf_pq_topk": "PQ codebooks depend on float accumulation order (plans/vectorops.py:188)",
+    "semdedup_embeddings": "k-means cells + BLAS pair stage (plans/vectorops.py semdedup docstring)",
+}
+
+
+def rows_only_verdict(
+    vhash: str, prev_hash: str | None, exempt_reason: str | None = None
+) -> dict:
     """The cross-sweep compare verdict for one rows-only gate. On a
     MISMATCH the previous hash stays the recorded reference — writing
     the new hash would make the very next sweep self-accept the
     regression, violating the 'cleared deliberately, never silently'
     contract (round-14 review). A deliberate output change is accepted
     by deleting the gate's value_hash from the artifact, which routes
-    the next sweep through first_recording."""
+    the next sweep through first_recording. Gates declared
+    accumulation-order-sensitive (``exempt_reason``) instead pass with
+    both hashes stamped, since a flip there can be a legitimate
+    index re-build (ADVICE r14)."""
     if prev_hash is None:
         return {"value_hash": vhash, "first_recording": True, "pass": True}
     if vhash == prev_hash:
         return {"value_hash": vhash, "hash_changed": False, "pass": True}
+    if exempt_reason:
+        return {
+            "value_hash": vhash,
+            "prev_value_hash": prev_hash,
+            "hash_changed": True,
+            "accum_order_exempt": exempt_reason,
+            "pass": True,
+        }
     return {
         "value_hash": prev_hash,
         "new_value_hash": vhash,
@@ -193,14 +268,18 @@ def main() -> None:
     if os.path.exists(args.out):
         with open(args.out) as f:
             prev_gates = json.load(f).get("gates", {})
-    # seed from the previous artifact UNCONDITIONALLY: the artifact is
-    # rewritten after every gate, so starting empty meant an
-    # interrupted sweep erased every not-yet-run gate's reference hash
-    # — and the next sweep would then first_record a regressed output
-    # as the new truth (round-14 review). Stale entries are visibly
-    # stale (each gets overwritten as its gate runs); losing them
-    # silently was the bug.
-    results: dict[str, dict] = dict(prev_gates)
+    # seed from the previous artifact so an interrupted sweep can't
+    # erase not-yet-run gates' reference hashes (the next sweep would
+    # then first_record a regressed output as truth — round-14
+    # review). But NOT unconditionally (ADVICE r14): entries for gates
+    # deleted from the registry are dropped (they'd count stale
+    # passes/fails as current forever), and every seeded entry is
+    # stamped carried=True so the artifact distinguishes this-sweep
+    # results from inherited ones — a gate's fresh entry overwrites
+    # the stamp when it actually runs.
+    results: dict[str, dict] = {
+        n: {**e, "carried": True} for n, e in prev_gates.items() if n in QUERIES
+    }
     for name in names:
         t0 = time.perf_counter()
         entry: dict = {}
@@ -234,7 +313,9 @@ def main() -> None:
                 entry["rows"] = rows
                 entry.update(
                     rows_only_verdict(
-                        vhash, prev_gates.get(name, {}).get("value_hash")
+                        vhash,
+                        prev_gates.get(name, {}).get("value_hash"),
+                        exempt_reason=ACCUM_ORDER_SENSITIVE.get(name),
                     )
                 )
         except Exception as exc:  # record and continue: one bad gate must
@@ -274,6 +355,10 @@ def main() -> None:
                     "sf_dir": args.sf_dir,
                     "n_pass": sum(1 for e in results.values() if e["pass"]),
                     "n_total": len(results),
+                    # entries inherited from the previous artifact (not
+                    # run this sweep — interrupted sweep or --only run);
+                    # 0 after a completed full sweep (ADVICE r14)
+                    "n_carried": sum(1 for e in results.values() if e.get("carried")),
                     "gates": results,
                 },
                 f,

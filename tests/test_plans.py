@@ -301,6 +301,15 @@ def test_spread_scan_is_size_gated(spark):
         assert spread_scan(small, "event_id", min_bytes=1) is small
         os.environ["SPARK_GRAFT_SPREAD_SCAN"] = "always"
         assert spread_scan(small, "event_id") is not small
+
+        # ADVICE r14: an unrecognized value (a typo like 'alway') must
+        # raise, not silently run auto while a bench A/B stamps the
+        # numbers as the intended mode
+        import pytest
+
+        os.environ["SPARK_GRAFT_SPREAD_SCAN"] = "alway"
+        with pytest.raises(ValueError, match="SPARK_GRAFT_SPREAD_SCAN"):
+            spread_scan(small, "event_id")
         os.environ.pop("SPARK_GRAFT_SPREAD_SCAN", None)
 
         # round-14 review: the gate must read the LEAF scan bytes, not

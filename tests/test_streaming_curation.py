@@ -563,3 +563,37 @@ def test_stream_pipeline_mode_inferred_for_legacy_store(spark, tmp_path):
     )
     resumed(corpus.filter(F.col("doc_id") >= 200), 1)
     assert os.path.exists(os.path.join(store, "pipeline_mode"))
+
+
+def test_stream_pipeline_mode_pin_first_run_race_reads_back(spark, tmp_path):
+    """ADVICE r14: two racing FIRST runs with different
+    verify_near_dups flags must not both proceed. The pin now writes
+    under a per-attempt UNIQUE tmp name and validates by READ-BACK
+    after the rename (the batch manifest contract), so whichever
+    sidecar lands is the authority and the run whose mode it does not
+    pin refuses — previously a fixed `.tmp` path let run A rename run
+    B's mode into place and proceed believing its own was pinned."""
+    import pytest
+
+    from parsedmarc_go_spark.streaming.curation import _pin_pipeline_mode
+
+    store = str(tmp_path / "store")
+
+    def concurrent_winner():
+        # a concurrent first run lands its (opposite-mode) sidecar in
+        # the window between our no-sidecar check and our rename
+        _pin_pipeline_mode(spark, store, verify_near_dups=True)
+
+    with pytest.raises(ValueError, match="concurrently pinned"):
+        _pin_pipeline_mode(
+            spark, store, verify_near_dups=False, _race_hook=concurrent_winner
+        )
+
+    # the winner's pin survived the race: its mode proceeds, the
+    # loser's still refuses through the normal existing-sidecar path
+    _pin_pipeline_mode(spark, store, verify_near_dups=True)
+    with pytest.raises(ValueError, match="was created with"):
+        _pin_pipeline_mode(spark, store, verify_near_dups=False)
+    # and no tmp debris survives the lost race
+    debris = [p for p in os.listdir(store) if ".tmp-" in p]
+    assert debris == []

@@ -67,3 +67,67 @@ def test_rows_only_verdict_never_overwrites_reference_on_mismatch():
     # deliberate acceptance: the entry is cleared -> first_recording
     accepted = rows_only_verdict("h2", None)
     assert accepted["pass"] and accepted["value_hash"] == "h2"
+
+
+def test_rows_only_verdict_accum_order_exemption():
+    """ADVICE r14: gates whose outputs are declared accumulation-order
+    sensitive (IVF/k-means index builds) pass on a hash flip with BOTH
+    hashes stamped and the reference UPDATED — a flip there can be a
+    legitimate re-build, and without the exemption each flap fails the
+    sweep until someone hand-deletes the reference. Non-exempt gates
+    keep the strict fail-and-hold-reference behavior (test above)."""
+    from sf1_gates import ACCUM_ORDER_SENSITIVE, rows_only_verdict
+
+    flip = rows_only_verdict("h2", "h1", exempt_reason="float accumulation")
+    assert flip["pass"] and flip["hash_changed"]
+    assert flip["value_hash"] == "h2"  # reference moves with the re-build
+    assert flip["prev_value_hash"] == "h1"  # ...but the flip is auditable
+    assert flip["accum_order_exempt"] == "float accumulation"
+    # agreement and first-recording are unaffected by the exemption
+    assert rows_only_verdict("h1", "h1", exempt_reason="x")["pass"]
+    assert rows_only_verdict("h1", None, exempt_reason="x")["first_recording"]
+    # the exemption list covers only gates with a declared float-
+    # accumulation dependence, all rows-only, each with a reason
+    from parsedmarc_go_spark.plans import ORACLES, QUERIES
+
+    for name, reason in ACCUM_ORDER_SENSITIVE.items():
+        assert name in QUERIES and name not in ORACLES
+        assert reason
+
+
+def test_rows_only_hash_canonicalizes_nested_floats(spark):
+    """ADVICE r14: doubles nested in arrays/structs were serialized by
+    to_json at full precision, so a last-bit drift in a nested value
+    flipped the hash even though top-level doubles were canonicalized.
+    Two frames differing only in the 16th significant digit — at any
+    nesting depth — must hash identically; a real value change must
+    not."""
+    from sf1_gates import rows_only_hash
+
+    schema = (
+        "id bigint, score double, vec array<double>, "
+        "st struct<d: double, s: string>, m map<string, double>"
+    )
+    base = [(1, 0.1 + 0.2, [1.0 / 3.0, 2.0], (9.99 / 3.0, "x"), {"k": 0.7 / 9.0})]
+    drift = [
+        (
+            1,
+            0.1 + 0.2 + 5e-17,
+            [1.0 / 3.0 + 1e-17, 2.0],
+            (9.99 / 3.0 + 1e-16, "x"),
+            {"k": 0.7 / 9.0 + 1e-18},
+        )
+    ]
+    real = [(1, 0.1 + 0.2, [1.0 / 3.0, 2.5], (9.99 / 3.0, "x"), {"k": 0.7 / 9.0})]
+    null_nested = [(1, None, None, None, None)]
+
+    h_base = rows_only_hash(spark.createDataFrame(base, schema))
+    h_drift = rows_only_hash(spark.createDataFrame(drift, schema))
+    h_real = rows_only_hash(spark.createDataFrame(real, schema))
+    assert h_base == h_drift  # sub-7-sig-digit drift is invisible
+    assert h_base != h_real  # value changes are not
+    # null structs/arrays/maps survive canonicalization (a struct-of-
+    # nulls rendering would differ from null in JSON)
+    n1 = rows_only_hash(spark.createDataFrame(null_nested, schema))
+    n2 = rows_only_hash(spark.createDataFrame(null_nested, schema))
+    assert n1 == n2 and n1[0] == 1
