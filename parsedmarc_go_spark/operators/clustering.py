@@ -94,14 +94,22 @@ def kmeans_fit(
     """Train k unit centroids; returns (centroids, per-iteration max
     centroid shift as 1 - cos(old, new)).
 
-    Deterministic end to end: init picks the k rows with the smallest
-    xxhash64(id) (a seedless uniform sample — same rows on every run
-    and every executor count; ``seed`` salts the hash to get a
-    DIFFERENT-but-still-deterministic init, the lever semdedup's
-    multi-pass boundary recovery turns), assignment ties break to the
-    lowest cell, and the update's dot/sum order only moves centroids at
-    float-associativity noise, below any tol worth setting. Stops when
-    the largest centroid shift drops under ``tol``.
+    Deterministic end to end — BIT-deterministic, not just stable:
+    init picks the k rows with the smallest xxhash64(id) (a seedless
+    uniform sample — same rows on every run and every executor count;
+    ``seed`` salts the hash to get a DIFFERENT-but-still-deterministic
+    init, the lever semdedup's multi-pass boundary recovery turns),
+    assignment ties break to the lowest cell, and the update SUMS IN
+    EXACT DECIMAL(38,18): decimal addition is exact, so the per-cell
+    sum is independent of partition count and partial-aggregation
+    merge order — the one place a distributed float reduction would
+    otherwise move centroids by last-bit noise per session (at 1000
+    executors the merge order is uncontrollable; ADVICE r14 flagged
+    the downstream hash flaps). The exact sum converts to double once,
+    at the end of the reduction, so every session on every layout
+    produces byte-identical centroids (pinned across partitionings in
+    tests/test_kmeans.py). Stops when the largest centroid shift drops
+    under ``tol``.
 
     Cells that capture no rows keep their previous centroid (standard
     Lloyd fallback), so k survives even when k > distinct(vectors)."""
@@ -128,10 +136,16 @@ def kmeans_fit(
             assign_cells(base, cents, "__v", "__cell")
             .select("__cell", F.posexplode("__v").alias("__d", "__x"))
             .groupBy("__cell", "__d")
-            .agg(F.sum("__x").alias("__s"))
+            # exact decimal sum: order-independent, so the centroid is
+            # bit-identical under any partitioning (see docstring); the
+            # single decimal→double cast happens after the reduction
+            .agg(F.sum(F.col("__x").cast("decimal(38,18)")).alias("__s"))
             .groupBy("__cell")
             .agg(F.array_sort(F.collect_list(F.struct("__d", "__s"))).alias("__dm"))
-            .select("__cell", F.expr("transform(__dm, s -> s.__s)").alias("__sum"))
+            .select(
+                "__cell",
+                F.expr("transform(__dm, s -> CAST(s.__s AS DOUBLE))").alias("__sum"),
+            )
             .collect()
         )
         summed = {r["__cell"]: list(r["__sum"]) for r in sums}

@@ -72,7 +72,13 @@ def _pq_kmeans(
         stats = (
             assigned.select("__c", F.posexplode("sv").alias("__d", "__x"))
             .groupBy("__c", "__d")
-            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+            # exact decimal sum — codebooks bit-identical under any
+            # partitioning (kmeans_fit's rationale; ADVICE r14 flagged
+            # the accumulation-order hash flaps this removes)
+            .agg(
+                F.sum(F.col("__x").cast("decimal(38,18)")).alias("__s"),
+                F.count("*").alias("__n"),
+            )
             .groupBy("__c")
             .agg(
                 F.array_sort(F.collect_list(F.struct("__d", "__s"))).alias("__dm"),
@@ -80,7 +86,7 @@ def _pq_kmeans(
             )
             .select(
                 "__c",
-                F.expr("transform(__dm, s -> s.__s)").alias("__sum"),
+                F.expr("transform(__dm, s -> CAST(s.__s AS DOUBLE))").alias("__sum"),
                 "__n",
             )
             .collect()

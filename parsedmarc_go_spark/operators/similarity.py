@@ -100,11 +100,24 @@ def query_vector(vectors: DataFrame, vec_id: int, vec_col: str = "embedding") ->
 
 def ivf_centroids(vectors: DataFrame, cell_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Element-wise mean vector per cell (coarse quantizer). posexplode →
-    (cell, dim) partial-agg mean → re-assemble ordered array."""
+    (cell, dim) partial-agg sum → re-assemble ordered array. The sum
+    runs in exact decimal(38,18) so the mean is bit-identical under any
+    partitioning / partial-agg merge order (a float avg's last bits
+    depend on which partition merges first — ADVICE r14 flagged the
+    cross-session hash flaps); one decimal→double cast after the
+    division is the only rounding."""
     return (
         vectors.select(cell_col, F.posexplode(vec_col).alias("dim", "x"))
         .groupBy(cell_col, "dim")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        # cast the EXACT sum to double, then divide: decimal division
+        # would rescale under Spark's precision-loss rules (scale can
+        # drop to 6); double ops on the already-order-independent sum
+        # are per-value deterministic
+        .withColumn("m", F.col("s").cast("double") / F.col("n"))
         .groupBy(cell_col)
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
         .select(cell_col, F.expr("transform(dm, s -> s.m)").alias("centroid"))

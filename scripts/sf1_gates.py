@@ -175,20 +175,24 @@ def rows_only_hash(df):
     return int(agg["n"]), str(agg["hsum"])
 
 
-# Gates whose registered docstrings declare their output depends on
-# float ACCUMULATION ORDER in index/centroid construction (ADVICE r14):
-# a cross-session hash flip there can be a legitimate re-build, not a
-# regression, and each flap would fail the sweep until someone manually
-# deleted the reference hash. For these gates a mismatch records BOTH
-# hashes, updates the reference, and passes with the exemption stamped
-# — their real correctness checks are the pytest recall/agreement pins
-# (RECALL.json, >=8/10 brute-force agreement, planted-cluster
-# recovery), which a genuine regression still trips.
+# Gates whose output still depends on float ACCUMULATION ORDER the
+# engine does not control (ADVICE r14): a cross-session hash flip
+# there can be a legitimate re-build, not a regression, and each flap
+# would fail the sweep until someone manually deleted the reference
+# hash. For these gates a mismatch records BOTH hashes, updates the
+# reference, and passes with the exemption stamped — their real
+# correctness checks are the pytest recall/agreement pins, which a
+# genuine regression still trips. The IVF/k-means/PQ gates came OFF
+# this list in round 15: their centroid/codebook reductions now sum in
+# exact decimal(38,18) (order-independent by exactness), so their
+# index builds are bit-deterministic under any partitioning and the
+# strict cross-sweep compare applies to them like everything else.
 ACCUM_ORDER_SENSITIVE = {
-    "ann_ivf_topk": "IVF cell means are float sums over partitions (plans/vectorops.py module docstring)",
-    "ann_ivf_kmeans_topk": "Lloyd-loop centroids are float sums over partitions (test_kmeans pins agreement, not bits)",
-    "ann_ivf_pq_topk": "PQ codebooks depend on float accumulation order (plans/vectorops.py:188)",
-    "semdedup_embeddings": "k-means cells + BLAS pair stage (plans/vectorops.py semdedup docstring)",
+    "semdedup_embeddings": (
+        "the within-cell pair stage reduces in BLAS matmul, whose "
+        "summation order is library/threading dependent (the k-means "
+        "cells themselves are exact-decimal deterministic since r15)"
+    ),
 }
 
 

@@ -56,6 +56,37 @@ def test_recovers_planted_clusters_and_is_deterministic(spark):
         assert math.isclose(sum(x * x for x in c), 1.0, rel_tol=1e-9)
 
 
+def test_centroids_bit_identical_across_partitionings(spark):
+    """Round 15: the Lloyd update sums in exact decimal(38,18), so the
+    per-cell reduction is independent of partition count and partial-
+    aggregation merge order — centroids must be BYTE-identical whether
+    the corpus arrives in 1 partition or 13. A plain float sum fails
+    this at the last bit, which is exactly the cross-session hash flap
+    ADVICE r14 flagged (at 1000 executors the merge order is
+    uncontrollable, so bit-reproducible index builds need an
+    order-independent reduction, not luck)."""
+    df = _planted(spark, per=40)
+    variants = [df.coalesce(1), df.repartition(13), df.repartition(5, "vec_id")]
+    fits = [kmeans_fit(v, k=3, max_iters=10, tol=1e-6) for v in variants]
+    for cents, shifts in fits[1:]:
+        assert cents == fits[0][0]  # == on float lists: bit equality
+        assert shifts == fits[0][1]
+
+    # the non-trained coarse quantizer (similarity.ivf_centroids) gets
+    # the same guarantee — its float avg was merge-order dependent
+    from parsedmarc_go_spark.operators.similarity import ivf_centroids
+
+    labeled = df.withColumnRenamed("truth", "label")
+    rows = [
+        sorted(
+            (r["label"], tuple(r["centroid"]))
+            for r in ivf_centroids(v).collect()
+        )
+        for v in [labeled.coalesce(1), labeled.repartition(13)]
+    ]
+    assert rows[0] == rows[1]
+
+
 def test_empty_cells_keep_previous_centroid(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.1])],

@@ -54,6 +54,20 @@ def test_ivf_pq_finds_planted_neighbors(spark, planted, tmp_path):
     assert a == b
 
 
+def test_pq_codebooks_bit_identical_across_partitionings(spark, planted):
+    """Round 15: the PQ Lloyd update sums in exact decimal(38,18), so
+    codebooks are byte-identical whether the training frame arrives in
+    1 partition or 13 — the float-sum version differed at the last bit
+    per merge order, which is the accumulation-order flap ADVICE r14
+    flagged on ann_ivf_pq_topk."""
+    from parsedmarc_go_spark.operators.pq import train_pq_codebooks
+
+    corpus, _, _ = planted
+    a = train_pq_codebooks(corpus.coalesce(1), m=4, ks=8, max_iters=3)
+    b = train_pq_codebooks(corpus.repartition(13), m=4, ks=8, max_iters=3)
+    assert a == b  # nested float lists: bit equality
+
+
 def test_pq_codes_layout_and_determinism(spark, planted, tmp_path):
     from parsedmarc_go_spark.operators.pq import (
         build_ivf_pq_index,
