@@ -182,6 +182,13 @@ _WINDOW_DEMOTED = (
     # r14 rotates it straight in (VERDICT r13 task 4), and pytest
     # value-checks it at two SFs
     "curation_pipeline_checkpoint",
+    # label-cell IVF probe (rows-only until round 15, oracle-bearing
+    # once the exact-decimal centroid reduction made the cell choice
+    # engine-identical): its machinery is hash-checked in-window by
+    # ann_topk_bruteforce (the cosine top-k it runs inside the probed
+    # cells) and the a-family's grouped aggregates (the per-cell mean)
+    # — born demoted, pytest value-checks it at two SFs
+    "ann_ivf_topk",
 )
 assert all(n in ORACLES for n in _WINDOW_DEMOTED)
 

@@ -1,11 +1,15 @@
 """Similarity-search queries over the `embeddings` table.
 
-Brute-force cosine top-k and blocked near-dup pairs carry exact DuckDB
-oracles (list_cosine_similarity over DOUBLE[] casts; outputs rounded to
-4 decimals with id tie-breaks so the hash compare is stable). The IVF
-probed variant depends on float centroid accumulation order and
-registers rows-only; tests assert it agrees with brute force on this
-corpus.
+Brute-force cosine top-k, blocked near-dup pairs, and (since round 15)
+the label-cell IVF probe carry exact DuckDB oracles
+(list_cosine_similarity over DOUBLE[] casts; outputs rounded to 4
+decimals with id tie-breaks so the hash compare is stable; IVF
+centroids reduce in exact DECIMAL(38,18) on both engines, so the cell
+choice bit-matches). The TRAINED variants (Lloyd loops, PQ codebooks)
+remain rows-only — an iterative training loop is not one SQL statement
+— but their builds are bit-deterministic under any partitioning since
+round 15 (exact-decimal update sums), cross-sweep hash-pinned, and
+recall-pinned in RECALL.json.
 """
 
 from __future__ import annotations
@@ -39,8 +43,45 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, query_vector(emb, 0), k=10)
 
 
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(CAST(embedding AS DOUBLE[])))) AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY dim) AS centroid
+      FROM (
+        SELECT label, dim,
+               CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+        FROM ex GROUP BY label, dim
+      ) GROUP BY label
+    ),
+    probe AS (
+      SELECT c.label
+      FROM cent c, q
+      ORDER BY ROUND(list_cosine_similarity(c.centroid, q.qv), 4) DESC, c.label ASC
+      LIMIT 3
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cosine_sim
+    FROM embeddings e JOIN probe USING (label), q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-cell IVF probe. Oracle-bearing since round 15: the exact-
+    decimal centroid reduction (operators/similarity.py::ivf_centroids)
+    is the same arithmetic DuckDB runs above — exact DECIMAL(38,18)
+    sums, one cast to double, one double division — so the centroids
+    agree bit-for-bit and the probed cell choice and rounded cosines
+    value-match. Under the old float avg the gate had to register
+    rows-only (merge-order last bits could flip a near-tie probe)."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_vector(emb, 0), k=10, nprobe=3)
 
