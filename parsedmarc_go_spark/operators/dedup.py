@@ -20,6 +20,7 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from parsedmarc_go_spark.caching import scoped_persist
 from parsedmarc_go_spark.functions.text import normalized_text
 
 
@@ -172,7 +173,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
     Cost is Σ freq(shingle)² — fine per-block / at test SF; at 100 TB use
     minhash_lsh_pairs (same output contract) instead."""
-    index = _shingle_index(docs, id_col, n).persist()
+    index = scoped_persist(_shingle_index(docs, id_col, n))
     return _pairs_with_jaccard(index).filter(F.col("jaccard") >= threshold)
 
 
@@ -196,7 +197,7 @@ def ngram_containment_pairs(
     0.01, so the very pairs containment exists to catch would be the
     ones the buckets miss.) Returns ``doc_a, doc_b, n_a, n_b, shared,
     containment``."""
-    index = _shingle_index(docs, id_col, n).persist()
+    index = scoped_persist(_shingle_index(docs, id_col, n))
     pairs = _pairs_with_jaccard(index).select(
         "doc_a",
         "doc_b",
@@ -360,11 +361,10 @@ def containment_pairs_prefix(
         "doc", "n_shingles", F.xxhash64("shingle").alias("sh")
     )
     rank_w = Window.partitionBy("doc").orderBy(F.asc("__df"), F.asc("sh"))
-    ranked = (
+    ranked = scoped_persist(
         index.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
         .withColumn("__rn", F.row_number().over(rank_w))
         .drop("__df")
-        .persist()
     )
     # +1e-9 before the floor: (1-t)·|S| lands BELOW its true value in
     # binary for integral cases (0.2·10 → 1.9999…96 → floor 1, one
@@ -538,12 +538,14 @@ def minhash_lsh_pairs(
     # caching it is a memory/disk cliff, while the bucket frame is
     # |docs| × bands rows of three fixed-width columns. Only the two
     # candidate-scoped frames are persisted — the candidate PAIRS (two
-    # ids per row) and the candidate docs' shingle SETS — both sized by
-    # the near-dup population, not the corpus, and both read by two
-    # consumers (persist() defaults to MEMORY_AND_DISK, so a huge
-    # candidate set degrades to disk instead of OOM; cache entries
-    # dedupe by logical plan, so repeated calls reuse rather than
-    # leak). This shape was re-measured round 4: 2.7 s → 0.9 s at
+    # ids per row) and the candidate docs' shingle SETS (fixed-width
+    # long arrays; can approach |corpus| rows on low-entropy corpora,
+    # see the verify comment below) — both read by two consumers
+    # (scoped_persist defaults to MEMORY_AND_DISK, so a huge candidate
+    # set degrades to disk instead of OOM, and the caching.py registry
+    # releases both at the next gate boundary so long sessions don't
+    # accrete stale cache into the storage pool — round-15 fix).
+    # This shape was re-measured round 4: 2.7 s → 0.9 s at
     # sf0.1 vs the prior posting-list verify, which recomputed the
     # candidate shingle stream on both sides of its pair join and paid
     # a ~1.9 s physical-plan conversion probing partition counts on the
@@ -563,20 +565,31 @@ def minhash_lsh_pairs(
     # and the canonical subplan's exchange computes once; bucket
     # groups are collision-sparse by design, so the partition-local
     # build is bounded.
-    candidates = (
+    candidates = scoped_persist(
         left.join(right.hint("shuffle_hash"), ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
     )
-    # Verify with exact Jaccard over shingle SETS rebuilt ONLY for
-    # candidate docs — the candidate population is tiny relative to the
-    # corpus, so this re-shingling pass is orders of magnitude cheaper
-    # than caching the full inverted index. One collect_set aggregate
-    # produces each candidate doc's distinct shingle array (bounded by
-    # the doc's own length, so the agg buffer is safe at any corpus
-    # size), and the pair join computes |A∩B| / |A∪B| directly with
+    # Verify with exact Jaccard over shingle SETS rebuilt only for
+    # candidate docs. The candidate population is NOT always tiny: on a
+    # low-entropy shingle space, accidental band collisions sweep in
+    # most of the corpus (measured: 88k of 100k docs at a 2x-sf1 corpus
+    # over the bench vocabulary — C(n,2)·j_rand² grows quadratically
+    # while true near-dup pairs grow linearly), so the set frame must
+    # be sized for |corpus|, not |near-dups|. Shingles are therefore
+    # hashed to fixed-width xxhash64 longs BEFORE the set build — the
+    # containment_pairs_prefix representation: a Java String in a
+    # collect_set buffer costs ~60 B + object churn where a long costs
+    # 8, and the string variant was measured OOMing a 16 GiB session at
+    # that same 100k-doc corpus (round 15) while the long variant runs
+    # it in seconds. Distinct-long counts equal distinct-string counts
+    # except with v²/2⁶⁵ collision probability (the prefix gate's
+    # documented bound — ~1e-10 at bench vocab, a ±1 perturbation of
+    # one pair's counts at 100 TB), which is why the gate's DuckDB
+    # oracle, computed over raw strings, still value-matches. One
+    # collect_set aggregate per doc (buffer bounded by the doc's own
+    # length), and the pair join computes |A∩B| / |A∪B| directly with
     # array_intersect — codegen'd, no posting-list explode, no extra
     # pair-level aggregation. The set joins carry no broadcast hint:
     # AQE picks broadcast-hash from the cached frame's true size
@@ -589,7 +602,11 @@ def minhash_lsh_pairs(
     cstream = _shingle_stream(
         docs.join(F.broadcast(cand_docs), id_col), id_col, n, ensure_parallelism=False
     )
-    sets = cstream.groupBy("doc").agg(F.collect_set("shingle").alias("shs")).persist()
+    sets = scoped_persist(
+        cstream.select("doc", F.xxhash64("shingle").alias("sh"))
+        .groupBy("doc")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
     a = sets.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"))
     return (

@@ -41,9 +41,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # gate boundary: intermediates scoped-persisted by operator
+            # calls inside PREVIOUS gates are consumed by now (the
+            # driver/bench/sweep collect each gate before building the
+            # next) — release them so a long session's cache can't
+            # crowd execution memory (see caching.py)
+            from parsedmarc_go_spark.caching import release_intermediates
+
+            release_intermediates()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
