@@ -425,7 +425,7 @@ def semdedup(
     max_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    chunk_rows: int | None = None,
+    chunk_rows: int | None = 1024,
     n_passes: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):

@@ -156,7 +156,7 @@ def cosine_neardup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    chunk_rows: int | None = None,
+    chunk_rows: int | None = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks. Blocking on
     the block column keeps the pair space |block|² instead of |corpus|²
@@ -171,17 +171,28 @@ def cosine_neardup_pairs(
     each block so output is deterministic; cosines round to 4 decimals
     like the rest of the similarity layer.
 
-    ``chunk_rows`` is the 100 TB guard for OVERSIZED blocks (a blocking
-    key is only a heuristic; one hot key would otherwise pin a whole
-    block's |b|² matmul — and |b| vectors of memory — in a single
-    task). Blocks are split into ceil(|b|/chunk_rows) id-ordered chunks
-    and every chunk PAIR (i ≤ j) becomes its own task: identical output
-    (chunks are id-ordered, so cross-chunk pairs keep vec_a < vec_b),
-    memory bounded by 2·chunk_rows vectors, parallelism n_chunks² per
-    block instead of 1. The price is each row shuffling n_chunks times
-    — exactly the data each chunk-pair task needs; there is no way to
+    ``chunk_rows`` is the guard for OVERSIZED blocks (a blocking key is
+    only a heuristic; one hot key would otherwise pin a whole block's
+    |b|² matmul — and |b| vectors of memory — in a single task). Blocks
+    are split into ceil(|b|/chunk_rows) id-ordered chunks and every
+    chunk PAIR (i ≤ j) becomes its own task: identical output (chunks
+    are id-ordered, so cross-chunk pairs keep vec_a < vec_b), memory
+    bounded by 2·chunk_rows vectors, parallelism n_chunks² per block
+    instead of 1. The price is each row shuffling n_chunks times —
+    exactly the data each chunk-pair task needs; there is no way to
     compute |b|² interactions while moving each row once without
-    serializing the block."""
+    serializing the block.
+
+    It defaults ON at 1024 since round 15: a 2x-sf1 A/B (4,000-row
+    blocks, dim 64) measured the unchunked path swinging 1.8-46 s
+    across warm repeats — each fat task materializes a |b|²-double
+    cosine matrix plus two |b|²-long index arrays (~320 MB at 4k rows),
+    and ten such tasks churning reused Python workers turn into GC
+    storms — while chunk_rows=1024 (≤8 MB matrices) ran 1.0-1.7 s,
+    faster at the median AND stable, with no measurable cost at
+    1,024-row-and-under blocks (nc=1 degenerates to one task per block
+    plus one cheap rank window). Pass ``chunk_rows=None`` explicitly to
+    force whole-block tasks."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -720,7 +731,7 @@ def cosine_neardup_pairs_lsh(
     n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    chunk_rows: int | None = None,
+    chunk_rows: int | None = 1024,
 ) -> DataFrame:
     """Cosine near-dup pairs blocked by hyperplane LSH buckets — the
     label-free variant for corpora with no natural cells. A pair is

@@ -612,7 +612,7 @@ def make_dedup_processor(
     vec_col: str = "embedding",
     semdedup_tau: float = 0.95,
     semdedup_n_clusters: int = 8,
-    semdedup_chunk_rows: int | None = None,
+    semdedup_chunk_rows: int | None = 1024,
     bloom: bool = True,
     bloom_expected_items: int = DEFAULT_BLOOM_EXPECTED_ITEMS,
     bloom_fpp: float = DEFAULT_BLOOM_FPP,
@@ -903,7 +903,7 @@ def stream_dedup(
     vec_col: str = "embedding",
     semdedup_tau: float = 0.95,
     semdedup_n_clusters: int = 8,
-    semdedup_chunk_rows: int | None = None,
+    semdedup_chunk_rows: int | None = 1024,
     bloom: bool = True,
     bloom_expected_items: int = DEFAULT_BLOOM_EXPECTED_ITEMS,
     bloom_fpp: float = DEFAULT_BLOOM_FPP,
