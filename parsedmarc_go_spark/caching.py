@@ -52,4 +52,15 @@ def release_intermediates() -> int:
         except Exception:
             # a stopped session invalidates the handle; nothing to free
             pass
+    # localCheckpoint()ed frames (components rounds, BPE/unigram EM
+    # rounds, pipeline stage boundaries) pin their materialized blocks
+    # until Spark's ContextCleaner sees the RDD unreferenced — which
+    # needs the PYTHON reference dropped first, and py4j only drops it
+    # on collection. A generation-0-heavy collect here is ~ms and lets
+    # whatever JVM GC happens next actually reclaim the blocks, instead
+    # of stale checkpoint storage surviving a whole session because the
+    # cleaner's periodic System.gc() (30 min default) never fired.
+    import gc
+
+    gc.collect()
     return n
