@@ -9,53 +9,76 @@ half until late-session gates spilled (end-of-session medians measured
 2-5x fresh walls at a 2x-sf1 corpus). Intermediates now register
 through caching.scoped_persist and every registered gate builder
 releases the previous gate's on entry.
+
+Assertions use the captured frames' own ``storageLevel`` (NONE after
+release) rather than session-global ``getPersistentRDDs`` counts: the
+global count also includes OTHER tests' localCheckpoint blocks, which
+the release path's gc.collect makes the ContextCleaner reclaim
+asynchronously — a moving baseline.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.storagelevel import StorageLevel
 
+from parsedmarc_go_spark import caching
 from parsedmarc_go_spark.caching import release_intermediates, scoped_persist
 
 SF = "/root/testdata/sf0.001"
 
 
-def _n_cached(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _is_cached(df) -> bool:
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
 
 
 def test_scoped_persist_registers_and_release_unpersists(spark):
-    release_intermediates()  # clean slate from earlier tests
-    base = _n_cached(spark)
+    release_intermediates()
     df = scoped_persist(spark.range(100).withColumn("x", F.col("id") * 2))
     df.count()
-    assert _n_cached(spark) == base + 1
+    assert _is_cached(df)
+    assert any(x is df for x in caching._LIVE)  # NB: DataFrame __eq__ builds a Column
     assert release_intermediates() == 1
-    assert _n_cached(spark) == base
+    assert not _is_cached(df)
+    assert not caching._LIVE
+
+
+def test_scoped_persist_honors_storage_level(spark):
+    release_intermediates()
+    df = scoped_persist(spark.range(10), StorageLevel.DISK_ONLY)
+    df.count()
+    assert df.storageLevel.useDisk and not df.storageLevel.useMemory
+    release_intermediates()
 
 
 def test_gate_boundary_releases_previous_gates_intermediates(spark):
     from parsedmarc_go_spark.plans import QUERIES
 
     release_intermediates()
-    base = _n_cached(spark)
     # minhash persists two candidate-scoped frames through scoped_persist
     QUERIES["dedup_minhash_lsh"](spark, SF).collect()
-    assert _n_cached(spark) > base, "minhash should persist intermediates"
+    held = list(caching._LIVE)
+    assert held, "minhash should register intermediates"
+    assert all(_is_cached(df) for df in held)
     # the NEXT gate call (any gate; a1 itself persists nothing) releases them
     QUERIES["a1_daily_volume"](spark, SF).collect()
-    assert _n_cached(spark) == base
-    release_intermediates()
+    assert not caching._LIVE
+    assert all(not _is_cached(df) for df in held)
 
 
 def test_release_survives_frames_from_multiple_operators(spark):
     from parsedmarc_go_spark.plans import QUERIES
 
     release_intermediates()
-    base = _n_cached(spark)
     # two persisting gates back to back: the second's entry releases the
     # first's frames, the second's own frames stay for its consumer
     QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    first = list(caching._LIVE)
     QUERIES["dedup_keep_best_containment_prefix"](spark, SF).collect()
+    second = [df for df in caching._LIVE if not any(df is f for f in first)]
+    assert all(not _is_cached(df) for df in first)
+    assert second and all(_is_cached(df) for df in second)
     QUERIES["a1_daily_volume"](spark, SF).collect()
-    assert _n_cached(spark) == base
+    assert not caching._LIVE
+    assert all(not _is_cached(df) for df in second)
