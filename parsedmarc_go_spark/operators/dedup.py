@@ -272,6 +272,7 @@ def containment_pairs_prefix(
     broadcast_small_sides: bool = False,
     max_broadcast_docs: int | None = 100_000,
     max_broadcast_bytes: int = 256 << 20,
+    prefix_ext: int = 2,
 ) -> DataFrame:
     """ngram_containment_pairs at scale: PREFIX-FILTERED candidate
     generation (the All-Pairs/PPJoin prefix + positional filters —
@@ -283,18 +284,32 @@ def containment_pairs_prefix(
     exists for.
 
     The prefix filter: a pair with containment ≥ t shares ≥ t·|S| of
-    the SMALLER doc S's shingles, so S can miss at most (1-t)·|S| of
-    them from the other doc — if NONE of S's ``⌊(1-t)·|S|⌋ + 1``
-    rarest shingles (its "prefix") appears in the other doc,
-    containment < t. Candidates are therefore prefix(S) ⨝ full index,
-    with the prefix ordered by GLOBAL document frequency ascending
-    (rarest first) so the join's fan-out rides the low-df tail instead
-    of the hot head — join volume Σ|prefix|·df(rare shingles) vs the
-    exact mode's Σ df². The positional filter stacks on top: a match
-    at rank i of S and rank j of O (both df-ascending orders) bounds
-    the total overlap by ``1 + min(|S|-i, |O|-j)``; candidates whose
-    bound can't reach ``⌈t·|S|⌉`` drop at generation time, before any
-    verify work.
+    the SMALLER doc S's shingles, so S can miss at most m = ⌊(1-t)·|S|⌋
+    of them from the other doc — if NONE of S's ``m + 1`` rarest
+    shingles (its "prefix") appears in the other doc, containment < t.
+    Candidates are therefore prefix(S) ⨝ full index, with the prefix
+    ordered by GLOBAL document frequency ascending (rarest first) so
+    the join's fan-out rides the low-df tail instead of the hot head —
+    join volume Σ|prefix|·df(rare shingles) vs the exact mode's Σ df².
+
+    Round-16 (VERDICT r15 task 1): the prefix is EXTENDED by
+    ``prefix_ext`` entries and candidates are judged PER PAIR on the
+    accumulated match count (the PPJoin counting discipline), not per
+    row. The extension strengthens the pigeonhole from "≥1 shared
+    prefix shingle" to "≥ min(prefix_ext+1, ⌈t·|S|⌉) shared": a true
+    pair always produces that many join rows, while a near-miss pair
+    sharing one or two rare-ish shingles — the population the per-row
+    positional filter of r11-r15 could not kill on heterogeneous doc
+    lengths (13.5M surviving pairs at sf1, growing 4.2x for 2x data,
+    each paying the verify joins + array_intersect: the r15 stress
+    outlier) — dies at the count test with no verify work. The
+    positional filter survives as (a) a relaxed per-row pre-filter
+    sound for every pigeonhole witness (overlap ≤ i + min(|S|-rn_s,
+    |O|-rn_o) for the i-th-smallest shared shingle) that halves the
+    aggregate's input, and (b) the exact minimal-match pair bound
+    ``overlap ≤ 1 + min(|S|-min_rn_s, |O|-min_rn_o)``, a superset of
+    the old per-row pruning. Measured sf1 verify input: 13.5M pair
+    rows → ~35k (≈ true-pair-sized).
 
     Internal representation (round-11, 3.9× on the sf1 gate corpus):
     shingles are keyed by ``xxhash64(shingle)`` everywhere past the
@@ -308,12 +323,18 @@ def containment_pairs_prefix(
     bit-exact string semantics are contractual.
 
     Plan shape: distinct (doc,sh) → one shingle-keyed window (df) →
-    one doc-keyed exchange serving BOTH the rank window and the
-    collect_set verify sets (exchange reuse) → candidate join → two
-    set joins (parallel broadcast stages in broadcast mode) → codegen
-    array_intersect → distinct on the OUTPUT (≈ true-pair-sized; the
-    r10 draft's distinct on the raw candidate stream was its single
-    most expensive exchange).
+    one doc-keyed exchange serving the rank window, the per-pair
+    aggregate AND the collect_set verify sets (exchange reuse: the
+    aggregate's grouping keys are a superset of the probe side's
+    HashPartitioning(doc), so the candidate stream is aggregated
+    in-place with no exchange — the eager cache materialization below
+    is what makes that partitioning visible to the planner through the
+    InMemoryRelation) → candidate join → per-pair count/position
+    aggregate → two set joins on the surviving ≈true-pair-sized stream
+    (parallel broadcast stages in broadcast mode) → codegen
+    array_intersect. No output distinct is needed: the strict
+    smaller-side orientation rule admits each unordered pair once, and
+    the aggregate emits one row per pair.
     ``broadcast_small_sides=True`` ships the prefix rows
     (~(1-t)·Σ|S|) as the candidate join's build side so the
     corpus-sized probe side never shuffles, and broadcasts the
@@ -366,6 +387,17 @@ def containment_pairs_prefix(
         .withColumn("__rn", F.row_number().over(rank_w))
         .drop("__df")
     )
+    # EAGER materialization: the per-pair aggregate below rides the rank
+    # window's doc-keyed partitioning (grouping keys ⊇ the streamed
+    # side's HashPartitioning(doc), so the candidate stream needs no
+    # exchange) — but an unmaterialized cache plans as
+    # `AdaptiveSparkPlan isFinalPlan=false`, whose output partitioning
+    # is unknown, and EnsureRequirements then inserts a full
+    # candidate-stream exchange (73.6M rows at 2x-sf1, the largest
+    # shuffle in the plan). Counting here finalizes the cached plan so
+    # all four consumers plan against the known partitioning; the count
+    # is the one cache-building pass the first consumer pays anyway.
+    ranked.count()
     # +1e-9 before the floor: (1-t)·|S| lands BELOW its true value in
     # binary for integral cases (0.2·10 → 1.9999…96 → floor 1, one
     # short — a boundary pair whose misses all fall in the prefix
@@ -378,7 +410,24 @@ def containment_pairs_prefix(
         )
         + 1
     )
-    prefixes = ranked.filter(F.col("__rn") <= prefix_len).select(
+    # Extended prefix + per-pair match ACCUMULATION (round-16, VERDICT
+    # r15 task 1 — the PPJoin match-count discipline, Xiao et al. 2008
+    # §4, applied to the containment semantics). The r15 stress pass
+    # measured the per-row positional filter nearly inert on the gate
+    # corpus (29M join rows → 13.5M surviving pairs at sf1, ×4.2 at
+    # sf2): heterogeneous doc lengths let every short-S candidate
+    # survive positionally anywhere in a long O, and all of them paid
+    # the two verify joins + array_intersect. Extending each doc's
+    # prefix by ``prefix_ext`` entries strengthens the pigeonhole from
+    # "≥1 shared" to "≥ prefix_ext+1 shared": overlap ≥ ⌈t·|S|⌉ means S
+    # misses ≤ m = ⌊(1-t)·|S|⌋ shingles, so among its m+1+ext rarest at
+    # least ext+1 are in O — a true pair ALWAYS produces ≥ ext+1 join
+    # rows. Random near-miss pairs share one rare shingle by collision;
+    # sharing ext+1 of them is combinatorially rare, so the per-pair
+    # count filter kills the candidate population the positional filter
+    # could not (measured sf1: 13.5M → ~true-pair-sized before verify).
+    prefix_len_ext = prefix_len + int(prefix_ext)
+    prefixes = ranked.filter(F.col("__rn") <= prefix_len_ext).select(
         "doc", "n_shingles", F.col("__rn").alias("__rn_s"), "sh"
     )
     other = ranked.select(
@@ -387,32 +436,13 @@ def containment_pairs_prefix(
         F.col("__rn").alias("__rn_o"),
         "sh",
     )
-    # ⌈t·|S|⌉ with the symmetric guard against t·|S| binary-landing
-    # ABOVE an integral true value and ceil overshooting by one (which
-    # would prune a boundary-true pair)
-    required = F.ceil(
-        F.lit(threshold) * F.col("n_shingles").cast("double") - F.lit(1e-9)
-    )
-    # the prefix guarantee covers the SMALLER side, so keep a candidate
-    # only when the prefix's owner is it (ties: both directions
-    # generate; the output-level distinct collapses multi-hit pairs)
-    keep = (
-        (F.col("doc") != F.col("__doc_o"))
-        & (
-            (F.col("n_shingles") < F.col("__n_o"))
-            | (
-                (F.col("n_shingles") == F.col("__n_o"))
-                & (F.col("doc") < F.col("__doc_o"))
-            )
-        )
-        & (
-            F.lit(1)
-            + F.least(
-                F.col("n_shingles") - F.col("__rn_s"),
-                F.col("__n_o") - F.col("__rn_o"),
-            )
-            >= required
-        )
+    # the prefix guarantee covers the SMALLER side, so keep a match row
+    # only when the prefix's owner is it (the strict tie-break makes
+    # each unordered pair arrive in exactly one orientation, so the
+    # per-pair aggregate below needs no output-side dedup)
+    size_rule = (F.col("n_shingles") < F.col("__n_o")) | (
+        (F.col("n_shingles") == F.col("__n_o"))
+        & (F.col("doc") < F.col("__doc_o"))
     )
     if broadcast_small_sides:
         joined = other.join(F.broadcast(prefixes), "sh")
@@ -426,7 +456,70 @@ def containment_pairs_prefix(
         # exactly inverted. Build = prefixes (~(1-t)·Σ|S| rows,
         # bounded), probe = the corpus index.
         joined = prefixes.hint("shuffle_hash").join(other, "sh")
-    candidates = joined.filter(keep).select(
+    # ⌈t·|S|⌉ with the symmetric guard against t·|S| binary-landing
+    # ABOVE an integral true value and ceil overshooting by one (which
+    # would prune a boundary-true pair)
+    required = F.ceil(
+        F.lit(threshold) * F.col("n_shingles").cast("double") - F.lit(1e-9)
+    )
+    # RELAXED per-row positional pre-filter, sound for every pigeonhole
+    # witness: the i-th-smallest shared shingle s_i has all shared
+    # except s_1..s_{i-1} ranking after it on BOTH sides (both docs
+    # rank by the same global (df, sh) key), so overlap ≤ i +
+    # min(n_s - rn_s(s_i), n_o - rn_o(s_i)). Each of the ext+1
+    # guaranteed witnesses therefore passes with i ≤ ext+1, and the
+    # filter halves the rows entering the per-pair aggregate (the
+    # strict i=1 form of r11-r15 would drop witnesses s_2.. and break
+    # the count guarantee below).
+    row_keep = (
+        F.lit(1 + int(prefix_ext))
+        + F.least(
+            F.col("n_shingles") - F.col("__rn_s"),
+            F.col("__n_o") - F.col("__rn_o"),
+        )
+        >= required
+    )
+    # One aggregate per candidate pair. n_s/n_o ride as grouping keys
+    # (functionally dependent on the doc ids — same groups, no first()
+    # buffers), and because the streamed probe side keeps the rank
+    # window's HashPartitioning(doc→__doc_o) — a subset of the grouping
+    # keys — the aggregate needs NO exchange of the candidate stream
+    # (the eager ranked.count() above is what makes that partitioning
+    # visible to the planner). Two EXACT pair-level tests follow:
+    #  - minimal-match bound: the globally-minimal SHARED shingle is
+    #    always a matched+counted row (it is in S's pigeonhole prefix
+    #    and passes the relaxed filter with i=1), and every other
+    #    shared shingle ranks after it on both sides — overlap ≤ 1 +
+    #    min(n_s - min_rn_s, n_o - min_rn_o). This is the strongest
+    #    per-row positional bound of the r11-r15 implementation, so
+    #    this path prunes a superset of what that code pruned.
+    #  - witness count: overlap ≥ ⌈t·n_s⌉ forces ≥ min(ext+1, req)
+    #    shared shingles inside S's extended prefix (misses ≤ m, prefix
+    #    holds min(m+1+ext, n_s) elements), each of which joins and
+    #    passes the relaxed filter — so true pairs always show
+    #    c ≥ min(ext+1, req), while near-miss pairs sharing only one or
+    #    two rare shingles (13.5M of them at sf1, 4.2x-growing — the
+    #    r15 stress outlier) die here instead of paying the verify.
+    pair = (
+        joined.filter(
+            (F.col("doc") != F.col("__doc_o")) & size_rule & row_keep
+        )
+        .groupBy("doc", "n_shingles", "__doc_o", "__n_o")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min("__rn_s").alias("__min_rn_s"),
+            F.min("__rn_o").alias("__min_rn_o"),
+        )
+    )
+    pair_keep = (
+        F.lit(1)
+        + F.least(
+            F.col("n_shingles") - F.col("__min_rn_s"),
+            F.col("__n_o") - F.col("__min_rn_o"),
+        )
+        >= required
+    ) & (F.col("__c") >= F.least(F.lit(1 + int(prefix_ext)), required))
+    candidates = pair.filter(pair_keep).select(
         F.least("doc", "__doc_o").alias("doc_a"),
         F.greatest("doc", "__doc_o").alias("doc_b"),
     )
@@ -466,7 +559,6 @@ def containment_pairs_prefix(
             / F.least("n_a", "n_b").cast("double"),
         )
         .filter(F.col("containment") >= threshold)
-        .distinct()
     )
 
 

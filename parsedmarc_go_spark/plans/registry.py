@@ -27,6 +27,7 @@ Determinism rules used throughout the library (so value-hashes match):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
 
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # gate boundary: intermediates scoped-persisted by operator
             # calls inside PREVIOUS gates are consumed by now (the
@@ -53,9 +55,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             release_intermediates()
             return fn(spark, sf_dir)
 
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
-        wrapped.__wrapped__ = fn
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

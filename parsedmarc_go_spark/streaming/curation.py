@@ -31,6 +31,7 @@ from parsedmarc_go_spark.operators.curation import (
     pii_redact,
     repetition_stats,
 )
+from parsedmarc_go_spark.caching import scope as caching_scope
 from parsedmarc_go_spark.operators.classify import nb_score, train_nb_classifier
 from parsedmarc_go_spark.operators.lm import lm_score, train_bigram_lm
 from parsedmarc_go_spark.streaming.daemon import _write_table
@@ -590,7 +591,7 @@ def make_curation_pipeline_processor(
             seen_full, keys, buckets, broadcast_probe=small
         ).localCheckpoint()
 
-    def process_batch(batch: DataFrame, batch_id: int) -> None:
+    def _process_batch_impl(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         _ensure_mode(spark)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -756,6 +757,14 @@ def make_curation_pipeline_processor(
             _write_table(fates, out_dir, PIPELINE_FATES_TABLE, batch_id)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # microbatch caching scope: minhash_lsh_pairs inside the near-dup
+        # stage scoped-persists candidate frames; a streaming session never
+        # enters a gate builder, so release them here (ADVICE r15, same fix
+        # as streaming/dedup.py)
+        with caching_scope():
+            _process_batch_impl(batch, batch_id)
 
     return process_batch
 

@@ -90,6 +90,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from parsedmarc_go_spark.caching import scope as caching_scope
 from parsedmarc_go_spark.functions.text import normalized_text
 from parsedmarc_go_spark.operators.dedup import (
     minhash_band_signatures,
@@ -701,7 +702,7 @@ def make_dedup_processor(
             f"'substring' or 'semdedup', got {mode!r}"
         )
 
-    def process_batch(batch: DataFrame, batch_id: int) -> None:
+    def _process_batch_impl(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
@@ -882,6 +883,18 @@ def make_dedup_processor(
             batch.unpersist()
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # caching.scope: operators called inside the batch (minhash mode's
+        # minhash_lsh_pairs scoped-persists two candidate frames per call)
+        # register their intermediates with the microbatch scope, released
+        # here at batch end — a pure streaming session never enters a gate
+        # builder, so without the scope those frames would accrete in the
+        # CacheManager for the session lifetime (ADVICE r15).
+        # extra_persists above covers only this module's own persists,
+        # never the operators'.
+        with caching_scope():
+            _process_batch_impl(batch, batch_id)
 
     return process_batch
 

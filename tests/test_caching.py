@@ -67,6 +67,65 @@ def test_gate_boundary_releases_previous_gates_intermediates(spark):
     assert all(not _is_cached(df) for df in held)
 
 
+def test_scope_releases_only_its_own_frames(spark):
+    # the streaming-microbatch contract (ADVICE r15): operators called
+    # inside a caching.scope() block get their intermediates released at
+    # block exit, while frames scoped OUTSIDE the block are untouched
+    release_intermediates()
+    outer = scoped_persist(spark.range(50))
+    outer.count()
+    with caching.scope():
+        inner = scoped_persist(spark.range(60).withColumn("y", F.col("id") + 1))
+        inner.count()
+        assert _is_cached(inner)
+        # the scope captures inner, not the thread-level registry
+        assert not any(x is inner for x in caching._LIVE)
+    assert not _is_cached(inner)
+    assert _is_cached(outer)
+    assert any(x is outer for x in caching._LIVE)
+    release_intermediates()
+    assert not _is_cached(outer)
+
+
+def test_scope_nested_and_exception_safe(spark):
+    release_intermediates()
+    try:
+        with caching.scope():
+            a = scoped_persist(spark.range(10))
+            a.count()
+            with caching.scope():
+                b = scoped_persist(spark.range(20))
+                b.count()
+            assert not _is_cached(b)
+            assert _is_cached(a)
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not _is_cached(a)
+
+
+def test_registry_is_thread_local(spark):
+    # a concurrent gate on another thread must not be able to release
+    # this thread's in-flight intermediates (ADVICE r15)
+    import threading
+
+    release_intermediates()
+    mine = scoped_persist(spark.range(30))
+    mine.count()
+    released_elsewhere = []
+
+    def other_thread():
+        # the other thread's registry is empty — releasing there frees 0
+        released_elsewhere.append(release_intermediates())
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+    assert released_elsewhere == [0]
+    assert _is_cached(mine)
+    assert release_intermediates() == 1
+
+
 def test_release_survives_frames_from_multiple_operators(spark):
     from parsedmarc_go_spark.plans import QUERIES
 
