@@ -172,6 +172,30 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return sorted(samples)
 
+    def measure_warm(name: str) -> list[float]:
+        # WARM protocol (VERDICT r15 task 4): the r15 cache-leak fix
+        # releases every gate's scoped-persisted intermediates at the
+        # next gate entry, which made the standard passes above honest
+        # FRESH-query walls — and cost a round of cross-round
+        # comparability, because every pre-r15 bench median was
+        # implicitly warm (CacheManager hits on candidate/set frames in
+        # passes 2-3). Stamp both protocols per gate so the next
+        # methodology question is answerable from the artifact alone:
+        # the warm pass calls the UNWRAPPED builder (no gate-boundary
+        # release), so scoped persists from the priming call survive
+        # and repeats hit the cache — the pre-r15 number, reified.
+        from parsedmarc_go_spark.caching import release_intermediates
+
+        fn = getattr(QUERIES[name], "__wrapped__", QUERIES[name])
+        QUERIES[name](spark, sf_dir).collect()  # prime (releases prior)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        release_intermediates()
+        return sorted(samples)
+
     # median of 3 timed passes per query: damps scheduler/GC variance
     # that made single-pass numbers swing ±70% on the heavier queries.
     # The full [min, median, max] spread is emitted too (round-6 task 2):
@@ -179,10 +203,15 @@ def main() -> None:
     # only the median survived the session.
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    fresh_warm: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         lo, med, hi = measure(name)
         times[name] = round(med, 3)
         spread[name] = [round(lo, 3), round(med, 3), round(hi, 3)]
+        fresh_warm[name] = {
+            "fresh_s": times[name],
+            "warm_s": round(measure_warm(name)[1], 3),
+        }
 
     # EVERY gate re-measured at session END (VERDICT r12 task 5 — r11
     # stamped only three drift suspects, which left most of the r12
@@ -268,6 +297,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "spread": spread,
+        "fresh_warm": fresh_warm,
         "repeat_medians": repeat_medians,
         "spread_scan_ab": spread_ab,
         "session": session,
