@@ -224,6 +224,13 @@ def main() -> None:
     # mix, is where residual contention aliases in.)
     repeat_medians = {name: round(measure(name)[1], 3) for name in HEADLINE}
 
+    # per-stage walls for the composed pipeline (VERDICT r15 task 3):
+    # one instrumented pass, stamped so the most expensive gate's cost
+    # is attributable per stage from the artifact alone
+    from parsedmarc_go_spark.plans.curation import curation_pipeline_stage_walls
+
+    pipeline_stages = curation_pipeline_stage_walls(spark, sf_dir)
+
     # spread_scan A/B (VERDICT r13 task 2): the r13 slot-count guard
     # taxed small scans; the r14 size gate (tables.SPREAD_SCAN_MIN_BYTES)
     # must show never==auto at sf0.1 and the spread winning where it is
@@ -298,6 +305,7 @@ def main() -> None:
         "sf": sf,
         "spread": spread,
         "fresh_warm": fresh_warm,
+        "curation_pipeline_stages": pipeline_stages,
         "repeat_medians": repeat_medians,
         "spread_scan_ab": spread_ab,
         "session": session,

@@ -16,6 +16,8 @@ the probe itself.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -575,6 +577,7 @@ GOPHER_DEFAULTS = {
 def gopher_quality_filter(
     docs: DataFrame,
     text_col: str = "text",
+    extra_cols: dict[str, Column] | None = None,
     **thresholds,
 ) -> DataFrame:
     """The composed Gopher/MassiveText quality FILTER (the decision
@@ -609,14 +612,22 @@ def gopher_quality_filter(
     wall."""
     thr = {**GOPHER_DEFAULTS, **thresholds}
     lowered = F.lower(F.col(text_col))
+    # extra_cols: expressions over the INPUT row evaluated inside this
+    # same projection — curation_pipeline fuses its exact-dedup sha256
+    # fingerprint into the quality scan this way (one corpus pass
+    # instead of two; VERDICT r15 task 3). Purely row-local, so the
+    # quality semantics and the oracle are untouched.
+    extra = [c.alias(name) for name, c in (extra_cols or {}).items()]
     toks = docs.select(
         "doc_id",
         lowered.alias("__lt"),
         F.split(lowered, " ").alias("toks"),
+        *extra,
     )
     n = F.size("toks")
     stats = toks.select(
         "doc_id",
+        *[F.col(name) for name in (extra_cols or {})],
         n.cast("long").alias("n_tokens"),
         (
             (F.length("__lt") - (n - 1)).cast("double") / n.cast("double")
@@ -897,6 +908,7 @@ def curation_pipeline(
     quality_thresholds: dict | None = None,
     checkpoint_stages: bool = True,
     checkpoint_dir: str | None = None,
+    stage_walls: dict | None = None,
 ) -> DataFrame:
     """The composed end-to-end pretraining-curation pipeline — the
     workflow a 100 TB run actually executes, proving the individual
@@ -980,12 +992,22 @@ def curation_pipeline(
         _validate_or_write_manifest(spark, checkpoint_dir, params)
 
     def _boundary(df: DataFrame, stage: str) -> DataFrame:
+        # stage_walls (VERDICT r15 task 3): boundaries are EAGER, so
+        # timing each one attributes the pipeline wall per stage; the
+        # caller's dict gets {stage: seconds}. With
+        # checkpoint_stages=False the boundaries are lazy no-ops and
+        # the stamps are ~0 (the whole wall lands on the final action).
+        t0 = time.perf_counter()
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/{stage}"
             if not _hadoop_success_exists(spark, path):
                 df.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path)
-        return df.localCheckpoint(eager=True) if checkpoint_stages else df
+            out = spark.read.parquet(path)
+        else:
+            out = df.localCheckpoint(eager=True) if checkpoint_stages else df
+        if stage_walls is not None:
+            stage_walls[stage] = round(time.perf_counter() - t0, 3)
+        return out
 
     # every stage is CPU-heavy text work (token stats, shingling,
     # minhashing, 8-grams); a scan-rooted corpus inherits the file
@@ -1003,60 +1025,100 @@ def curation_pipeline(
     ):
         corpus = corpus.repartition(sc.defaultParallelism, F.col("doc_id"))
     corpus = _boundary(corpus, "s0_corpus")
-    q = gopher_quality_filter(corpus, **(quality_thresholds or {}))
-    # q_fail checkpoints like every other drop frame: its fate branch
-    # would otherwise re-run the whole quality subtree (including the
-    # corpus-wide repetition bigram aggregation) a second time at
-    # union-collect time
-    q_fail = _boundary(
-        q.filter(~F.col("keep")).select(
-            "doc_id",
-            F.concat(F.lit("quality:"), F.col("fail_reason")).alias("fate"),
-        ),
-        "d1_quality_fates",
+    # FUSED quality + fingerprint scan (round-16, VERDICT r15 task 3):
+    # the exact-dedup sha256 rides the quality projection as an
+    # extra_col, and the ONE skinny boundary (doc_id, keep, fail_reason,
+    # __fp — no text) serves the quality-fate branch, the survivor
+    # semi-join AND the exact-dup winner aggregation. The r15 layout
+    # materialized the quality subtree twice (its fate boundary and the
+    # survivor boundary each re-ran the repetition aggregation) and paid
+    # a separate normalized-text sha256 pass — together ~2.5 s of the
+    # 7.6 s sf0.1 gate. (The decontamination/minhash stages still
+    # re-tokenize from text rather than reading a carried token-array
+    # column: materializing token arrays through the survivor boundaries
+    # roughly doubles checkpoint bytes, a net loss for a 100 TB run's
+    # IO, so the fusion stops at row-local scalar columns.)
+    q = _boundary(
+        gopher_quality_filter(
+            corpus,
+            extra_cols={"__fp": F.sha2(normalized_text("text"), 256)},
+            **(quality_thresholds or {}),
+        ).select("doc_id", "keep", "fail_reason", "__fp"),
+        "q1_quality_fp",
     )
-    s1 = _boundary(
-        corpus.join(q.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"),
-        "s1_quality",
+    q_fail = q.filter(~F.col("keep")).select(
+        "doc_id",
+        F.concat(F.lit("quality:"), F.col("fail_reason")).alias("fate"),
     )
 
-    # the DROP frames checkpoint too: each one is consumed twice (the
-    # survivor anti-join and its fate-union branch), and without the
-    # boundary the union branch re-runs the whole stage (hash agg /
-    # minhash / decontamination) a second time — measured ~2× on the
-    # end-to-end wall. The frames themselves are tiny (one id column).
-    fp = s1.select("doc_id", F.sha2(normalized_text("text"), 256).alias("__fp"))
+    # Each remaining stage materializes ONE flagged boundary: the
+    # stage's input rows (full text) plus the stage's drop flag. Both
+    # consumers — the next stage's survivor view and the fate-union
+    # branch — are pure filters of that LogicalRDD, so neither re-runs
+    # the stage (the r12 lesson), and the composition costs one eager
+    # action per stage instead of the r15 layout's two (drop-id frame +
+    # survivor frame). At sf0.1 the gate spent more wall on job
+    # scheduling than on data (43 AQE jobs/pass measured); six
+    # boundaries instead of nine is the fix that survives scale — at
+    # 100 TB the flagged write adds only the dropped rows' bytes to the
+    # survivor write it replaces.
+    fp = q.filter(F.col("keep")).select("doc_id", "__fp")
     winners = fp.groupBy("__fp").agg(F.min("doc_id").alias("__keep"))
-    exact_dups = _boundary(
-        fp.join(winners, "__fp")
-        .filter(F.col("doc_id") != F.col("__keep"))
-        .select("doc_id"),
-        "d2_exact_dups",
+    s2a = _boundary(
+        corpus.join(
+            fp.join(winners, "__fp").select(
+                "doc_id", (F.col("doc_id") != F.col("__keep")).alias("__dup")
+            ),
+            "doc_id",
+        ),
+        "s2_exact",
     )
-    s2 = _boundary(s1.join(exact_dups, "doc_id", "left_anti"), "s2_exact")
+    exact_dups = s2a.filter(F.col("__dup")).select("doc_id")
+    s2 = s2a.filter(~F.col("__dup")).drop("__dup")
 
     dec = ngram_decontaminate(s2, benchmark, n=decontam_n)
-    contaminated = _boundary(
-        dec.filter(F.col("n_overlap") >= 1).select("doc_id"), "d3_contaminated"
+    s3a = _boundary(
+        s2.join(
+            dec.filter(F.col("n_overlap") >= 1)
+            .select("doc_id")
+            .withColumn("__cont", F.lit(True)),
+            "doc_id",
+            "left",
+        ).withColumn("__cont", F.coalesce(F.col("__cont"), F.lit(False))),
+        "s3_decontam",
     )
-    s3 = _boundary(s2.join(contaminated, "doc_id", "left_anti"), "s3_decontam")
+    contaminated = s3a.filter(F.col("__cont")).select("doc_id")
+    s3 = s3a.filter(~F.col("__cont")).drop("__cont")
 
     pairs = minhash_lsh_pairs(s3, threshold=jaccard_threshold)
-    near = _boundary(
-        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "d4_near_dups"
+    s4a = _boundary(
+        s3.join(
+            pairs.select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("__near", F.lit(True)),
+            "doc_id",
+            "left",
+        ).withColumn("__near", F.coalesce(F.col("__near"), F.lit(False))),
+        "s4_neardup",
     )
-    s4 = _boundary(s3.join(near, "doc_id", "left_anti"), "s4_neardup")
+    near = s4a.filter(F.col("__near")).select("doc_id")
+    s4 = s4a.filter(~F.col("__near")).drop("__near")
 
-    # kept is consumed by both the over_budget anti-join and its own
-    # fate branch — checkpoint so the budget sort+window over s4 runs
-    # once, not once per consumer
-    kept = _boundary(
-        sample_token_budget(
-            s4, strata_col, size_col, budget, min_docs=min_docs
-        ).select("doc_id"),
-        "d5_kept",
+    # the budget boundary is id-skinny: it carries is_kept for EVERY s4
+    # doc, so both its fate branches (kept / over_budget) are filters
+    kept_ids = sample_token_budget(
+        s4, strata_col, size_col, budget, min_docs=min_docs
+    ).select("doc_id")
+    budget_fates = _boundary(
+        s4.select("doc_id")
+        .join(kept_ids.withColumn("__k", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("__k"), F.lit(False)).alias("is_kept")
+        ),
+        "d5_budget",
     )
-    over = s4.join(kept, "doc_id", "left_anti").select("doc_id")
+    kept = budget_fates.filter(F.col("is_kept")).select("doc_id")
+    over = budget_fates.filter(~F.col("is_kept")).select("doc_id")
 
     lit = lambda s: F.lit(s).alias("fate")  # noqa: E731
     return (

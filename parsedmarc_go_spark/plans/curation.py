@@ -1592,6 +1592,36 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_pipeline_stage_walls(spark: SparkSession, sf_dir: str) -> dict:
+    """One instrumented run of the curation_pipeline gate returning
+    per-stage boundary walls (VERDICT r15 task 3) — bench.py stamps
+    this into the artifact so the composition's cost is attributable
+    per stage, not just as one gate number. Mirrors curation_pipeline_q
+    exactly (same corpus, thresholds, budget) plus the stage_walls
+    hook; '__union_collect' is the residual of the final fate-union
+    action over the boundary sum."""
+    import time as _time
+
+    from parsedmarc_go_spark.operators.curation import curation_pipeline
+
+    t = _pipeline_corpus(spark, sf_dir)
+    bench = t.filter(F.col("doc_id") % 50 == 0)
+    corpus = t.filter(F.col("doc_id") % 50 != 0)
+    walls: dict = {}
+    t0 = _time.perf_counter()
+    curation_pipeline(
+        corpus,
+        bench,
+        budget=2000,
+        quality_thresholds={"max_mean_word_len": 4.5},
+        stage_walls=walls,
+    ).collect()
+    total = round(_time.perf_counter() - t0, 3)
+    walls["__union_collect"] = round(total - sum(walls.values()), 3)
+    walls["__total"] = total
+    return walls
+
+
 # --- the composed pipeline's streaming + reliable-checkpoint twins ---------
 #
 # Round 14 (VERDICT r13 tasks 3-4): the driver hash-checks the batch

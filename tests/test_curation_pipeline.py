@@ -92,9 +92,8 @@ def _pipeline_inputs(spark):
 _PIPE_KW = dict(budget=2000, quality_thresholds={"max_mean_word_len": 4.5})
 
 _STAGES = [
-    "s0_corpus", "d1_quality_fates", "s1_quality", "d2_exact_dups",
-    "s2_exact", "d3_contaminated", "s3_decontam", "d4_near_dups",
-    "s4_neardup", "d5_kept",
+    "s0_corpus", "q1_quality_fp", "s2_exact", "s3_decontam",
+    "s4_neardup", "d5_budget",
 ]
 
 
@@ -125,25 +124,25 @@ def test_checkpoint_dir_resume_equals_single_shot(spark, tmp_path):
     # later boundaries vanish (or, equivalently, never got _SUCCESS)
     import shutil
 
-    for stage in ("d4_near_dups", "s4_neardup", "d5_kept"):
+    for stage in ("s4_neardup", "d5_budget"):
         shutil.rmtree(f"{ckpt}/{stage}")
     # a mid-flight write with no _SUCCESS must be treated as absent
-    os.makedirs(f"{ckpt}/d5_kept")
-    open(f"{ckpt}/d5_kept/part-00000.parquet", "w").close()
+    os.makedirs(f"{ckpt}/d5_budget")
+    open(f"{ckpt}/d5_budget/part-00000.parquet", "w").close()
 
     def mtimes(stage):
         d = f"{ckpt}/{stage}"
         return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
 
-    before = {s: mtimes(s) for s in _STAGES[:7]}
+    before = {s: mtimes(s) for s in _STAGES[:4]}
     resumed = fate_key(
         curation_pipeline(corpus, bench, checkpoint_dir=ckpt, **_PIPE_KW)
     )
     assert resumed == single_shot
     # completed boundaries were READ, not recomputed/rewritten
-    assert {s: mtimes(s) for s in _STAGES[:7]} == before
-    assert os.path.exists(f"{ckpt}/d4_near_dups/_SUCCESS")
-    assert os.path.exists(f"{ckpt}/d5_kept/_SUCCESS")
+    assert {s: mtimes(s) for s in _STAGES[:4]} == before
+    assert os.path.exists(f"{ckpt}/s4_neardup/_SUCCESS")
+    assert os.path.exists(f"{ckpt}/d5_budget/_SUCCESS")
 
 
 def test_checkpoint_dir_refuses_parameter_drift(spark, tmp_path):
