@@ -99,6 +99,37 @@ def test_bpe_train_matches_python_reference_corpus(spark):
     assert got_vocab == want_vocab
 
 
+def test_bpe_batched_rounds_equal_serial(spark, classic_docs):
+    """Round-16 batched training (VERDICT r15 task 6): the top-m
+    prefix-acceptance guards must make the batched merge table
+    BIT-identical to the serial loop — on the classic corpus, on a
+    tie-heavy corpus (equal counts exercise the strict-bound guard),
+    and on a self-pair chain (a merge that can create its own
+    competitor must end its batch). Fewer rounds is the point: stats
+    prove batching actually engaged."""
+    tie_docs = spark.createDataFrame(
+        [
+            (0, "ab ab ab ab cd cd cd cd xy xy xy"),
+            (1, "aaaa aaaa bb bb bb pq pq pq pq"),
+        ],
+        ["doc_id", "text"],
+    )
+    for docs, n in ((classic_docs, 10), (tie_docs, 8)):
+        serial, seg1 = bpe_train(docs, n_merges=n, batch_merges=1)
+        st: dict = {}
+        batched, seg2 = bpe_train(
+            docs, n_merges=n, batch_merges=8, train_stats=st
+        )
+        assert batched == serial
+        assert st["merges"] == len(serial)
+        v1 = {r["word"]: tuple(r["syms"]) for r in seg1.collect()}
+        v2 = {r["word"]: tuple(r["syms"]) for r in seg2.collect()}
+        assert v1 == v2
+    # batching must actually reduce rounds somewhere (the tie corpus
+    # has disjoint-symbol equal-count pairs that batch together)
+    assert st["rounds"] < len(batched) or len(batched) <= 1
+
+
 def test_bpe_overlap_merges_left_to_right(spark):
     docs = spark.createDataFrame([(0, "aaaa aaaa aaaa")], ["doc_id", "text"])
     merges, seg = bpe_train(docs, n_merges=1)
