@@ -909,6 +909,7 @@ def curation_pipeline(
     checkpoint_stages: bool = True,
     checkpoint_dir: str | None = None,
     stage_walls: dict | None = None,
+    minhash_max_bucket: int | None = None,
 ) -> DataFrame:
     """The composed end-to-end pretraining-curation pipeline — the
     workflow a 100 TB run actually executes, proving the individual
@@ -988,6 +989,7 @@ def curation_pipeline(
             "budget": budget, "jaccard_threshold": jaccard_threshold,
             "decontam_n": decontam_n, "min_docs": min_docs,
             "quality_thresholds": quality_thresholds or {},
+            "minhash_max_bucket": minhash_max_bucket,
         }
         _validate_or_write_manifest(spark, checkpoint_dir, params)
 
@@ -1090,7 +1092,16 @@ def curation_pipeline(
     contaminated = s3a.filter(F.col("__cont")).select("doc_id")
     s3 = s3a.filter(~F.col("__cont")).drop("__cont")
 
-    pairs = minhash_lsh_pairs(s3, threshold=jaccard_threshold)
+    # minhash_max_bucket: the boilerplate-skew escape hatch (round-16
+    # stress finding — see minhash_lsh_pairs): corpora where a large
+    # fraction of docs share boilerplate put thousands of sub-threshold
+    # docs into single LSH buckets (791 s for zero pairs at skew-sf1,
+    # uncapped). Default None keeps the fate oracle's exact candidate
+    # semantics; boilerplate-bearing runs opt in, or better, paragraph-
+    # dedup the corpus first (the CCNet ordering).
+    pairs = minhash_lsh_pairs(
+        s3, threshold=jaccard_threshold, max_bucket=minhash_max_bucket
+    )
     s4a = _boundary(
         s3.join(
             pairs.select(F.col("doc_b").alias("doc_id"))

@@ -611,6 +611,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
@@ -619,6 +620,29 @@ def minhash_lsh_pairs(
     candidate pairs → exact-Jaccard verify. With K=32, b=16, r=2 the
     S-curve catches j≥0.7 with P ≈ 1 - (1-j²)^16 ≈ 1 - 2e-5, while
     keeping bucket collisions (and thus the join fan-out) sparse.
+
+    ``max_bucket`` (round-16, the adversarial-skew stress finding):
+    boilerplate-heavy corpora break the "collision-sparse" premise — at
+    a skew-sf1 corpus where 30% of docs share two boilerplate
+    paragraphs (Jaccard ≈ 0.5 between any two: below threshold, above
+    the band-collision S-curve's floor), every band bucket holding the
+    15k boiler docs emits C(15k,2) ≈ 112M candidate pairs that the
+    exact verify then rejects one by one — measured 791 s for zero
+    output rows, vs ~6 s on the uniform corpus. With ``max_bucket``
+    set, buckets larger than the cap are excluded from pair generation
+    (one (band,sig) count over the bucket frame, reusing the
+    self-join's own exchange). Recall argument: a true pair is lost
+    only if EVERY band where it collides is over the cap; a j ≥ 0.7
+    pair collides per band with P = j² ≥ 0.49, so it lands in ~8 of 16
+    bands, and a band bucket is over a 1000-doc cap only when the two
+    docs share that band's minhashes with ≥ 1000 others — the
+    boilerplate signature itself. Pairs that are near-dup through
+    their NON-boilerplate content collide in bands keyed by their
+    unique shingles, which stay small. The default is None (off):
+    pair output stays exactly the banded-candidate set the oracle
+    gates pin; callers running curation over boilerplate-bearing
+    corpora opt in (and should run paragraph dedup first — the CCNet
+    ordering — which removes the pathology at the source).
     """
     rows = num_hashes // bands
     # The shingle stream is computed inside the single pipeline that
@@ -643,6 +667,19 @@ def minhash_lsh_pairs(
     # a ~1.9 s physical-plan conversion probing partition counts on the
     # joined verify input.
     buckets = minhash_band_signatures(docs, id_col, n, num_hashes, bands)
+    if max_bucket is not None:
+        # hot-bucket cut: drop (band, sig) groups larger than the cap
+        # BEFORE the self-join — the count and the semi-join ride the
+        # same (band, sig) canonical exchange the self-join shuffles
+        # on, so this adds no new corpus-wide shuffle
+        sizes = buckets.groupBy("band", "sig").agg(
+            F.count("*").alias("__bs")
+        )
+        buckets = buckets.join(
+            sizes.filter(F.col("__bs") <= int(max_bucket)).drop("__bs"),
+            ["band", "sig"],
+            "left_semi",
+        )
     # bucket self-join: both sides are the same canonical subplan, so
     # Spark computes the (band, sig) exchange ONCE and reuses it
     # (ReusedExchange / AQE stage reuse) — the shingle+minhash pipeline

@@ -271,6 +271,140 @@ def decode_mp4_header(payload: bytes) -> dict:
     return out
 
 
+def decode_png_pixels(payload: bytes, grid: int = 8) -> dict:
+    """FULL PNG decode to pixels with the stdlib only (round-16,
+    VERDICT r15 task 8): IDAT chunks → zlib inflate → per-scanline
+    unfilter (None/Sub/Up/Average/Paeth, the five PNG filter types) →
+    grayscale luma → a ``grid × grid`` block-mean PERCEPTUAL feature
+    (centered + unit-normalized, so cosine between features behaves
+    like an aHash/pHash distance: near-identical images ≈ 1.0, distinct
+    content near 0). This is the real pixel path the multimodal plumbing
+    was stubbed for — pass ``decode_fn=pixel_decode`` to decode_media
+    and the ``feature`` column feeds ``cosine_neardup_pairs`` directly
+    (composed in tests/test_multimodal.py).
+
+    Supports 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), non-interlaced. Anything else raises ValueError
+    — per-item isolation routes it to the ``error`` column; Adam7 and
+    16-bit are codec-library territory, not silently-wrong territory."""
+    import struct as _struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a png")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("png: missing IHDR or IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"png: bit depth {depth} unsupported (8 only)")
+    if interlace != 0:
+        raise ValueError("png: Adam7 interlace unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"png: color type {color_type} unknown")
+    if color_type == 3 and plte is None:
+        raise ValueError("png: palette image without PLTE")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("png: inflated size does not match dimensions")
+    # unfilter scanlines in place (bytearray math; fixture-scale pure
+    # Python — real rasters belong to a codec library via decode_fn)
+    img = bytearray(stride * h)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = img[(y - 1) * stride : y * stride] if y else bytes(stride)
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"png: filter type {f} invalid")
+        img[y * stride : (y + 1) * stride] = line
+    # grayscale luma per pixel
+    gray = [0.0] * (w * h)
+    for y in range(h):
+        row = y * stride
+        for x in range(w):
+            o = row + x * channels
+            if color_type == 0 or color_type == 4:
+                g = float(img[o])
+            elif color_type == 3:
+                pi = img[o] * 3
+                g = (
+                    0.299 * plte[pi] + 0.587 * plte[pi + 1] + 0.114 * plte[pi + 2]
+                )
+            else:
+                g = 0.299 * img[o] + 0.587 * img[o + 1] + 0.114 * img[o + 2]
+            gray[y * w + x] = g
+    # grid×grid block means → centered, unit-norm perceptual feature
+    cells = [[0.0, 0] for _ in range(grid * grid)]
+    for y in range(h):
+        cy = min(grid - 1, y * grid // h)
+        for x in range(w):
+            c = cells[cy * grid + min(grid - 1, x * grid // w)]
+            c[0] += gray[y * w + x]
+            c[1] += 1
+    means = [s / n if n else 0.0 for s, n in cells]
+    mu = sum(means) / len(means)
+    centered = [m - mu for m in means]
+    norm = sum(v * v for v in centered) ** 0.5
+    feature = (
+        [v / norm for v in centered]
+        if norm > 1e-9
+        else [1.0 / len(centered) ** 0.5] * len(centered)  # flat image
+    )
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "duration_ms": 0,
+        "feature": [float(v) for v in feature],
+    }
+
+
+def pixel_decode(payload: bytes, kind: str) -> dict:
+    """decode_fn with the real pixel path where the stdlib can provide
+    one: PNG images decode to pixels (perceptual feature populated);
+    other image formats fall back to the header decode; audio/video
+    keep their header decodes. The pluggable contract is unchanged —
+    a codec-library decode_fn supersedes this wholesale."""
+    if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(payload)
+    return default_decode(payload, kind)
+
+
 def default_decode(payload: bytes, kind: str) -> dict:
     """The honest default: real header decode for all three modalities —
     images (PNG/BMP/GIF/JPEG), audio (WAV/RIFF), video (MP4/ISO-BMFF).

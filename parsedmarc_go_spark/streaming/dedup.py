@@ -198,18 +198,30 @@ def _write_store_meta(
     n_buckets: int,
     bloom_m: int = 0,
     bloom_k: int = 0,
+    folded_watermark: int | None = None,
+    runs: list[int] | None = None,
 ) -> None:
     """Pin the store parameters crash-safe: write to a tmp dir, then
     rename into place (swap_directory when a prior meta exists) — a
     crash mid-write leaves either no meta (clean re-creation) or a
     complete one, never the empty directory a plain overwrite could
-    (ADVICE r10)."""
+    (ADVICE r10).
+
+    ``folded_watermark`` / ``runs`` are the LEVELED-compaction commit
+    record (round-16): batch partitions with id ≤ watermark are FOLDED
+    — their digests live in the negative-id run partitions listed in
+    ``runs`` — and readers must ignore them (read_fingerprints does);
+    negative-id partitions NOT in ``runs`` are uncommitted orphans from
+    a crashed compaction, deleted at the next one. This one atomic
+    meta swap is the commit point of every leveled fold/merge step."""
     path = _meta_path(store_dir)
     tmp = path.rstrip("/") + ".tmp"
     (
         spark.createDataFrame(
-            [(n_buckets, bloom_m, bloom_k)],
-            "n_buckets int, bloom_m bigint, bloom_k int",
+            [(n_buckets, bloom_m, bloom_k, folded_watermark,
+              [int(r) for r in runs] if runs is not None else None)],
+            "n_buckets int, bloom_m bigint, bloom_k int, "
+            "folded_watermark bigint, runs array<bigint>",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -371,6 +383,28 @@ def read_fingerprints(
     if not fs.exists(hpath):
         return spark.createDataFrame([], _EMPTY_STORE_SCHEMA)
     df = spark.read.parquet(path)
+    meta = _read_meta_dict(spark, store_dir)
+    if meta is not None:
+        # leveled-compaction visibility (round-16): batch partitions at
+        # or below the folded watermark are STALE — their digests live
+        # in the committed negative-id runs — and survive on disk only
+        # across the crash window between a fold's meta commit and its
+        # partition deletes. Filtering here (partition-column predicate
+        # → directory pruning, no data read) makes every consumer see
+        # exactly the committed membership, so a crashed compaction can
+        # never surface duplicates.
+        w = meta.get("folded_watermark")
+        if w is not None:
+            df = df.filter(
+                (F.col("__batch_id") < 0) | (F.col("__batch_id") > int(w))
+            )
+        runs = meta.get("runs")
+        if runs is not None:
+            committed = [int(r) for r in runs]
+            df = df.filter(
+                (F.col("__batch_id") >= 0)
+                | F.col("__batch_id").isin(committed)
+            )
     if exclude_batch_id is not None:
         df = df.filter(F.col("__batch_id") != exclude_batch_id)
     return df
@@ -617,6 +651,7 @@ def make_dedup_processor(
     bloom: bool = True,
     bloom_expected_items: int = DEFAULT_BLOOM_EXPECTED_ITEMS,
     bloom_fpp: float = DEFAULT_BLOOM_FPP,
+    minhash_max_bucket: int | None = None,
 ):
     """foreachBatch body for incremental dedup, factored out (the
     curation-stage pattern, streaming/curation.py:45) so idempotence
@@ -834,7 +869,9 @@ def make_dedup_processor(
                 extra_persists.append(remaining)
                 # within-batch: exact-verified pairs -> components ->
                 # keep the smallest id of each near-dup group
-                pairs = minhash_lsh_pairs(remaining, id_col)
+                pairs = minhash_lsh_pairs(
+                    remaining, id_col, max_bucket=minhash_max_bucket
+                )
                 dropped = (
                     neardup_clusters(
                         pairs.select(
@@ -920,6 +957,7 @@ def stream_dedup(
     bloom: bool = True,
     bloom_expected_items: int = DEFAULT_BLOOM_EXPECTED_ITEMS,
     bloom_fpp: float = DEFAULT_BLOOM_FPP,
+    minhash_max_bucket: int | None = None,
     max_files_per_trigger: int = 1000,
     available_now: bool = True,
     trigger_seconds: int | None = None,
@@ -941,7 +979,7 @@ def stream_dedup(
             semdedup_n_clusters=semdedup_n_clusters,
             semdedup_chunk_rows=semdedup_chunk_rows,
             bloom=bloom, bloom_expected_items=bloom_expected_items,
-            bloom_fpp=bloom_fpp,
+            bloom_fpp=bloom_fpp, minhash_max_bucket=minhash_max_bucket,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
@@ -949,6 +987,207 @@ def stream_dedup(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def _batch_partition_dir(store_dir: str, batch_id: int) -> str:
+    return os.path.join(store_dir, STORE_TABLE, f"__batch_id={batch_id}")
+
+
+def _write_run_partition(
+    spark: SparkSession,
+    store_dir: str,
+    source: DataFrame,
+    run_id: int,
+    target_file_mb: float,
+    total_bytes: int,
+) -> int:
+    """Write ``source`` as the single negative-id run partition
+    ``__batch_id=<run_id>`` (tmp write + directory rename — atomic on
+    any Hadoop FS), preserving the ``__bucket`` sub-partitioning so
+    probe pruning keeps working. Returns the run's bytes written."""
+    path = os.path.join(store_dir, STORE_TABLE)
+    tmp = path.rstrip("/") + f".run{run_id}.tmp"
+    n_tasks = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    out = source.withColumn("__batch_id", F.lit(int(run_id)))
+    part_cols = ["__batch_id"] + (
+        ["__bucket"] if "__bucket" in source.columns else []
+    )
+    (
+        out.repartitionByRange(
+            n_tasks, *[F.col(c) for c in part_cols], F.col("ph")
+        )
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    fs, dst = _hadoop_fs(spark, _batch_partition_dir(store_dir, run_id))
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(tmp, f"__batch_id={run_id}")
+    )
+    if fs.exists(dst):
+        fs.delete(dst, True)  # uncommitted leftover from a crash
+    if not fs.rename(src, dst):
+        raise IOError(f"rename {src} -> {dst} failed")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    bytes_written = _parquet_file_stats(
+        spark, _batch_partition_dir(store_dir, run_id)
+    )[1]
+    return bytes_written
+
+
+def _delete_partition(spark: SparkSession, store_dir: str, batch_id: int) -> None:
+    fs, hpath = _hadoop_fs(spark, _batch_partition_dir(store_dir, batch_id))
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _list_partition_ids(spark: SparkSession, store_dir: str) -> list[int]:
+    """Batch-id partition directories present on disk (committed or
+    not), via the filesystem — never a data scan."""
+    path = os.path.join(store_dir, STORE_TABLE)
+    fs, hpath = _hadoop_fs(spark, path)
+    ids = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("__batch_id="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)
+
+
+def compact_fingerprint_store_leveled(
+    spark: SparkSession,
+    store_dir: str,
+    keep_last: int = 2,
+    target_file_mb: float = 128,
+    level_ratio: float = 3.0,
+    max_runs: int = 4,
+    stats: dict | None = None,
+) -> tuple[int, int]:
+    """Generational (LSM-discipline) fold (round-16, VERDICT r15 task
+    5): the flat ``compact_fingerprint_store`` rewrites the ENTIRE
+    store every fold — O(store) per compaction, quadratic total
+    rewrite over a long stream's life. Here old batch partitions fold
+    into a NEW negative-id run, and runs merge only when a size ratio
+    triggers, so total rewrite work is O(N log N):
+
+    - **fold**: batches older than the newest ``keep_last`` are
+      rewritten as one new run partition ``__batch_id=-K``.
+    - **merge**: afterwards, while the largest run is ≤ ``level_ratio``
+      × the other runs' combined size (the accumulated small runs are
+      worth folding into the base), or more than ``max_runs`` runs
+      exist (probe-side directory count discipline), runs merge into
+      one.
+
+    Crash-safety is a single atomic commit point per step: the run
+    partition is written tmp-then-renamed, THEN the meta sidecar
+    (``folded_watermark`` + committed ``runs``) swaps in, THEN stale
+    partitions are deleted. Readers (read_fingerprints) ignore batch
+    partitions ≤ watermark and negative partitions not in ``runs``, so
+    a crash in any window leaves membership exactly the committed set;
+    the next compaction garbage-collects leftovers. Replay idempotence
+    is untouched: only batches older than ``keep_last`` fold, and a
+    replayed batch id > watermark by construction.
+
+    ``stats`` (optional) receives ``{"bytes_rewritten", "runs",
+    "folded_watermark", "steps"}`` — the rewrite-cost accounting the
+    SCALE.md curve is built from. Returns (files_before, files_after).
+    Legacy stores without a meta sidecar fall back to the flat fold
+    (their layout predates the run/watermark protocol)."""
+    meta = _read_meta_dict(spark, store_dir)
+    if meta is None:
+        return compact_fingerprint_store(
+            spark, store_dir, keep_last=keep_last, target_file_mb=target_file_mb
+        )
+    path = os.path.join(store_dir, STORE_TABLE)
+    files_before, _ = _parquet_file_stats(spark, path)
+    w = (
+        int(meta["folded_watermark"])
+        if meta.get("folded_watermark") is not None
+        else None
+    )
+    committed_runs = (
+        [int(r) for r in meta["runs"]] if meta.get("runs") is not None else None
+    )
+    on_disk = _list_partition_ids(spark, store_dir)
+    if committed_runs is None:
+        # first leveled compaction of a store with history: any
+        # existing negative partition is a committed flat base
+        committed_runs = [i for i in on_disk if i < 0]
+    # --- GC: uncommitted run orphans + folded-but-undeleted batches ---
+    for i in on_disk:
+        if i < 0 and i not in committed_runs:
+            _delete_partition(spark, store_dir, i)
+        elif i >= 0 and w is not None and i <= w:
+            _delete_partition(spark, store_dir, i)
+    bytes_rewritten = 0
+    steps = 0
+
+    def _commit(new_w, new_runs):
+        _write_store_meta(
+            spark,
+            store_dir,
+            int(meta["n_buckets"]),
+            int(meta.get("bloom_m", 0)),
+            int(meta.get("bloom_k", 0)),
+            folded_watermark=new_w,
+            runs=sorted(new_runs),
+        )
+
+    # --- fold: old batches -> one new run ---
+    live_batches = [
+        i for i in _list_partition_ids(spark, store_dir)
+        if i >= 0 and (w is None or i > w)
+    ]
+    fold = live_batches[:-keep_last] if keep_last > 0 else live_batches
+    if fold:
+        fold_bytes = sum(
+            _parquet_file_stats(spark, _batch_partition_dir(store_dir, i))[1]
+            for i in fold
+        )
+        run_id = min([0] + committed_runs) - 1
+        src = spark.read.parquet(path).filter(F.col("__batch_id").isin(fold))
+        bytes_rewritten += _write_run_partition(
+            spark, store_dir, src, run_id, target_file_mb, fold_bytes
+        )
+        w = max(fold)
+        committed_runs = committed_runs + [run_id]
+        _commit(w, committed_runs)
+        steps += 1
+        for i in fold:
+            _delete_partition(spark, store_dir, i)
+    # --- merge: size-tiered run folding ---
+    while len(committed_runs) > 1:
+        sizes = {
+            r: _parquet_file_stats(spark, _batch_partition_dir(store_dir, r))[1]
+            for r in committed_runs
+        }
+        ordered = sorted(committed_runs, key=lambda r: -sizes[r])
+        rest_bytes = sum(sizes[r] for r in ordered[1:])
+        if sizes[ordered[0]] <= level_ratio * rest_bytes:
+            merge = list(ordered)  # the base is worth rewriting
+        elif len(committed_runs) > max_runs:
+            merge = ordered[1:]  # compact the small tail, spare the base
+        else:
+            break
+        run_id = min([0] + committed_runs) - 1
+        src = spark.read.parquet(path).filter(F.col("__batch_id").isin(merge))
+        bytes_rewritten += _write_run_partition(
+            spark, store_dir, src, run_id,
+            target_file_mb, sum(sizes[r] for r in merge),
+        )
+        committed_runs = [r for r in committed_runs if r not in merge] + [run_id]
+        _commit(w, committed_runs)
+        steps += 1
+        for r in merge:
+            _delete_partition(spark, store_dir, r)
+    files_after, _ = _parquet_file_stats(spark, path)
+    if stats is not None:
+        stats["bytes_rewritten"] = bytes_rewritten
+        stats["runs"] = sorted(committed_runs)
+        stats["folded_watermark"] = w
+        stats["steps"] = steps
+    return files_before, files_after
 
 
 def compact_fingerprint_store(

@@ -263,3 +263,146 @@ def test_resize_plan(spark, media):
             assert r.target_width >= r.target_height
         else:
             assert r.target_height >= r.target_width
+
+
+# --- round-16: the REAL PNG pixel path (decode_png_pixels / pixel_decode) ---
+
+
+def full_png(width: int, height: int, pixel_fn, filter_type: int = 0) -> bytes:
+    """A complete, valid PNG (8-bit RGB, non-interlaced) encoded with
+    the stdlib — the fixture generator for the pixel-decode tests.
+    ``filter_type`` applies that PNG filter to every scanline so the
+    unfilter paths are exercised against the filter-0 ground truth."""
+    import zlib
+
+    rows = [
+        bytes(b for x in range(width) for b in pixel_fn(x, y))
+        for y in range(height)
+    ]
+    stride, bpp = width * 3, 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for line in rows:
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        elif filter_type == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:  # Average
+            raw += bytes(
+                (line[i] - (((line[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:  # Paeth
+            out = bytearray()
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[i] - pr) & 0xFF)
+            raw += out
+        prev = line
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _grad_h(x, y):
+    return ((x * 16) % 256, (x * 16) % 256, (x * 16) % 256)
+
+
+def _grad_v(x, y):
+    return ((y * 16) % 256, (y * 16) % 256, (y * 16) % 256)
+
+
+def test_png_pixel_decode_unfilters_all_filter_types():
+    from parsedmarc_go_spark.operators.multimodal import decode_png_pixels
+
+    want = decode_png_pixels(full_png(16, 16, _grad_h, filter_type=0))
+    assert want["width"] == 16 and want["height"] == 16
+    assert len(want["feature"]) == 64
+    norm = sum(v * v for v in want["feature"]) ** 0.5
+    assert abs(norm - 1.0) < 1e-6
+    for ft in (1, 2, 3, 4):
+        got = decode_png_pixels(full_png(16, 16, _grad_h, filter_type=ft))
+        assert got == want, f"filter {ft} decode differs from filter 0"
+
+
+def test_png_pixel_decode_feature_is_perceptual():
+    from parsedmarc_go_spark.operators.multimodal import decode_png_pixels
+
+    base = decode_png_pixels(full_png(16, 16, _grad_h))["feature"]
+
+    def near(x, y):  # two pixels slightly brightened
+        r, g, b = _grad_h(x, y)
+        if (x, y) in ((3, 3), (9, 12)):
+            return (min(255, r + 8), min(255, g + 8), min(255, b + 8))
+        return (r, g, b)
+
+    near_f = decode_png_pixels(full_png(16, 16, near))["feature"]
+    diff_f = decode_png_pixels(full_png(16, 16, _grad_v))["feature"]
+    cos = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    assert cos(base, near_f) > 0.99
+    assert cos(base, diff_f) < 0.5
+
+
+def test_png_pixels_feed_cosine_neardup_pairs(spark):
+    """The composed example VERDICT r15 task 8 asks for: binary PNGs →
+    decode_media(pixel_decode) → perceptual feature column →
+    cosine_neardup_pairs finds the planted near-identical image and
+    nothing else."""
+    from parsedmarc_go_spark.operators.multimodal import (
+        decode_media,
+        pixel_decode,
+    )
+    from parsedmarc_go_spark.operators.similarity import cosine_neardup_pairs
+
+    def near(x, y):
+        r, g, b = _grad_h(x, y)
+        if (x, y) in ((5, 5),):
+            return (min(255, r + 10), g, b)
+        return (r, g, b)
+
+    rows = [
+        (0, "image", "image/png", bytearray(full_png(16, 16, _grad_h)), None),
+        (1, "image", "image/png", bytearray(full_png(16, 16, near)), None),
+        (2, "image", "image/png", bytearray(full_png(16, 16, _grad_v)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    decoded = decode_media(media, decode_fn=pixel_decode)
+    got = {r["media_id"]: r for r in decoded.collect()}
+    assert all(r["error"] is None for r in got.values())
+    assert all(r["width"] == 16 and len(r["feature"]) == 64 for r in got.values())
+
+    vecs = decoded.select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(vecs, threshold=0.95).collect()
+    }
+    assert pairs == {(0, 1)}

@@ -172,6 +172,89 @@ def test_fingerprint_store_compaction(spark, tmp_path):
     } == store_phs_before
 
 
+def test_fingerprint_store_compaction_leveled(spark, tmp_path):
+    """Round-16 (VERDICT r15 task 5): the generational fold. The flat
+    compactor rewrites the whole store each fold; the leveled one folds
+    old batches into a NEW run and rewrites the base only when the
+    size ratio triggers — here the ratio is set low so the base run
+    must NOT be rewritten on the second compaction (its files' mtimes
+    prove it), while membership, replay idempotence, and crash
+    leftovers (an uncommitted orphan run) are all handled."""
+    import glob
+    import os as _os
+
+    from parsedmarc_go_spark.streaming.daemon import read_stream_table
+    from parsedmarc_go_spark.streaming.dedup import (
+        compact_fingerprint_store_leveled,
+        make_dedup_processor,
+        read_fingerprints,
+    )
+
+    docs = _corpus(spark)
+    out = str(tmp_path / "deduped")
+    store = str(tmp_path / "store")
+    proc = make_dedup_processor(out, store)
+    for b in range(5):
+        proc(docs.filter((F.col("doc_id") % 8) == b), b)
+
+    before = {r["ph"] for r in read_fingerprints(spark, store).collect()}
+    st1: dict = {}
+    fb, fa = compact_fingerprint_store_leveled(
+        spark, store, keep_last=1, level_ratio=0.5, stats=st1
+    )
+    assert fa < fb
+    assert {r["ph"] for r in read_fingerprints(spark, store).collect()} == before
+    # batches 0-3 folded into one run; batch 4 intact
+    ids = set(_rows(read_fingerprints(spark, store).select("__batch_id").distinct()))
+    assert ids == {(-1,), (4,)}
+    assert st1["runs"] == [-1] and st1["folded_watermark"] == 3
+
+    base_glob = _os.path.join(store, "fingerprints", "__batch_id=-1", "**", "*.parquet")
+    base_mtimes = {f: _os.path.getmtime(f) for f in glob.glob(base_glob, recursive=True)}
+    assert base_mtimes
+
+    # three more batches + an uncommitted ORPHAN run (crash leftover)
+    for b in range(5, 8):
+        proc(docs.filter((F.col("doc_id") % 8) == b), b)
+    # a realistic crash artifact: a fully-written (valid parquet) run
+    # directory whose meta commit never happened — copy the committed
+    # base run under an uncommitted id. read_fingerprints must IGNORE
+    # it (meta.runs is authoritative), so membership is unchanged even
+    # before the GC deletes it.
+    import shutil
+
+    orphan = _os.path.join(store, "fingerprints", "__batch_id=-99")
+    shutil.copytree(_os.path.join(store, "fingerprints", "__batch_id=-1"), orphan)
+
+    before2 = {r["ph"] for r in read_fingerprints(spark, store).collect()}
+    st2: dict = {}
+    compact_fingerprint_store_leveled(
+        spark, store, keep_last=1, level_ratio=0.5, stats=st2
+    )
+    assert not _os.path.exists(orphan), "orphan run must be GC'd"
+    assert {r["ph"] for r in read_fingerprints(spark, store).collect()} == before2
+    # a second run was created; the base run's bytes were NOT rewritten
+    assert st2["runs"] == [-2, -1] and st2["folded_watermark"] == 6
+    assert {f: _os.path.getmtime(f) for f in glob.glob(base_glob, recursive=True)} == base_mtimes
+    ids = set(_rows(read_fingerprints(spark, store).select("__batch_id").distinct()))
+    assert ids == {(-1,), (-2,), (7,)}
+
+    # replay of the newest batch is still a no-op across the levels
+    out_before = _rows(read_stream_table(spark, out, "docs_deduped"))
+    store_before = {r["ph"] for r in read_fingerprints(spark, store).collect()}
+    proc(docs.filter((F.col("doc_id") % 8) == 7), 7)
+    assert _rows(read_stream_table(spark, out, "docs_deduped")) == out_before
+    assert {r["ph"] for r in read_fingerprints(spark, store).collect()} == store_before
+
+    # and a high ratio triggers the base merge: everything folds to one
+    st3: dict = {}
+    compact_fingerprint_store_leveled(
+        spark, store, keep_last=0, level_ratio=3.0, stats=st3
+    )
+    assert len(st3["runs"]) == 1
+    assert {r["ph"] for r in read_fingerprints(spark, store).collect()} == store_before
+
+
 def test_store_globally_distinct_invariant(spark, tmp_path):
     """The store never holds a digest twice: each batch appends only
     digests anti-joined against everything seen. Round 10 DROPPED the
