@@ -385,7 +385,6 @@ def containment_pairs_prefix(
     ranked = scoped_persist(
         index.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
         .withColumn("__rn", F.row_number().over(rank_w))
-        .drop("__df")
     )
     # EAGER materialization: the per-pair aggregate below rides the rank
     # window's doc-keyed partitioning (grouping keys ⊇ the streamed
@@ -398,6 +397,43 @@ def containment_pairs_prefix(
     # all four consumers plan against the known partitioning; the count
     # is the one cache-building pass the first consumer pays anyway.
     ranked.count()
+    # SIZE the doc partitioning to the CANDIDATE volume, not the corpus
+    # (round-16 spill fix): the per-pair aggregate's hash tables hold
+    # ~one entry per candidate row in their task, so a session's
+    # shuffle_partitions (right for the corpus-sized windows) can be
+    # catastrophically few for the join's fan-out — measured at 2x-sf1:
+    # 70M candidate rows over 32 partitions = 2.2M groups/task, past
+    # per-task execution memory, sort-spill fallback, 17.7 s for an
+    # aggregate that runs in ~3 s when sized. The fan-out is exactly
+    # Σ df over extended-prefix entries, one cheap aggregate over the
+    # cached index (this is why __df stays a cached column), and the
+    # repartition reshuffles only the cached vocab-sized index — never
+    # the candidate stream — while keeping HashPartitioning(doc), so
+    # the aggregate stays exchange-free at the right width. This is
+    # also the 100 TB posture: partition count follows estimated work,
+    # not a session constant.
+    prefix_len_for_est = (
+        F.floor(
+            (F.lit(1.0) - F.lit(threshold)) * F.col("n_shingles")
+            + F.lit(1e-9)
+        )
+        + 1
+        + int(prefix_ext)
+    )
+    est_pairs = (
+        ranked.filter(F.col("__rn") <= prefix_len_for_est)
+        .agg(F.sum("__df"))
+        .first()[0]
+        or 0
+    )
+    rows_per_task = 500_000
+    n_parts = ranked.rdd.getNumPartitions()
+    want = min(4096, -(-int(est_pairs) // rows_per_task))
+    if want > n_parts:
+        resized = scoped_persist(ranked.repartition(want, F.col("doc")))
+        resized.count()
+        ranked.unpersist()
+        ranked = resized
     # +1e-9 before the floor: (1-t)·|S| lands BELOW its true value in
     # binary for integral cases (0.2·10 → 1.9999…96 → floor 1, one
     # short — a boundary pair whose misses all fall in the prefix

@@ -1099,6 +1099,15 @@ def compact_fingerprint_store_leveled(
         return compact_fingerprint_store(
             spark, store_dir, keep_last=keep_last, target_file_mb=target_file_mb
         )
+    if not _store_exists(spark, store_dir):
+        # meta pinned at creation but every batch so far appended zero
+        # digests (_write_store skips empty frames) — nothing to fold
+        if stats is not None:
+            stats.update(
+                {"bytes_rewritten": 0, "runs": [], "folded_watermark": None,
+                 "steps": 0}
+            )
+        return 0, 0
     path = os.path.join(store_dir, STORE_TABLE)
     files_before, _ = _parquet_file_stats(spark, path)
     w = (

@@ -965,3 +965,20 @@ def test_stream_semdedup_chain_divergence_bound(spark, tmp_path):
     assert len(batch_kept) == 1
     # the measured divergence: ceil(L/2) - 1 extra retained members
     assert len(got) - len(batch_kept) == _math.ceil(L / 2) - 1
+
+
+def test_leveled_compaction_noop_on_metadata_only_store(spark, tmp_path):
+    """A store whose creation pinned meta but whose batches appended
+    zero digests (empty-frame appends are skipped) has no fingerprints
+    table — the leveled compactor must no-op, not crash on the missing
+    path."""
+    from parsedmarc_go_spark.streaming.dedup import (
+        _write_store_meta,
+        compact_fingerprint_store_leveled,
+    )
+
+    store = str(tmp_path / "store")
+    _write_store_meta(spark, store, 4)
+    st: dict = {}
+    assert compact_fingerprint_store_leveled(spark, store, stats=st) == (0, 0)
+    assert st["steps"] == 0 and st["bytes_rewritten"] == 0
