@@ -219,19 +219,46 @@ def cosine_neardup_pairs(
         # decision vs the declared oracle on exact 4-decimal halves
         return np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
 
+    # Pre-round candidate bound (round-17 perf fix): rounding shifts a
+    # value by at most 5e-5, so round4(x) >= t implies x >= t - 5e-5;
+    # filtering the RAW matrix at t - 1e-4 (double margin for float
+    # noise) keeps a strict superset of the output, and the exact round
+    # + compare then runs over only the surviving pairs — typically
+    # ~1e-3 of the matrix — instead of 6 full-matrix array passes per
+    # task. At bench sf2 the full-matrix _round4 was the gate's whole
+    # regression: 24 concurrent workers each streaming ~50 MB of
+    # temporaries per task turned a 5 ms matmul into a memory-bandwidth
+    # stall (SCALE.md §round-17).
+    pre_bound = threshold - 1e-4
+
+    def _survivors_self(ids, U):
+        # upper-triangle candidates of U @ U.T without materializing
+        # the full index arrays: boolean mask (1 byte/cell) → nonzero
+        C = U @ U.T
+        mask = np.triu(C >= pre_bound, k=1)
+        ia, ib = np.nonzero(mask)
+        sim = _round4(C[ia, ib])
+        keep = sim >= threshold
+        return ids[ia[keep]], ids[ib[keep]], sim[keep]
+
+    def _survivors_cross(ids_a, Ua, ids_b, Ub):
+        C = Ua @ Ub.T
+        ia, ib = np.nonzero(C >= pre_bound)
+        sim = _round4(C[ia, ib])
+        keep = sim >= threshold
+        return ids_a[ia[keep]], ids_b[ib[keep]], sim[keep]
+
     if chunk_rows is None:
         def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(id_col, ignore_index=True)
             ids, U = _unit_rows(pdf)
-            C = _round4(U @ U.T)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = C[ia, ib] >= threshold
+            a, b, sim = _survivors_self(ids, U)
             return pd.DataFrame(
                 {
                     "block": pdf[block_col].iloc[0],
-                    "vec_a": ids[ia[keep]],
-                    "vec_b": ids[ib[keep]],
-                    "cosine_sim": C[ia, ib][keep],
+                    "vec_a": a,
+                    "vec_b": b,
+                    "cosine_sim": sim,
                 }
             )
 
@@ -263,18 +290,13 @@ def cosine_neardup_pairs(
         pdf = pdf.sort_values("__id", ignore_index=True)
         if lo == hi:
             ids, U = _unit_rows(pdf.rename(columns={"__id": id_col, "__v": vec_col}))
-            C = _round4(U @ U.T)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = C[ia, ib] >= threshold
-            a, b, sim = ids[ia[keep]], ids[ib[keep]], C[ia, ib][keep]
+            a, b, sim = _survivors_self(ids, U)
         else:
             left = pdf[pdf["__ci"] == lo]
             right = pdf[pdf["__ci"] == hi]
             ids_a, Ua = _unit_rows(left.rename(columns={"__id": id_col, "__v": vec_col}))
             ids_b, Ub = _unit_rows(right.rename(columns={"__id": id_col, "__v": vec_col}))
-            C = _round4(Ua @ Ub.T)
-            ia, ib = np.nonzero(C >= threshold)
-            a, b, sim = ids_a[ia], ids_b[ib], C[ia, ib]
+            a, b, sim = _survivors_cross(ids_a, Ua, ids_b, Ub)
         return pd.DataFrame({"block": blk, "vec_a": a, "vec_b": b, "cosine_sim": sim})
 
     return tasks.groupBy("__blk", "__lo", "__hi").applyInPandas(chunk_pairs, out_schema)
@@ -826,6 +848,12 @@ def cosine_cross_pairs(
         # round half away from zero (the F.round / DuckDB rule)
         return np.sign(raw) * np.floor(np.abs(raw) * 1e4 + 0.5) / 1e4
 
+    # pre-round candidate bound — same soundness argument as
+    # cosine_neardup_pairs: round4 moves a value ≤ 5e-5, so filtering
+    # the raw matrix at threshold - 1e-4 keeps a superset and the exact
+    # round runs over survivors only (round-17 perf fix)
+    pre_bound = threshold - 1e-4
+
     def _cross(blk, lf: pd.DataFrame, rt: pd.DataFrame) -> pd.DataFrame:
         if lf.empty or rt.empty:
             return pd.DataFrame(
@@ -833,14 +861,16 @@ def cosine_cross_pairs(
             )
         ids_a, Ua = _unit(lf.sort_values("__id", ignore_index=True))
         ids_b, Ub = _unit(rt.sort_values("__id", ignore_index=True))
-        C = _round4(Ua @ Ub.T)
-        ia, ib = np.nonzero(C >= threshold)
+        C = Ua @ Ub.T
+        ia, ib = np.nonzero(C >= pre_bound)
+        sim = _round4(C[ia, ib])
+        keep = sim >= threshold
         return pd.DataFrame(
             {
                 "block": blk,
-                "vec_a": ids_a[ia],
-                "vec_b": ids_b[ib],
-                "cosine_sim": C[ia, ib],
+                "vec_a": ids_a[ia[keep]],
+                "vec_b": ids_b[ib[keep]],
+                "cosine_sim": sim[keep],
             }
         )
 

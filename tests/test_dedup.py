@@ -667,3 +667,53 @@ def test_gate_default_engine_is_chain_safe(spark):
     }
     assert sample == {0: 0, 1: 0, 4999: 0, 9999: 0}
     assert got.count() == n
+
+
+def test_cosine_prefilter_round_parity_near_threshold(spark):
+    """The round-17 pre-round candidate bound (similarity.py: filter the
+    RAW cosine matrix at threshold - 1e-4, round only survivors) must
+    emit exactly the pairs of round-then-compare. Adversarial corpus:
+    2-d unit vectors whose pairwise cosines land ON and AROUND the
+    4-decimal threshold boundary — cos values like 0.39995 (rounds UP to
+    exactly 0.4000, must be kept), 0.399949 (rounds to 0.3999, must be
+    dropped even though it survives the pre-filter), and exact-boundary
+    0.4000."""
+    import math
+
+    import numpy as np
+
+    thr = 0.4
+    # angles giving cosines straddling the round boundary vs base vector
+    targets = [0.39990, 0.399949, 0.39995, 0.39999, 0.40000, 0.40004,
+               0.40005, 0.41, 0.39, -0.2, 0.9999]
+    rows = [(0, [1.0, 0.0], 1)]
+    for i, c in enumerate(targets, start=1):
+        a = math.acos(max(-1.0, min(1.0, c)))
+        rows.append((i, [math.cos(a), math.sin(a)], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    from parsedmarc_go_spark.operators.similarity import cosine_neardup_pairs
+
+    def round4(x):
+        return float(np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4)
+
+    # reference: exact all-pairs round-then-compare in plain numpy
+    X = np.array([r[1] for r in rows])
+    X = X / np.linalg.norm(X, axis=1)[:, None]
+    C = X @ X.T
+    expect = {
+        (a, b, round4(C[a, b]))
+        for a in range(len(rows))
+        for b in range(a + 1, len(rows))
+        if round4(C[a, b]) >= thr
+    }
+
+    for chunk in (None, 4):
+        got = {
+            (r.vec_a, r.vec_b, r.cosine_sim)
+            for r in cosine_neardup_pairs(df, threshold=thr, chunk_rows=chunk).collect()
+        }
+        assert got == expect, (chunk, got ^ expect)
+    # the boundary cases actually exercised both sides
+    kept_sims = {s for _, _, s in expect}
+    assert 0.4 in kept_sims and len(expect) < len(rows) * (len(rows) - 1) / 2
