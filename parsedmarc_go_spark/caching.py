@@ -47,12 +47,24 @@ from pyspark.sql import DataFrame
 
 _TL = threading.local()
 
+# Gate-scoped frames, keyed by thread ident in a shared dict rather
+# than threading.local storage (ADVICE r16): a frame scoped_persist()ed
+# on a short-lived thread that never re-enters a gate and never used
+# scope() would otherwise hold its CacheManager entry for the session
+# lifetime, because no other thread could see (let alone release) it.
+# Each thread still releases only its OWN frames at gate entry — the
+# r16 isolation contract — but release_intermediates() additionally
+# sweeps entries whose thread has died. Ident reuse after thread death
+# is harmless: the inheriting thread just releases the orphans at its
+# first boundary, which is the sweep's purpose anyway.
+_REG_LOCK = threading.Lock()
+_REGISTRY: dict[int, list[DataFrame]] = {}
+
 
 def _live_list() -> list[DataFrame]:
-    lst = getattr(_TL, "live", None)
-    if lst is None:
-        lst = _TL.live = []
-    return lst
+    ident = threading.get_ident()
+    with _REG_LOCK:
+        return _REGISTRY.setdefault(ident, [])
 
 
 def _scope_stack() -> list[list[DataFrame]]:
@@ -102,7 +114,32 @@ def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+_CKPT_PENDING = False
+
+
+def note_checkpoint() -> None:
+    """Mark that a localCheckpoint was taken since the last release.
+
+    Module-global on purpose: a race just delays (never skips forever)
+    the reclaim collect — any later boundary on any thread picks the
+    flag up, and a spurious extra collect is harmless."""
+    global _CKPT_PENDING
+    _CKPT_PENDING = True
+
+
+def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` + flag the boundary collect.
+
+    Operators route checkpoints through here so gate boundaries know
+    whether a full ``gc.collect()`` is worth paying (see
+    :func:`_unpersist_all`)."""
+    out = df.localCheckpoint(eager)
+    note_checkpoint()
+    return out
+
+
 def _unpersist_all(frames: list[DataFrame]) -> int:
+    global _CKPT_PENDING
     n = 0
     while frames:
         df = frames.pop()
@@ -116,19 +153,33 @@ def _unpersist_all(frames: list[DataFrame]) -> int:
     # rounds, pipeline stage boundaries) pin their materialized blocks
     # until Spark's ContextCleaner sees the RDD unreferenced — which
     # needs the PYTHON reference dropped first, and py4j only drops it
-    # on collection. A generation-0-heavy collect here is ~ms and lets
-    # whatever JVM GC happens next actually reclaim the blocks, instead
-    # of stale checkpoint storage surviving a whole session because the
-    # cleaner's periodic System.gc() (30 min default) never fired.
-    import gc
+    # on collection. A FULL (gen-2) gc.collect() does that but costs
+    # ~0.9 s on a multi-million-object heap (measured round 16), so it
+    # runs ONLY when this boundary actually released frames or a
+    # tracked_local_checkpoint() was taken since the last release —
+    # a gate that persisted/checkpointed nothing pays nothing
+    # (VERDICT r16 task 5).
+    if n or _CKPT_PENDING:
+        import gc
 
-    gc.collect()
+        gc.collect()
+        _CKPT_PENDING = False
     return n
 
 
 def release_intermediates() -> int:
-    """Unpersist this thread's gate-scoped intermediates; returns how many."""
-    return _unpersist_all(_live_list())
+    """Unpersist this thread's gate-scoped intermediates — plus any
+    left behind by threads that have since died (a short-lived worker
+    thread that persisted but never re-entered a gate) — and return
+    how many frames were released."""
+    n = _unpersist_all(_live_list())
+    alive = {t.ident for t in threading.enumerate()}
+    with _REG_LOCK:
+        dead = [k for k in list(_REGISTRY) if k not in alive]
+        orphans = [_REGISTRY.pop(k) for k in dead]
+    for frames in orphans:
+        n += _unpersist_all(frames)
+    return n
 
 
 @contextmanager

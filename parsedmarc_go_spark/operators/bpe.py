@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from parsedmarc_go_spark.caching import tracked_local_checkpoint
 
 END_OF_WORD = "</w>"
 
@@ -180,7 +181,7 @@ def bpe_train(
     frame = (
         word_freqs(docs, text_col)
         .withColumn("syms", _initial_symbols())
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
     merges: list[tuple[str, str, int]] = []
     rounds = 0
@@ -242,7 +243,7 @@ def bpe_train(
         # checkpoint (k nested folds over the vocab-sized frame)
         for a, b, _ in accepted:
             frame = frame.withColumn("syms", _merge_pair(a, b))
-        frame = frame.localCheckpoint()
+        frame = frame.transform(tracked_local_checkpoint)
     if train_stats is not None:
         train_stats["rounds"] = rounds
         train_stats["merges"] = len(merges)

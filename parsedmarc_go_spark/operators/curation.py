@@ -20,6 +20,7 @@ import time
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from parsedmarc_go_spark.caching import tracked_local_checkpoint
 
 # Redaction patterns restricted to the syntax Java regex and RE2
 # (DuckDB) interpret identically: character classes, bounded repeats,
@@ -703,7 +704,7 @@ def pack_offsets(
         .repartitionByRange(n_ranges, F.col("__k"), F.col("doc_id"))
         .withColumn("__pid", F.spark_partition_id())
     )
-    r = r.localCheckpoint(eager=True)  # pin the range placement: the
+    r = r.transform(tracked_local_checkpoint)  # pin the range placement: the
     # subtotal job and the final job must see identical partitioning
     totals = {
         row["__pid"]: row["__t"]
@@ -1006,7 +1007,7 @@ def curation_pipeline(
                 df.write.mode("overwrite").parquet(path)
             out = spark.read.parquet(path)
         else:
-            out = df.localCheckpoint(eager=True) if checkpoint_stages else df
+            out = df.transform(tracked_local_checkpoint) if checkpoint_stages else df
         if stage_walls is not None:
             stage_walls[stage] = round(time.perf_counter() - t0, 3)
         return out

@@ -20,7 +20,7 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from parsedmarc_go_spark.caching import scoped_persist
+from parsedmarc_go_spark.caching import scoped_persist, tracked_local_checkpoint
 from parsedmarc_go_spark.functions.text import normalized_text
 
 
@@ -851,7 +851,7 @@ def neardup_clusters_minlabel(
     algorithm trap). On a real cluster prefer
     spark.sparkContext.setCheckpointDir + .checkpoint() for executor-
     failure tolerance; local mode has no such failure domain."""
-    edges = pairs.select("doc_a", "doc_b").localCheckpoint()
+    edges = pairs.select("doc_a", "doc_b").transform(tracked_local_checkpoint)
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -859,7 +859,7 @@ def neardup_clusters_minlabel(
         sym.select(F.col("doc_a").alias("doc"))
         .distinct()
         .withColumn("cluster_id", F.col("doc"))
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for rounds in range(1, max_iterations + 1):
@@ -872,7 +872,7 @@ def neardup_clusters_minlabel(
             labels.unionByName(prop)
             .groupBy("doc")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .transform(tracked_local_checkpoint)
         )
         cur_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new_labels
@@ -922,7 +922,7 @@ def neardup_clusters_bigstar(
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .select(F.col("b").alias("a"), F.col("a").alias("b"))  # a > b: point down
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
     prev = None
     for rounds in range(1, max_iterations + 1):
@@ -949,7 +949,7 @@ def neardup_clusters_bigstar(
             .unionByName(smins.select("a", F.col("mn").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .transform(tracked_local_checkpoint)
         )
         edges = small
         cur = edges.agg(

@@ -55,6 +55,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parsedmarc_go_spark.caching import tracked_local_checkpoint
 from parsedmarc_go_spark.operators.bpe import word_freqs
 
 _SCALE = 10_000.0
@@ -179,13 +180,13 @@ def unigram_train(
     0-count floor of 1 so logp stays finite and every word remains
     segmentable). The driver holds only the loop counter; each round's
     piece table is localCheckpoint'd so lineage stays flat."""
-    words = word_freqs(docs, text_col).localCheckpoint()
+    words = word_freqs(docs, text_col).transform(tracked_local_checkpoint)
     pieces = unigram_seed(docs, seed_size, max_piece_len, text_col)
     total = pieces.agg(F.sum("cnt").alias("t"))
     pieces = (
         pieces.crossJoin(F.broadcast(total))
         .select("piece", "cnt", _logp_fp(F.col("cnt"), F.col("t")).alias("logp_fp"))
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
     for _ in range(n_iters):
         segs = _viterbi_segs(
@@ -210,7 +211,7 @@ def unigram_train(
             .select(
                 "piece", "cnt", _logp_fp(F.col("cnt"), F.col("t")).alias("logp_fp")
             )
-            .localCheckpoint()
+            .transform(tracked_local_checkpoint)
         )
     return pieces
 

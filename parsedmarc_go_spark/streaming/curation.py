@@ -32,6 +32,7 @@ from parsedmarc_go_spark.operators.curation import (
     repetition_stats,
 )
 from parsedmarc_go_spark.caching import scope as caching_scope
+from parsedmarc_go_spark.caching import tracked_local_checkpoint
 from parsedmarc_go_spark.operators.classify import nb_score, train_nb_classifier
 from parsedmarc_go_spark.operators.lm import lm_score, train_bigram_lm
 from parsedmarc_go_spark.streaming.daemon import _write_table
@@ -589,7 +590,7 @@ def make_curation_pipeline_processor(
         small = keys.limit(max_bcast + 1).count() <= max_bcast
         return probe_store(
             seen_full, keys, buckets, broadcast_probe=small
-        ).localCheckpoint()
+        ).transform(tracked_local_checkpoint)
 
     def _process_batch_impl(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -605,7 +606,7 @@ def make_curation_pipeline_processor(
             # alone OOMed the driver heap. A checkpoint resets each
             # boundary to a LogicalRDD; micro-batch frames are bounded
             # so the extra materialization is noise.
-            return df.localCheckpoint(eager=True)
+            return df.transform(tracked_local_checkpoint)
 
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -91,6 +91,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from parsedmarc_go_spark.caching import scope as caching_scope
+from parsedmarc_go_spark.caching import tracked_local_checkpoint
 from parsedmarc_go_spark.functions.text import normalized_text
 from parsedmarc_go_spark.operators.dedup import (
     minhash_band_signatures,
@@ -588,7 +589,7 @@ def _process_semdedup_batch(
         )
         # localCheckpoint cuts the lineage through the store scan, so
         # the survivor append below never reads the path it overwrites
-        remaining = assigned.join(dropped, id_col, "left_anti").localCheckpoint()
+        remaining = assigned.join(dropped, id_col, "left_anti").transform(tracked_local_checkpoint)
     else:
         remaining = assigned
     pairs = cosine_neardup_pairs(
@@ -838,7 +839,7 @@ def make_dedup_processor(
                 candidates,
                 store_buckets,
                 broadcast_probe=n_keys <= broadcast_probe_max_keys,
-            ).localCheckpoint()
+            ).transform(tracked_local_checkpoint)
             # --- mode-specific dedup against the batch-bounded slice ---
             if mode == "paragraph":
                 out = paragraph_dedup(

@@ -141,3 +141,53 @@ def test_release_survives_frames_from_multiple_operators(spark):
     QUERIES["a1_daily_volume"](spark, SF).collect()
     assert not caching._LIVE
     assert all(not _is_cached(df) for df in second)
+
+
+def test_dead_thread_frames_swept_at_next_release(spark):
+    """ADVICE r16: a frame scoped_persist()ed on a short-lived thread
+    that never re-enters a gate must not leak for the session — the
+    next release_intermediates() on ANY thread sweeps dead threads'
+    registries."""
+    import threading
+
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+
+    def worker():
+        scoped_persist(df)
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    # the worker is dead and its frame is still registered under its ident
+    assert any(v for k, v in caching._REGISTRY.items()), "frame registered"
+    released = release_intermediates()
+    assert released >= 1
+    assert df.storageLevel == StorageLevel.NONE
+    alive = {th.ident for th in threading.enumerate()}
+    assert all(k in alive for k in caching._REGISTRY)
+
+
+def test_boundary_gc_skipped_when_nothing_released(spark):
+    """VERDICT r16 task 5: the gate-boundary full gc.collect() (~0.9 s
+    on a large heap) runs only when frames were actually unpersisted or
+    a tracked_local_checkpoint() was taken — an empty boundary is free."""
+    import gc
+    from unittest import mock
+
+    release_intermediates()  # drain
+    caching._CKPT_PENDING = False
+    with mock.patch.object(gc, "collect") as collected:
+        assert release_intermediates() == 0
+        collected.assert_not_called()
+        # a released frame triggers the collect
+        scoped_persist(spark.range(5))
+        assert release_intermediates() == 1
+        assert collected.call_count == 1
+        # a checkpoint alone (no persists) also triggers it, once
+        caching.tracked_local_checkpoint(spark.range(5))
+        assert caching._CKPT_PENDING
+        assert release_intermediates() == 0
+        assert collected.call_count == 2
+        assert not caching._CKPT_PENDING
+        assert release_intermediates() == 0
+        assert collected.call_count == 2
