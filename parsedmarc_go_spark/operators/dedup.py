@@ -396,7 +396,7 @@ def containment_pairs_prefix(
     # shuffle in the plan). Counting here finalizes the cached plan so
     # all four consumers plan against the known partitioning; the count
     # is the one cache-building pass the first consumer pays anyway.
-    ranked.count()
+    index_rows = ranked.count()
     # SIZE the doc partitioning to the CANDIDATE volume, not the corpus
     # (round-16 spill fix): the per-pair aggregate's hash tables hold
     # ~one entry per candidate row in their task, so a session's
@@ -412,28 +412,39 @@ def containment_pairs_prefix(
     # the aggregate stays exchange-free at the right width. This is
     # also the 100 TB posture: partition count follows estimated work,
     # not a session constant.
-    prefix_len_for_est = (
-        F.floor(
-            (F.lit(1.0) - F.lit(threshold)) * F.col("n_shingles")
-            + F.lit(1e-9)
-        )
-        + 1
-        + int(prefix_ext)
-    )
-    est_pairs = (
-        ranked.filter(F.col("__rn") <= prefix_len_for_est)
-        .agg(F.sum("__df"))
-        .first()[0]
-        or 0
-    )
     rows_per_task = 500_000
-    n_parts = ranked.rdd.getNumPartitions()
-    want = min(4096, -(-int(est_pairs) // rows_per_task))
-    if want > n_parts:
-        resized = scoped_persist(ranked.repartition(want, F.col("doc")))
-        resized.count()
-        ranked.unpersist()
-        ranked = resized
+    # The sizing probe is GATED on the index size (VERDICT r16 task 4):
+    # an index under rows_per_task rows cannot amortize the probe's two
+    # extra driver jobs (the Σdf aggregate + the eager re-cached
+    # repartition count, measured +1.4 s at sf0.1 / +3.5 s at sf1 for a
+    # benefit that only appears once the candidate stream outgrows the
+    # session partitioning). A sub-rows_per_task index with a
+    # pathologically hot shingle can still fan out past the session
+    # width — that is exactly the r15 behavior this restores, the tasks
+    # sort-spill but complete, and the corpora where it matters (sf2+)
+    # all clear the gate anyway.
+    if index_rows >= rows_per_task:
+        prefix_len_for_est = (
+            F.floor(
+                (F.lit(1.0) - F.lit(threshold)) * F.col("n_shingles")
+                + F.lit(1e-9)
+            )
+            + 1
+            + int(prefix_ext)
+        )
+        est_pairs = (
+            ranked.filter(F.col("__rn") <= prefix_len_for_est)
+            .agg(F.sum("__df"))
+            .first()[0]
+            or 0
+        )
+        n_parts = ranked.rdd.getNumPartitions()
+        want = min(4096, -(-int(est_pairs) // rows_per_task))
+        if want > n_parts:
+            resized = scoped_persist(ranked.repartition(want, F.col("doc")))
+            resized.count()
+            ranked.unpersist()
+            ranked = resized
     # +1e-9 before the floor: (1-t)·|S| lands BELOW its true value in
     # binary for integral cases (0.2·10 → 1.9999…96 → floor 1, one
     # short — a boundary pair whose misses all fall in the prefix
