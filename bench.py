@@ -201,13 +201,23 @@ def main() -> None:
     # The full [min, median, max] spread is emitted too (round-6 task 2):
     # cross-round drift was indistinguishable from session variance when
     # only the median survived the session.
+    #
+    # Protocol order (VERDICT r16 task 2): the r16 artifact interleaved
+    # the warm triple after each gate's fresh triple — 9 executions per
+    # gate in one block — and its own end-of-session repeats proved the
+    # stamped fresh medians absorbed up to 4x of protocol contention
+    # (sf2 a13 1.83 stamped vs 0.45 repeated). The FULL fresh sweep now
+    # runs first, uncontaminated; the warm sweep runs as a separate
+    # second pass over all gates; the session-end repeats stay last.
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    fresh_warm: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         lo, med, hi = measure(name)
         times[name] = round(med, 3)
         spread[name] = [round(lo, 3), round(med, 3), round(hi, 3)]
+
+    fresh_warm: dict[str, dict[str, float]] = {}
+    for name in HEADLINE:
         fresh_warm[name] = {
             "fresh_s": times[name],
             "warm_s": round(measure_warm(name)[1], 3),
@@ -269,6 +279,72 @@ def main() -> None:
         for n, modes in ab_raw.items()
     }
 
+    # SKEW block (VERDICT r16 task 8): the r16 skew table was a one-off
+    # script; re-measure its gate subset per round on a small
+    # skew-shaped corpus (same three pathologies as
+    # scripts/make_skew.py at 1/10 the rows — 30% boilerplate docs, one
+    # hot embedding cell, 90% single-source) so a skew regression
+    # stamps like a volume one. The minhash gate additionally runs the
+    # capped operator variant (max_bucket=1000) — the fix the r16
+    # pathology shipped — so both the uncapped posture (bounded at this
+    # corpus size) and the capped one are tracked. Opt out with
+    # SPARK_GRAFT_SKEW=0; point SPARK_GRAFT_SKEW_DIR at a bigger corpus
+    # (e.g. /tmp/spark_graft_skew1) for the full r16-scale run.
+    skew_block: dict[str, object] = {}
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+        import subprocess
+
+        skew_dir = os.environ.get(
+            "SPARK_GRAFT_SKEW_DIR", "/tmp/spark_graft_skew0.1"
+        )
+        if not os.path.isdir(skew_dir):
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "scripts",
+                        "make_skew.py",
+                    ),
+                    "--sf",
+                    "0.1",
+                    "--out",
+                    skew_dir,
+                ],
+                check=True,
+                capture_output=True,
+            )
+        skew_gates = [
+            "dedup_exact",
+            "dedup_paragraph",
+            "dedup_minhash_lsh",
+            "dedup_embedding_cosine",
+            "semdedup_embeddings",
+            "ann_ivf_topk",
+            "sample_stratified",
+            "dedup_keep_best_containment_prefix",
+        ]
+        from parsedmarc_go_spark.operators.dedup import minhash_lsh_pairs
+        from parsedmarc_go_spark.tables import load as _load
+
+        def _minhash_capped(sp, d):
+            return minhash_lsh_pairs(
+                _load(sp, d, "documents"), threshold=0.7, max_bucket=1000
+            )
+
+        skew_runs: list[tuple[str, object]] = [(n, QUERIES[n]) for n in skew_gates]
+        skew_runs.append(("dedup_minhash_lsh_capped1000", _minhash_capped))
+        skew_walls: dict[str, float] = {}
+        for sname, fn in skew_runs:
+            fn(spark, skew_dir).collect()  # warm
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, skew_dir).collect()
+                reps.append(time.perf_counter() - t0)
+            skew_walls[sname] = round(min(reps), 3)
+        skew_block = {"dir": skew_dir, "walls": skew_walls}
+
     # session config stamp: the knobs that move wall-clock between
     # otherwise-identical runs, so cross-round diffs can rule them out
     jconf = spark.sparkContext._jsc.sc().conf()
@@ -307,7 +383,14 @@ def main() -> None:
         "fresh_warm": fresh_warm,
         "curation_pipeline_stages": pipeline_stages,
         "repeat_medians": repeat_medians,
+        # per-gate best-of(fresh median, end-of-session repeat median):
+        # the contention-insensitive comparison number — if the fresh
+        # sweep caught residual session noise, the repeat bounds it
+        "queries_best": {
+            n: min(times[n], repeat_medians[n]) for n in HEADLINE
+        },
         "spread_scan_ab": spread_ab,
+        "skew": skew_block,
         "session": session,
         # mix lineage so cross-round totals compare like-for-like:
         # r5 swapped j3_range_join → j3b_geoip_range_join (heavier,

@@ -155,6 +155,24 @@ def _meta_path(store_dir: str) -> str:
     return os.path.join(store_dir, STORE_TABLE + ".meta")
 
 
+# Meta sidecars, cached per store dir (ADVICE r16): read_fingerprints
+# runs on EVERY micro-batch probe, and the sidecar read is a
+# driver-side Spark JSON job — a small fixed cost per batch even for
+# stores that have never been compacted. The single writer
+# (_write_store_meta) refreshes the entry at its commit point, which is
+# sound under Structured Streaming's one-driver model; a store
+# compacted by a DIFFERENT process concurrently would need the cache
+# dropped (clear_meta_cache) — same external-writer assumption the
+# watermark protocol itself already makes. Missing sidecars are NOT
+# cached (the existence check is one cheap fs.exists, and a store
+# created later by another process must become visible).
+_META_CACHE: dict[str, dict] = {}
+
+
+def clear_meta_cache() -> None:
+    _META_CACHE.clear()
+
+
 def _read_meta_dict(spark: SparkSession, store_dir: str) -> dict | None:
     """The full pinned-parameter sidecar as a dict (``n_buckets``, and
     ``bloom_m``/``bloom_k`` when the store was created with a Bloom
@@ -164,6 +182,10 @@ def _read_meta_dict(spark: SparkSession, store_dir: str) -> dict | None:
     crash-safe (tmp + swap), so a corrupt one means outside
     interference, and the pinned parameters must never be re-guessed
     (ADVICE r10)."""
+    key = os.path.abspath(store_dir)
+    cached = _META_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = _meta_path(store_dir)
     fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
@@ -183,7 +205,9 @@ def _read_meta_dict(spark: SparkSession, store_dir: str) -> dict | None:
             "unrecoverable; restore the sidecar or recreate the store"
         )
     row = rows[0].asDict()
-    return {k: v for k, v in row.items() if v is not None}
+    meta = {k: v for k, v in row.items() if v is not None}
+    _META_CACHE[key] = meta
+    return meta
 
 
 def read_store_meta(spark: SparkSession, store_dir: str) -> int | None:
@@ -235,6 +259,19 @@ def _write_store_meta(
         jvm = spark._jvm
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
             raise IOError(f"rename {tmp} -> {path} failed")
+    # refresh the per-store cache AT the commit point, so every reader
+    # in this process sees the new watermark/runs immediately
+    _META_CACHE[os.path.abspath(store_dir)] = {
+        k: v
+        for k, v in {
+            "n_buckets": n_buckets,
+            "bloom_m": bloom_m,
+            "bloom_k": bloom_k,
+            "folded_watermark": folded_watermark,
+            "runs": [int(r) for r in runs] if runs is not None else None,
+        }.items()
+        if v is not None
+    }
 
 
 def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
@@ -1064,6 +1101,7 @@ def compact_fingerprint_store_leveled(
     level_ratio: float = 3.0,
     max_runs: int = 4,
     stats: dict | None = None,
+    final: bool = False,
 ) -> tuple[int, int]:
     """Generational (LSM-discipline) fold (round-16, VERDICT r15 task
     5): the flat ``compact_fingerprint_store`` rewrites the ENTIRE
@@ -1094,11 +1132,28 @@ def compact_fingerprint_store_leveled(
     "folded_watermark", "steps"}`` — the rewrite-cost accounting the
     SCALE.md curve is built from. Returns (files_before, files_after).
     Legacy stores without a meta sidecar fall back to the flat fold
-    (their layout predates the run/watermark protocol)."""
+    (their layout predates the run/watermark protocol).
+
+    ``keep_last`` must stay ≥ 1 while the stream is LIVE (ADVICE r16):
+    folding the newest batch moves its digests into a negative-id run
+    that ``read_fingerprints(exclude_batch_id=batch_id)`` cannot
+    exclude, so a Structured-Streaming replay of that batch would
+    dedup against its own digests and overwrite its output partition
+    with an empty frame. ``final=True`` is the explicit opt-in for
+    ``keep_last=0`` ONCE THE STREAM'S LAST BATCH HAS COMMITTED (end-of-
+    stream base merge), where no replay can occur."""
+    if keep_last < 1 and not final:
+        raise ValueError(
+            "keep_last must be >= 1 on a live stream: folding the newest "
+            "batch breaks replay idempotence (its digests become "
+            "unexcludable). Pass final=True only after the stream's last "
+            "batch has committed."
+        )
     meta = _read_meta_dict(spark, store_dir)
     if meta is None:
         return compact_fingerprint_store(
-            spark, store_dir, keep_last=keep_last, target_file_mb=target_file_mb
+            spark, store_dir, keep_last=keep_last,
+            target_file_mb=target_file_mb, final=final,
         )
     if not _store_exists(spark, store_dir):
         # meta pinned at creation but every batch so far appended zero
@@ -1205,6 +1260,7 @@ def compact_fingerprint_store(
     store_dir: str,
     keep_last: int = 2,
     target_file_mb: float = 128,
+    final: bool = False,
 ) -> tuple[int, int]:
     """Fold every fingerprint partition older than the newest
     ``keep_last`` batches into the single base partition
@@ -1226,7 +1282,20 @@ def compact_fingerprint_store(
     partition across many size-proportional writers while keeping each
     bucket directory's files chunky and ph-ordered (round-10 fix,
     VERDICT r9 finding 1). Returns ``(files_before, files_after)``;
-    no-op when nothing is old enough to fold."""
+    no-op when nothing is old enough to fold.
+
+    Same live-stream guard as the leveled compactor (ADVICE r16):
+    ``keep_last=0`` folds the newest batch's digests where a replay
+    cannot exclude them, so it requires ``final=True`` (end-of-stream
+    only). The docstring safety argument above explicitly assumes
+    folded batches never replay — the guard makes that assumption
+    enforced instead of assumed."""
+    if keep_last < 1 and not final:
+        raise ValueError(
+            "keep_last must be >= 1 on a live stream: folding the newest "
+            "batch breaks replay idempotence. Pass final=True only after "
+            "the stream's last batch has committed."
+        )
     path = os.path.join(store_dir, STORE_TABLE)
     df = spark.read.parquet(path)
     # bounded collect: one value per micro-batch partition, not per row

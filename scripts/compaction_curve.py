@@ -58,10 +58,28 @@ def run(mode: str, n_batches: int, rows_per_batch: int, spark) -> dict:
             path = os.path.join(store, STORE_TABLE)
             before_files, before_bytes = _parquet_file_stats(spark, path)
             if mode == "flat":
+                # detect the no-op fold (ADVICE r16: the first batch
+                # with keep_last=1 has nothing old enough to fold, and
+                # counting the untouched table as "rewritten" inflates
+                # the flat-vs-leveled ratio): if no file under the
+                # table changed, zero bytes moved
+                def _mtimes() -> dict[str, float]:
+                    return {
+                        os.path.join(dp, f): os.path.getmtime(
+                            os.path.join(dp, f)
+                        )
+                        for dp, _, fs in os.walk(path)
+                        for f in fs
+                    }
+
+                before_mtimes = _mtimes()
                 compact_fingerprint_store(spark, store, keep_last=1)
-                # the flat fold rewrites the ENTIRE post-fold table
-                _, after_bytes = _parquet_file_stats(spark, path)
-                rewritten = after_bytes
+                if _mtimes() == before_mtimes:
+                    rewritten = 0
+                else:
+                    # the flat fold rewrites the ENTIRE post-fold table
+                    _, after_bytes = _parquet_file_stats(spark, path)
+                    rewritten = after_bytes
             else:
                 st: dict = {}
                 compact_fingerprint_store_leveled(

@@ -249,7 +249,7 @@ def test_fingerprint_store_compaction_leveled(spark, tmp_path):
     # and a high ratio triggers the base merge: everything folds to one
     st3: dict = {}
     compact_fingerprint_store_leveled(
-        spark, store, keep_last=0, level_ratio=3.0, stats=st3
+        spark, store, keep_last=0, level_ratio=3.0, stats=st3, final=True
     )
     assert len(st3["runs"]) == 1
     assert {r["ph"] for r in read_fingerprints(spark, store).collect()} == store_before
