@@ -641,23 +641,25 @@ def gopher_quality_filter(
     )
     rep = repetition_stats(docs, text_col).select("doc_id", "top_bigram_frac")
     joined = stats.join(rep, "doc_id", "left")
-    fail = (
-        F.when(
-            (F.col("n_tokens") < thr["min_words"])
-            | (F.col("n_tokens") > thr["max_words"]),
-            F.lit("word_count"),
-        )
-        .when(
-            (F.col("mean_word_len") < thr["min_mean_word_len"])
-            | (F.col("mean_word_len") > thr["max_mean_word_len"]),
-            F.lit("mean_word_len"),
-        )
-        .when(F.col("alpha_word_frac") < thr["min_alpha_word_frac"], F.lit("alpha_words"))
-        .when(F.col("top_bigram_frac") > thr["max_top_bigram_frac"], F.lit("repetition"))
-        .otherwise(F.lit(None).cast("string"))
+    # one CASE expression built as a single SQL string and ONE select
+    # (round-17): the when-chain plus two withColumns cost ~20 py4j
+    # round-trips and three full plan re-analyses per build — this
+    # operator runs on every curation_pipeline call and every streaming
+    # micro-batch, and driver-side gateway latency degrades as a
+    # session's JVM ages, so construction cost is paid everywhere
+    fail_sql = (
+        f"CASE WHEN n_tokens < {thr['min_words']} OR n_tokens > {thr['max_words']}"
+        " THEN 'word_count'"
+        f" WHEN mean_word_len < {thr['min_mean_word_len']}"
+        f" OR mean_word_len > {thr['max_mean_word_len']} THEN 'mean_word_len'"
+        f" WHEN alpha_word_frac < {thr['min_alpha_word_frac']} THEN 'alpha_words'"
+        f" WHEN top_bigram_frac > {thr['max_top_bigram_frac']} THEN 'repetition'"
+        " ELSE CAST(NULL AS STRING) END"
     )
-    return joined.withColumn("fail_reason", fail).withColumn(
-        "keep", F.col("fail_reason").isNull()
+    return joined.select(
+        "*",
+        F.expr(fail_sql).alias("fail_reason"),
+        F.expr(f"({fail_sql}) IS NULL").alias("keep"),
     )
 
 
@@ -1082,12 +1084,15 @@ def curation_pipeline(
     dec = ngram_decontaminate(s2, benchmark, n=decontam_n)
     s3a = _boundary(
         s2.join(
-            dec.filter(F.col("n_overlap") >= 1)
-            .select("doc_id")
-            .withColumn("__cont", F.lit(True)),
+            dec.filter(F.col("n_overlap") >= 1).select(
+                "doc_id", F.lit(True).alias("__hit")
+            ),
             "doc_id",
             "left",
-        ).withColumn("__cont", F.coalesce(F.col("__cont"), F.lit(False))),
+        ).select(
+            *[c for c in s2.columns],
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("__cont"),
+        ),
         "s3_decontam",
     )
     contaminated = s3a.filter(F.col("__cont")).select("doc_id")
@@ -1107,10 +1112,13 @@ def curation_pipeline(
         s3.join(
             pairs.select(F.col("doc_b").alias("doc_id"))
             .distinct()
-            .withColumn("__near", F.lit(True)),
+            .select("doc_id", F.lit(True).alias("__hit")),
             "doc_id",
             "left",
-        ).withColumn("__near", F.coalesce(F.col("__near"), F.lit(False))),
+        ).select(
+            *[c for c in s3.columns],
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("__near"),
+        ),
         "s4_neardup",
     )
     near = s4a.filter(F.col("__near")).select("doc_id")

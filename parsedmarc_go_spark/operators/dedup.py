@@ -631,22 +631,31 @@ def minhash_band_signatures(
     matters.)"""
     rows = num_hashes // bands
     stream = _shingle_stream(docs, id_col, n, ensure_parallelism=ensure_parallelism)
+    # The K aggregates and the band array are built as SQL expression
+    # STRINGS, not Column trees (round-17): the per-Column py4j
+    # roundtrips dominated this operator's driver-side construction —
+    # profiled at 3,639 gateway calls / ~1.7 s per build (every
+    # F.min/F.xxhash64/F.lit/F.struct/F.hash is one or more socket
+    # round-trips), paid by EVERY minhash gate call and every
+    # curation-pipeline/streaming micro-batch. One F.expr parses in a
+    # single call to the identical Catalyst expressions.
     mins = stream.groupBy("doc").agg(
+        F.expr(f"min(xxhash64('mh0', shingle)) AS mh_0"),
         *[
-            F.min(F.xxhash64(F.lit(f"mh{k}"), F.col("shingle"))).alias(f"mh_{k}")
-            for k in range(num_hashes)
-        ]
+            F.expr(f"min(xxhash64('mh{k}', shingle)) AS mh_{k}")
+            for k in range(1, num_hashes)
+        ],
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias("sig"),
-            )
-            for b in range(bands)
-        ]
+    band_terms = ", ".join(
+        "struct({b} AS band, hash({cols}) AS sig)".format(
+            b=b,
+            cols=", ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
     )
-    return mins.select("doc", F.explode(band_structs).alias("bs")).select(
+    return mins.select(
+        "doc", F.explode(F.expr(f"array({band_terms})")).alias("bs")
+    ).select(
         "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
