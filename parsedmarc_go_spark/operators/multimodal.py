@@ -394,14 +394,118 @@ def decode_png_pixels(payload: bytes, grid: int = 8) -> dict:
     }
 
 
+def decode_wav_samples(payload: bytes, n_bins: int = 15) -> dict:
+    """FULL PCM WAV decode to samples with the stdlib only (round-17,
+    the audio parallel of ``decode_png_pixels``): fmt/data chunk walk →
+    ``array``-module sample read (8-bit unsigned / 16-bit signed PCM)
+    → channel downmix → a fixed-width perceptual AUDIO feature:
+    ``n_bins`` contiguous RMS-envelope bins plus the zero-crossing
+    rate, centered and unit-normalized so cosine between features
+    behaves like an envelope fingerprint (same clip ≈ 1.0, different
+    content near 0) and feeds ``cosine_neardup_pairs`` directly —
+    composed in tests/test_multimodal.py.
+
+    Pure stdlib per-sample work is explicitly fixture-scale, like the
+    PNG path; real audio belongs to a codec library via ``decode_fn``.
+    Non-PCM formats (IEEE float, ADPCM, MP3-in-RIFF) and truncated
+    data chunks raise ValueError — per-item isolation routes that to
+    the ``error`` column, never a fabricated feature."""
+    import array as _array
+    import struct as _struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unknown audio format (not RIFF/WAVE)")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = _struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    audio_fmt, channels, rate, byte_rate, block_align, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"wav: non-PCM format {audio_fmt} needs a codec decode_fn")
+    if channels < 1 or block_align <= 0 or byte_rate <= 0:
+        raise ValueError("wav: invalid fmt fields")
+    n_frames = len(data) // block_align
+    if n_frames == 0:
+        raise ValueError("wav: data chunk holds no complete frames")
+    usable = n_frames * block_align
+    if bits == 16:
+        samples = _array.array("h")
+        samples.frombytes(data[:usable])
+        scale = 32768.0
+        offset = 0.0
+    elif bits == 8:
+        samples = _array.array("B")
+        samples.frombytes(data[:usable])
+        scale = 128.0
+        offset = 128.0  # 8-bit WAV is unsigned, midpoint 128
+    else:
+        raise ValueError(f"wav: {bits}-bit PCM unsupported (8/16 only)")
+    # downmix to mono
+    if channels == 1:
+        mono = [(s - offset) / scale for s in samples]
+    else:
+        mono = [
+            sum(samples[i * channels + c] - offset for c in range(channels))
+            / (channels * scale)
+            for i in range(n_frames)
+        ]
+    # n_bins contiguous RMS-envelope bins + zero-crossing rate
+    bins = [0.0] * n_bins
+    counts = [0] * n_bins
+    for i, v in enumerate(mono):
+        b = min(n_bins - 1, i * n_bins // n_frames)
+        bins[b] += v * v
+        counts[b] += 1
+    rms = [(s / c) ** 0.5 if c else 0.0 for s, c in zip(bins, counts)]
+    zc = sum(
+        1 for i in range(1, n_frames) if (mono[i - 1] < 0.0) != (mono[i] < 0.0)
+    ) / max(1, n_frames - 1)
+    raw = rms + [zc]
+    mu = sum(raw) / len(raw)
+    centered = [v - mu for v in raw]
+    norm = sum(v * v for v in centered) ** 0.5
+    feature = (
+        [v / norm for v in centered]
+        if norm > 1e-9
+        else [1.0 / len(centered) ** 0.5] * len(centered)  # silence
+    )
+    return {
+        "n_frames": int(n_frames),
+        "duration_ms": int(len(data) * 1000 // byte_rate),
+        "feature": [float(v) for v in feature],
+    }
+
+
 def pixel_decode(payload: bytes, kind: str) -> dict:
-    """decode_fn with the real pixel path where the stdlib can provide
-    one: PNG images decode to pixels (perceptual feature populated);
-    other image formats fall back to the header decode; audio/video
-    keep their header decodes. The pluggable contract is unchanged —
-    a codec-library decode_fn supersedes this wholesale."""
+    """decode_fn with the real pixel/sample path where the stdlib can
+    provide one: PNG images decode to pixels and PCM WAV audio decodes
+    to samples (perceptual feature populated for both); other formats
+    fall back to the header decode; video keeps its box-tree decode.
+    The pluggable contract is unchanged — a codec-library decode_fn
+    supersedes this wholesale."""
     if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
+    if (
+        kind == "audio"
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        try:
+            return decode_wav_samples(payload)
+        except ValueError:
+            # non-PCM RIFF still gets the honest header decode
+            return default_decode(payload, kind)
     return default_decode(payload, kind)
 
 

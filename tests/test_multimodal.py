@@ -406,3 +406,120 @@ def test_png_pixels_feed_cosine_neardup_pairs(spark):
         for r in cosine_neardup_pairs(vecs, threshold=0.95).collect()
     }
     assert pairs == {(0, 1)}
+
+
+# --- round-17: the REAL PCM WAV sample path (decode_wav_samples) ---
+
+
+def _make_wav(freq=440.0, secs=0.25, rate=8000, channels=1, bits=16, amp=0.5):
+    """Synthesize a PCM WAV with the stdlib wave writer."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(channels)
+    w.setsampwidth(bits // 8)
+    w.setframerate(rate)
+    n = int(secs * rate)
+    frames = bytearray()
+    for i in range(n):
+        v = amp * math.sin(2 * math.pi * freq * i / rate)
+        for _c in range(channels):
+            if bits == 16:
+                frames += struct.pack("<h", int(v * 32767))
+            else:
+                frames += struct.pack("<B", int(v * 127) + 128)
+    w.writeframes(bytes(frames))
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_sample_decode_unit():
+    """decode_wav_samples reads real PCM: frame counts/duration match
+    the wave writer's parameters for 16-bit mono, 8-bit mono, and
+    stereo; the feature is unit-norm and fixed-width; non-PCM raises."""
+    import struct
+
+    from parsedmarc_go_spark.operators.multimodal import decode_wav_samples
+
+    for kwargs, frames in [
+        (dict(bits=16, channels=1), 2000),
+        (dict(bits=8, channels=1), 2000),
+        (dict(bits=16, channels=2), 2000),
+    ]:
+        d = decode_wav_samples(_make_wav(**kwargs))
+        assert d["n_frames"] == frames and d["duration_ms"] == 250
+        f = d["feature"]
+        assert len(f) == 16
+        assert abs(sum(v * v for v in f) - 1.0) < 1e-9
+
+    # IEEE-float fmt (code 3) must refuse, not fabricate
+    wav = bytearray(_make_wav())
+    fmt_at = wav.find(b"fmt ") + 8
+    wav[fmt_at : fmt_at + 2] = struct.pack("<H", 3)
+    try:
+        decode_wav_samples(bytes(wav))
+        raise AssertionError("expected ValueError for non-PCM")
+    except ValueError as e:
+        assert "non-PCM" in str(e)
+
+
+def test_wav_feature_is_perceptual():
+    """Same clip at slightly different amplitude ≈ identical feature
+    (envelope shape, not level); a different-frequency clip diverges."""
+    from parsedmarc_go_spark.operators.multimodal import decode_wav_samples
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    base = decode_wav_samples(_make_wav(freq=440, amp=0.5))["feature"]
+    louder = decode_wav_samples(_make_wav(freq=440, amp=0.6))["feature"]
+    other = decode_wav_samples(_make_wav(freq=3000, amp=0.5, secs=0.125))["feature"]
+    assert cos(base, louder) > 0.98
+    assert cos(base, other) < 0.9
+
+
+def test_wav_samples_feed_cosine_neardup_pairs(spark):
+    """The audio twin of the PNG composed example: binary WAVs →
+    decode_media(pixel_decode) → envelope feature → cosine_neardup_pairs
+    finds the planted near-identical clip and nothing else; a non-PCM
+    payload falls back to the header decode (no feature, no error)."""
+    import struct
+
+    from parsedmarc_go_spark.operators.multimodal import (
+        decode_media,
+        pixel_decode,
+    )
+    from parsedmarc_go_spark.operators.similarity import cosine_neardup_pairs
+
+    float_wav = bytearray(_make_wav())
+    fmt_at = float_wav.find(b"fmt ") + 8
+    float_wav[fmt_at : fmt_at + 2] = struct.pack("<H", 3)
+
+    rows = [
+        (0, "audio", "audio/wav", bytearray(_make_wav(freq=440, amp=0.5)), None),
+        (1, "audio", "audio/wav", bytearray(_make_wav(freq=440, amp=0.6)), None),
+        (2, "audio", "audio/wav", bytearray(_make_wav(freq=3000, amp=0.5, secs=0.125)), None),
+        (3, "audio", "audio/wav", float_wav, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    decoded = decode_media(media, decode_fn=pixel_decode)
+    got = {r["media_id"]: r for r in decoded.collect()}
+    assert all(r["error"] is None for r in got.values())
+    assert got[0]["n_frames"] == 2000 and got[0]["duration_ms"] == 250
+    # the non-PCM clip kept the honest header decode: duration, no feature
+    assert got[3]["feature"] is None and got[3]["duration_ms"] == 250
+
+    vecs = decoded.filter(F.col("feature").isNotNull()).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(vecs, threshold=0.95).collect()
+    }
+    assert pairs == {(0, 1)}
