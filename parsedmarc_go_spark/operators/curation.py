@@ -449,19 +449,38 @@ def sample_temperature(
     )
 
 
-def _with_ngrams(df: DataFrame, n: int, text_col: str) -> DataFrame:
-    """(doc_id, ngrams) with per-doc DISTINCT token n-grams — the
-    array_distinct happens inside the row, so no corpus-wide distinct
-    shuffle ever exists."""
-    return df.select(
+def _ngram_stream(df: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, ng) exploded token n-gram stream, duplicates RETAINED
+    and short docs kept as one null-ng row (explode_outer semantics).
+
+    Built from codegen'd ``arrays_zip`` over ``slice`` views — NEVER a
+    ``transform`` lambda under the generator. The in-row lambda array
+    (``array_distinct(transform(sequence(...), i -> array_join(slice(
+    toks, i, n), ' ')))`` — this operator's pre-round-17 shape) is
+    correct as an in-row ARRAY but quadratic when
+    EXPLODED on long documents: Catalyst's projection collapse inlines
+    the ``split(lower(text))`` alias into the lambda body, so the
+    ``array_join(slice(toks, i, n))`` per ELEMENT re-splits the whole
+    document — jstack on a 350k-token doc showed
+    ``UTF8String.split ← ArrayJoin.eval ← ArrayTransform`` inside the
+    ``size(...) > 0`` predicate InferFiltersFromGenerate adds, i.e.
+    O(tokens²) per doc (round-17 long-document stress finding; a
+    1.9 MB doc hung the task for >9 minutes, this shape runs it in
+    ~2 s). Plain slice children are evaluated once per ROW even when
+    the split is inlined, so the zip shape is immune."""
+    toks = df.select(
         "doc_id", F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    )
+    m = F.size("toks") - (n - 1)
+    zipped = F.arrays_zip(*[F.slice("toks", 1 + j, m) for j in range(n)])
+    return toks.select(
+        "doc_id", F.explode_outer(F.when(m > 0, zipped)).alias("__z")
     ).select(
         "doc_id",
-        F.expr(
-            f"CASE WHEN size(toks) < {n} THEN array() ELSE "
-            f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
-            f"i -> array_join(slice(toks, i, {n}), ' '))) END"
-        ).alias("ngrams"),
+        F.when(
+            F.col("__z").isNotNull(),
+            F.concat_ws(" ", *[F.col(f"__z.{j}") for j in range(n)]),
+        ).alias("ng"),
     )
 
 
@@ -476,8 +495,9 @@ def benchmark_ngrams(benchmark: DataFrame, n: int = 8, text_col: str = "text") -
     a cached n=13 frame probed against an n=8 corpus side would
     silently report zero overlaps (round-9 ADVICE fix)."""
     return (
-        _with_ngrams(benchmark, n, text_col)
-        .select(F.explode("ngrams").alias("ng"))
+        _ngram_stream(benchmark, n, text_col)
+        .filter(F.col("ng").isNotNull())
+        .select("ng")
         .withMetadata("ng", {"ngram_n": n})
         .distinct()
     )
@@ -521,33 +541,32 @@ def ngram_decontaminate(
                 f"corpus side uses n={n}; rebuild with benchmark_ngrams(..., n={n})"
             )
 
-    def with_ngrams(df: DataFrame) -> DataFrame:
-        return _with_ngrams(df, n, text_col)
     # The n-gram transform is the CPU-heavy step and parquet scans of a
     # few large files give few input partitions (one sf1 file = 2
     # tasks on 32 cores, measured 40 s → 4 s after this). Shuffle the
     # RAW text — cheap, it's the narrow pre-transform rows — to full
-    # parallelism before paying the transform, and compute everything
-    # in ONE pass: carry the per-doc distinct-n-gram count through the
-    # explode (explode_outer keeps empty docs), mark benchmark hits
-    # with a broadcast left join, and count marks per doc. The old
-    # shape recomputed the transform twice (hits pass + size pass).
+    # parallelism before paying the transform. The n-gram stream is the
+    # codegen'd zip shape (_ngram_stream — the in-row lambda array is
+    # quadratic under a generator on long documents, see its
+    # docstring), duplicates retained; the per-doc DISTINCT happens on
+    # (doc_id, ng) before the broadcast probe, so n_overlap still
+    # counts distinct contaminated n-grams and the dedup exchange is
+    # hash-partitioned by (doc_id, ng) — keyed, never a global
+    # distinct. The following doc_id count aggregation partial-aggs to
+    # ~one row per doc before its (cheap) exchange.
     sc = corpus.sparkSession.sparkContext
-    exploded = (
-        with_ngrams(corpus.repartition(sc.defaultParallelism))
-        .select(
-            "doc_id",
-            F.size("ngrams").alias("n_distinct_ngrams"),
-            F.explode_outer("ngrams").alias("ng"),
-        )
-    )
-    marked = exploded.join(
+    dedup = _ngram_stream(
+        corpus.repartition(sc.defaultParallelism), n, text_col
+    ).dropDuplicates(["doc_id", "ng"])
+    marked = dedup.join(
         F.broadcast(bench_ngrams.withColumn("hit", F.lit(1))), "ng", "left"
     )
     return (
         marked.groupBy("doc_id")
         .agg(
-            F.first("n_distinct_ngrams").alias("n_distinct_ngrams"),
+            # count(ng) skips the null-ng row short docs carry, so an
+            # n-gram-less doc reports 0 distinct / 0 overlap
+            F.count("ng").alias("n_distinct_ngrams"),
             F.count("hit").alias("n_overlap"),
         )
         .select(
