@@ -98,13 +98,25 @@ def _gram_stream(
             ).cast("array<string>"),
         ).otherwise(F.col("toks")),
     )
-    grams = F.expr(
-        f"transform(sequence(1, size(toks) - {k - 1}), "
-        f"i -> array_join(slice(toks, i, {k}), ' '))"
-    )
+    # Codegen'd arrays_zip-over-slices gram stream, NOT a transform
+    # lambda under the generator (round-17, the decontamination
+    # long-document finding — operators/curation.py::_ngram_stream):
+    # projection collapse can inline the split() alias into a lambda
+    # body, re-splitting the whole document per ELEMENT under the
+    # generator's inferred size()>0 predicate — O(tokens²)/doc. This
+    # site was protected only by ACCIDENT (the raise_error guard above
+    # blocks the collapse); the zip shape is immune by construction.
+    m = F.size("toks") - (k - 1)
+    zipped = F.arrays_zip(*[F.slice("toks", 1 + j, m) for j in range(k)])
     return toks.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
-    ).select(id_col, "pos", F.sha2("gram", 256).alias("gh"))
+        F.col(id_col), F.posexplode(zipped).alias("pos", "z")
+    ).select(
+        id_col,
+        "pos",
+        F.sha2(
+            F.concat_ws(" ", *[F.col(f"z.{j}") for j in range(k)]), 256
+        ).alias("gh"),
+    )
 
 
 def duplicated_spans(
