@@ -56,8 +56,11 @@ R13_FIXED_GATES = [
 ALLOWED_LAMBDA_COUNTS = {
     # array_sort default comparator over per-user collect_set (small)
     "a10_collect_distinct": 1,
-    # 8-gram shingle windows over SAMPLED docs + the benchmark dim
-    "decontaminate_ngram": 4,
+    # round-17: the n-gram side moved to the codegen'd zip-shape
+    # stream (operators/curation.py::_ngram_stream) — zero lambdas;
+    # kept in the snapshot so a lambda REAPPEARING here (the
+    # long-document O(tokens²) regression class) trips the audit
+    "decontaminate_ngram": 0,
     # bounded 8-segment IPv6 expansion of the dim table
     "j3c_geoip6_range_join": 1,
     # per-doc char-class token arrays (single project, no join fan-out)
@@ -75,7 +78,7 @@ ALLOWED_LAMBDA_COUNTS = {
     "text_c4_clean": 2,
     # span assembly over collected per-doc token runs
     "span_corruption": 4,
-    "dedup_substring_spans": 1,
+    "dedup_substring_spans": 0,  # r17: zip-shaped gram stream
     # per-DISTINCT-word DP — vocab-bounded, the documented design
     "tokenize_maxmunch": 4,
     "vocab_unigram_seed": 4,
