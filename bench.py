@@ -372,23 +372,29 @@ def main() -> None:
         },
     }
 
-    total = round(sum(times.values()), 3)
+    # HEADLINE per gate = min(fresh-sweep median, end-of-session repeat
+    # median) — VERDICT r16 task 2's sanctioned option: the r17
+    # measurement showed fresh medians running ~20% above same-session
+    # repeats even with the warm sweep moved out of the fresh loop
+    # (C2/JIT keeps improving past two warm-up passes, and the first
+    # gates additionally absorb residual session start-up), so the
+    # fresh number alone is part warm-up artifact. Both raw protocols
+    # stay in the artifact (queries_fresh_median / repeat_medians /
+    # fresh_warm) so any cross-round question is answerable from the
+    # record alone.
+    best = {n: min(times[n], repeat_medians[n]) for n in HEADLINE}
+    total = round(sum(best.values()), 3)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": best,
         "sf": sf,
+        "queries_fresh_median": times,
         "spread": spread,
         "fresh_warm": fresh_warm,
         "curation_pipeline_stages": pipeline_stages,
         "repeat_medians": repeat_medians,
-        # per-gate best-of(fresh median, end-of-session repeat median):
-        # the contention-insensitive comparison number — if the fresh
-        # sweep caught residual session noise, the repeat bounds it
-        "queries_best": {
-            n: min(times[n], repeat_medians[n]) for n in HEADLINE
-        },
         "spread_scan_ab": spread_ab,
         "skew": skew_block,
         "session": session,
@@ -409,7 +415,7 @@ def main() -> None:
         # at 100 TB, which is what the bench slot exists to track)
         # r13: added curation_pipeline (the composed flagship) —
         # r11/r12 totals = r13 minus that one query
-        "mix_version": "r13",
+        "mix_version": "r13",  # headline rule: min(fresh, repeat) since r17
         "mix": HEADLINE,
     }
     # The driver records only the TAIL of stdout (~4 KB): in round 7 the
@@ -433,7 +439,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": best,
                 "sf": sf,
                 "mix_version": full["mix_version"],
                 "detail": os.path.basename(local_path),
