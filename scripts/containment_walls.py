@@ -5,6 +5,15 @@ gates (the r15 stress pass's 2.46x sf2/sf1 outlier) before/after the
 index-side positional cut. One warm-up pass per gate, then N timed
 fresh-query passes; prints fresh (first timed) and median.
 
+The action is ``collect()``, NOT ``count()`` (round-17 correction —
+the original count() walls under-read the keep gates by up to 15x):
+the keep gates end in ``docs LEFT JOIN drops`` where ``drops`` is an
+aggregate ON the join key, so under a count() Catalyst proves the
+right side duplicate-free, prunes its columns, ELIMINATES the join —
+and with it the whole candidate/verify pipeline: count() measured
+only the eager build-time work (cache materialization + sizing
+probe). A timing action must drain the real output columns.
+
 Usage: python scripts/containment_walls.py /tmp/spark_graft_sf1 [reps]
 """
 
@@ -40,11 +49,11 @@ def main() -> None:
     out = {}
     for g in gates:
         fn = QUERIES[g]
-        fn(spark, sf_dir).count()  # warm-up (JIT/codegen), off the clock
+        fn(spark, sf_dir).collect()  # warm-up (JIT/codegen), off the clock
         walls = []
         for _ in range(reps):
             t0 = time.monotonic()
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).collect()
             walls.append(round(time.monotonic() - t0, 3))
         out[g] = {"passes": walls, "median": round(statistics.median(walls), 3)}
         print(json.dumps({g: out[g]}), flush=True)
