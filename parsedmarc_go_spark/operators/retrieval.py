@@ -67,13 +67,37 @@ def bm25_score(
 
     Returns ``doc_id, n_terms_matched, score`` (grid-exact; documents
     matching no term are omitted — at corpus scale "every document
-    with score 0" is the whole corpus)."""
+    with score 0" is the whole corpus).
+
+    Scale shape (round-17): doc length is the per-row
+    ``size(split(...))`` PROJECTION of the corpus, not a second full
+    explode + corpus-wide groupBy(doc) aggregate (the pre-r17 shape) —
+    one whole tokenize-explode-aggregate pass gone, same doc-keyed
+    join, row-identical output (explode drops null-text docs from the
+    old lengths; the ``isNotNull`` filter drops them from the new
+    one). Assumes ``id_col`` is unique in ``docs`` (both shapes
+    silently double-count under duplicate ids).
+
+    Rejected variants, measured (round-17): (a) ``dl`` as a SIBLING of
+    the explode in one select — fastest at bench SFs but whole-stage
+    codegen defers a Project column to first use, so every post-filter
+    hit re-evaluates ``size(split(text))`` on its whole document:
+    linear for selective query terms, O(hits x doc_bytes) for a
+    stopword term (a stopword probe on the long-document stress corpus
+    ran >8 min vs ~1 s for this shape — the deferred-evaluation
+    sibling of the no-lambda-under-a-generator rule); (b) the array
+    materialized in its own select below size/explode — hazard-free
+    but pays an UnsafeRow array copy per row, 2x slower at sf2
+    (4.2 s vs 2.1 s gate wall)."""
     terms = [t.lower() for t in terms]
+    toks_arr = F.split(F.lower(F.col(text_col)), " ")
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        F.explode(toks_arr).alias("term"),
     )
-    lengths = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    lengths = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.size(toks_arr).alias("dl")
+    )
     stats = lengths.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
@@ -94,10 +118,7 @@ def bm25_score(
     idf = df_counts.crossJoin(F.broadcast(stats)).select(
         "term", idf_fp.alias("idf_fp"), "n_docs", "total_len"
     )
-    scored = (
-        hits.join(F.broadcast(idf), "term")
-        .join(lengths, id_col)
-    )
+    scored = hits.join(F.broadcast(idf), "term").join(lengths, id_col)
     avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
     tfd = F.col("tf").cast("double")
     contrib = (
