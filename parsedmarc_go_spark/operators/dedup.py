@@ -631,32 +631,36 @@ def minhash_band_signatures(
     matters.)"""
     rows = num_hashes // bands
     stream = _shingle_stream(docs, id_col, n, ensure_parallelism=ensure_parallelism)
-    # The K aggregates and the band array are built as SQL expression
-    # STRINGS, not Column trees (round-17): the per-Column py4j
-    # roundtrips dominated this operator's driver-side construction —
-    # profiled at 3,639 gateway calls / ~1.7 s per build (every
-    # F.min/F.xxhash64/F.lit/F.struct/F.hash is one or more socket
-    # round-trips), paid by EVERY minhash gate call and every
-    # curation-pipeline/streaming micro-batch. One F.expr parses in a
-    # single call to the identical Catalyst expressions.
-    mins = stream.groupBy("doc").agg(
-        F.expr(f"min(xxhash64('mh0', shingle)) AS mh_0"),
-        *[
-            F.expr(f"min(xxhash64('mh{k}', shingle)) AS mh_{k}")
-            for k in range(1, num_hashes)
-        ],
-    )
+    # The K aggregates and the band array are built as ONE SQL
+    # expression STRING, not Column trees (round-17/18): the per-Column
+    # py4j roundtrips dominated this operator's driver-side
+    # construction — profiled at 3,639 gateway calls / ~1.7 s per build
+    # on Column trees (every F.min/F.xxhash64/F.lit/F.struct/F.hash is
+    # one or more socket round-trips), paid by EVERY minhash gate call
+    # and every curation-pipeline/streaming micro-batch. Round 17 cut
+    # that to 33 F.expr parses (~0.8 s/build); round 18 (VERDICT task
+    # 5) folds the whole thing — the K min(xxhash64) aggregates nested
+    # inside the banded struct array — into a SINGLE expr, one parse,
+    # one agg call. Catalyst splits it back into the identical
+    # HashAggregate (32 min aggregates, partial-aggregable map-side) +
+    # result projection (array of band structs), so the physical plan
+    # is byte-identical to the round-17 shape modulo the dropped
+    # intermediate mh_k aliases (Exchange/Generate counts unchanged —
+    # plans/r18/dedup_minhash_lsh_{before,after}.txt).
     band_terms = ", ".join(
-        "struct({b} AS band, hash({cols}) AS sig)".format(
+        "struct({b} AS band, hash({mins}) AS sig)".format(
             b=b,
-            cols=", ".join(f"mh_{b * rows + r}" for r in range(rows)),
+            mins=", ".join(
+                f"min(xxhash64('mh{b * rows + r}', shingle))" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
-    return mins.select(
-        "doc", F.explode(F.expr(f"array({band_terms})")).alias("bs")
-    ).select(
-        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    return (
+        stream.groupBy("doc")
+        .agg(F.expr(f"array({band_terms}) AS __bands"))
+        .select("doc", F.explode("__bands").alias("bs"))
+        .select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
 
 

@@ -75,8 +75,11 @@ def bm25_score(
     one whole tokenize-explode-aggregate pass gone, same doc-keyed
     join, row-identical output (explode drops null-text docs from the
     old lengths; the ``isNotNull`` filter drops them from the new
-    one). Assumes ``id_col`` is unique in ``docs`` (both shapes
-    silently double-count under duplicate ids).
+    one). Assumes ``id_col`` is unique in ``docs``: under duplicate
+    ids the two shapes DIVERGE (the old groupBy(id) merged duplicates
+    into one inflated dl row; the per-row projection multiplies join
+    rows and counts each duplicate in n_docs), so the row-identical
+    claim holds only under that uniqueness precondition.
 
     Rejected variants, measured (round-17): (a) ``dl`` as a SIBLING of
     the explode in one select — fastest at bench SFs but whole-stage

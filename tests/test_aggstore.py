@@ -5,9 +5,14 @@ exactly while writing the folded base across many tasks."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
+
+# streaming aggregation-store e2e: excluded from the default (driver-visible) lane — run with -m ""
+pytestmark = pytest.mark.slow
 
 SF_DIR = "/root/testdata/sf0.001"
 

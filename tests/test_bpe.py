@@ -99,6 +99,7 @@ def test_bpe_train_matches_python_reference_corpus(spark):
     assert got_vocab == want_vocab
 
 
+@pytest.mark.slow  # >10 s wall: excluded from the default lane (run -m "")
 def test_bpe_batched_rounds_equal_serial(spark, classic_docs):
     """Round-16 batched training (VERDICT r15 task 6): the top-m
     prefix-acceptance guards must make the batched merge table

@@ -48,6 +48,7 @@ def test_invalid_format_fails(spark, tmp_path, capsys):
 
 
 @needs_samples
+@pytest.mark.slow  # >10 s wall: excluded from the default lane (run -m "")
 def test_one_shot_csv_matches_k2_projection(spark, tmp_path, capsys):
     from parsedmarc_go_spark.sinks.writers import aggregate_csv_projection
     from parsedmarc_go_spark.sources.ingest import ingest

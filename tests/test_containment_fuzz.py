@@ -14,8 +14,13 @@ paths (e.g. in the shared shingle pipeline) cannot self-confirm."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# hypothesis fuzz (one Spark query pair per example): excluded from the default (driver-visible) lane — run with -m ""
+pytestmark = pytest.mark.slow
 
 _SETTINGS = dict(
     max_examples=10,

@@ -414,27 +414,39 @@ def test_bm25_semantics(spark):
             (2, "apple banana banana banana"),
             (3, "cherry dates cherry elderberry"),
             (4, "fig grape honeydew kiwi"),
+            # null-text and empty-text docs (ADVICE r17): null must be
+            # excluded from output AND from the n_docs/avgdl corpus
+            # stats; empty text tokenizes to [''] (dl=1, no query term)
+            (5, None),
+            (6, ""),
         ],
         ["doc_id", "text"],
     )
     # postings: row per (term, doc) with tf
     posts = {(r.term, r.doc_id): r.tf for r in inverted_postings(docs).collect()}
     assert posts[("apple", 1)] == 2 and posts[("banana", 2)] == 3
+    # the null doc emits no postings; the empty doc posts one '' term
+    assert not any(d == 5 for (_, d) in posts)
+    assert posts[("", 6)] == 1
     out = {r.doc_id: r for r in bm25_score(docs, ["apple", "cherry"]).collect()}
-    assert set(out) == {1, 2, 3}  # doc 4 matches nothing -> omitted
+    assert set(out) == {1, 2, 3}  # docs 4/6 match nothing, 5 is null -> omitted
     assert out[1].n_terms_matched == 2
-    # hand-check doc 1 (N=4, dl=4, avgdl=4): idf(apple)=ln((4-2+.5)/(2+.5)+1)
+    # hand-check doc 1 against stats that EXCLUDE the null doc and
+    # INCLUDE the empty doc at dl=1 (N=5 docs, avgdl=(4+4+4+4+1)/5):
+    # idf(apple)=ln((5-2+.5)/(2+.5)+1)
     def fp(x):
         return math.floor(x * 10000.0 + 0.5)
 
+    avgdl = (4 + 4 + 4 + 4 + 1) / 5.0  # null doc excluded, empty doc dl=1
+
     def contrib(idf_fp, tf, dl):
         raw = (idf_fp / 10000.0) * (tf * (1.2 + 1.0)) / (
-            tf + 1.2 * (0.25 + 0.75 * dl / 4.0)
+            tf + 1.2 * (0.25 + 0.75 * dl / avgdl)
         )
         return fp(raw)
 
-    idf_a = fp(math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0))
-    idf_c = fp(math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0))
+    idf_a = fp(math.log((5 - 2 + 0.5) / (2 + 0.5) + 1.0))
+    idf_c = fp(math.log((5 - 2 + 0.5) / (2 + 0.5) + 1.0))
     want1 = (contrib(idf_a, 2, 4) + contrib(idf_c, 1, 4)) / 10000.0
     assert out[1].score == pytest.approx(want1, abs=1e-12)
     # higher tf of a matched term -> higher score than single match

@@ -6,6 +6,8 @@ SFs like every other gate."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from parsedmarc_go_spark.plans import QUERIES
@@ -97,6 +99,7 @@ _STAGES = [
 ]
 
 
+@pytest.mark.slow  # >10 s wall: excluded from the default lane (run -m "")
 def test_checkpoint_dir_resume_equals_single_shot(spark, tmp_path):
     """VERDICT r12 task 4: the reliable-checkpoint mode. A run killed
     between stages and rerun over the same checkpoint_dir must (a)

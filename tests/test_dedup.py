@@ -3,6 +3,8 @@ queries get their correctness story here)."""
 
 from __future__ import annotations
 
+import pytest
+
 from parsedmarc_go_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -229,6 +231,7 @@ def test_bigstar_clusters_chain_in_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+@pytest.mark.slow  # >10 s wall: excluded from the default lane (run -m "")
 def test_bigstar_agrees_with_min_label_on_random_graphs(spark):
     """Equality pin between the O(log n)-round and O(diameter)-round
     algorithms on graphs with mixed shapes: blobs, chains, bridges,
@@ -292,6 +295,7 @@ def test_keep_best_exact_matches_oracle(spark):
     assert not errs, errs[:3]
 
 
+@pytest.mark.slow  # >10 s wall: excluded from the default lane (run -m "")
 def test_keep_best_minhash_agrees_with_exact(spark):
     """dedup_keep_best_minhash (the 100 TB path) must make the same
     keep decisions as the oracle-checked exact variant at gate SF: the

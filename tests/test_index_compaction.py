@@ -6,9 +6,14 @@ single probe result or touching the sidecars."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
+
+# index append/compact e2e: excluded from the default (driver-visible) lane — run with -m ""
+pytestmark = pytest.mark.slow
 
 SF_DIR = "/root/testdata/sf0.001"
 N_APPENDS = 12

@@ -12,6 +12,9 @@ import sys
 import numpy as np
 import pytest
 
+# IVF-PQ index build/probe e2e: excluded from the default (driver-visible) lane — run with -m ""
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
 
 

@@ -14,14 +14,23 @@ from tests.oracle_harness import compare, run_oracle
 ORACLE_NAMES = sorted(ORACLES)
 ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLES))
 
+# Gates whose oracle pair alone costs >20 s (two real micro-batch
+# triggers per run): slow-lane in the driver-visible run, still
+# value-checked in the full (-m "") suite every round.
+_SLOW_GATES = {"curation_pipeline_stream"}
+_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_GATES else n
+    for n in ORACLE_NAMES
+]
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+
+@pytest.mark.parametrize("name", _PARAMS)
 def test_oracle_pair_sf001(spark, name):
     errs = compare(QUERIES[name](spark, SF_SMOKE), run_oracle(ORACLES[name], SF_SMOKE))
     assert not errs, f"{name} @ sf0.001: " + "; ".join(errs)
 
 
-@pytest.mark.parametrize("name", ORACLE_NAMES)
+@pytest.mark.parametrize("name", _PARAMS)
 def test_oracle_pair_sf01(spark, name):
     errs = compare(QUERIES[name](spark, SF_CORRECT), run_oracle(ORACLES[name], SF_CORRECT))
     assert not errs, f"{name} @ sf0.01: " + "; ".join(errs)

@@ -156,6 +156,7 @@ def test_bucketed_records_reports_join_no_shuffle(spark, tmp_path):
 
 
 @pytest.mark.parametrize("engine", ["derby", "duckdb"])
+@pytest.mark.slow  # >10 s wall: excluded from the default lane (run -m "")
 def test_jdbc_five_table_store_executes_with_value_parity(spark, tmp_path, engine):
     """VERDICT r10 task 3 + r12 task 7: the reference's FIVE-table
     relational store (clickhouse.go:79-497 — DDL + batched inserts per

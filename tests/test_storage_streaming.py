@@ -79,6 +79,7 @@ def test_summaries(spark, ingested):
     assert ds.filter(F.col("aligned_messages") > F.col("total_messages")).count() == 0
 
 
+@pytest.mark.slow  # >10 s wall: excluded from the default lane (run -m "")
 def test_stream_matches_batch(spark, ingested, tmp_path):
     """Batch/stream parity (SURVEY §5.2 item 4): one availableNow pass
     over the same corpus produces identical flat tables."""

@@ -5,9 +5,14 @@ and a replayed batch_id must leave every table unchanged."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
+
+# streaming e2e pipeline parity — heavy micro-batch drives: excluded from the default (driver-visible) lane — run with -m ""
+pytestmark = pytest.mark.slow
 
 SF_DIR = "/root/testdata/sf0.001"
 

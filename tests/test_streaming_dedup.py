@@ -6,9 +6,14 @@ membership and replay idempotence."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
+
+# streaming e2e (stream-vs-batch parity, compaction) — heavy micro-batch drives: excluded from the default (driver-visible) lane — run with -m ""
+pytestmark = pytest.mark.slow
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -141,6 +141,7 @@ def test_forensic_pretty_shape(spark):
     assert ps is None or not isinstance(ps, str)
 
 
+@pytest.mark.slow  # >10 s wall: excluded from the default lane (run -m "")
 def test_pretty_report_order_is_plan_independent(spark):
     """ADVICE r11: pretty_json_reports must not inherit partition
     order from toLocalIterator — report framing order has to survive
