@@ -76,6 +76,33 @@ def _token_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _token_pairs_terminated(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) pair stream that ALSO emits one TERMINAL row
+    (last_token, NULL) per document — and a (NULL, NULL) row for
+    null-text documents — so a single per-id aggregation downstream
+    covers EVERY input document (round-18): n_bigrams = count of
+    non-terminal rows, and <2-token documents aggregate to
+    (0, NULL) without the corpus re-scan + left join the scorer
+    previously paid to restore them. One extra row per document on a
+    stream of one row per adjacent pair — noise."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    )
+    null_s = F.lit(None).cast("string")
+    zipped = F.arrays_zip(
+        F.col("toks").alias("w1"),
+        F.concat(
+            F.expr("slice(toks, 2, size(toks) - 1)"), F.array(null_s)
+        ).alias("w2"),
+    )
+    safe = F.coalesce(
+        zipped, F.array(F.struct(null_s.alias("w1"), null_s.alias("w2")))
+    )
+    return toks.select(F.col(id_col), F.explode(safe).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
 def train_bigram_lm(
     ref: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -88,7 +115,17 @@ def train_bigram_lm(
     - ``vocab``: broadcast-sized 1-row frame (v) of the reference's
       distinct token count (the smoothing denominator's type count).
 
-    All three stay DataFrames; nothing is collected."""
+    All three stay DataFrames; nothing is collected.
+
+    (Round-18 measured and REJECTED a one-pass variant — a persisted
+    terminal-row (w1, w2|NULL) group table serving all three artifacts:
+    the three broadcast builds materialize as CONCURRENT query stages,
+    so on an idle cluster the duplicated reference passes cost ~no
+    wall, while the persist serializes them behind one materialization
+    job — 1.3 → 1.9 s per gate at sf0.1, worse again on repeats. The
+    duplicate-pass CPU only matters when the cluster is saturated;
+    callers in that regime can persist the reference slice
+    themselves.)"""
     pairs = _token_pairs(ref, id_col, text_col)
     bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     histories = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -118,7 +155,14 @@ def lm_score(
     ``broadcast_lm=True`` broadcasts both LM tables (the real-corpus
     default — reference LMs are MBs–GBs, corpus is TBs); ``False``
     falls back to shuffle hash joins keyed on the pair/history for an
-    LM that outgrows the driver."""
+    LM that outgrows the driver.
+
+    (A per-LM-row lp precompute — evaluate lp once per (w1, w2) and
+    coalesce three probe tables per pair — was measured here in
+    round 18 and REJECTED: it is bit-identical and saves the per-pair
+    ln, but the extra probe-table builds tripled the small-table
+    exchange count and the gate ran 2x slower at sf0.1; the per-pair
+    ln over two already-probed longs is not where the time is.)"""
     sc = corpus.sparkSession.sparkContext
     mark = F.broadcast if broadcast_lm else (lambda df: df)
     # repartition only when the scan is under-parallel (the
@@ -128,32 +172,30 @@ def lm_score(
     # the first pair is formed (VERDICT r9 finding 3)
     if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
         corpus = corpus.repartition(sc.defaultParallelism)
-    pairs = _token_pairs(corpus, id_col, text_col)
+    # terminal-row pair stream (round-18): every document reaches the
+    # per-id aggregation, so the old "restore <2-token documents" left
+    # join — a second corpus scan plus a per_doc broadcast build — is
+    # gone. Terminal rows carry NULL lp (their w1 may legitimately hit
+    # the history table, so the NULL is pinned on w2, not on the join
+    # miss); count(lp_fp) therefore still counts exactly the pair rows.
+    pairs = _token_pairs_terminated(corpus, id_col, text_col)
     scored = (
         pairs.join(mark(bigrams), ["w1", "w2"], "left")
         .join(mark(histories), ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
     )
-    per_doc = (
-        scored.select(F.col(id_col), _lp_fp("", alpha).alias("lp_fp"))
+    lp = F.when(F.col("w2").isNotNull(), _lp_fp("", alpha))
+    return (
+        scored.select(F.col(id_col), lp.alias("lp_fp"))
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.count("lp_fp").alias("n_bigrams"),
             (
                 -(F.sum("lp_fp").cast("double") / F.lit(_LP_SCALE))
-                / F.count("*").cast("double")
+                / F.count("lp_fp").cast("double")
             ).alias("nll"),
         )
-    )
-    # restore <2-token documents (they emitted no pairs) with NULL nll
-    return (
-        corpus.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
-            "nll",
-        )
+        .select(id_col, "n_bigrams", "nll")
     )
 
 
@@ -205,32 +247,32 @@ def dsir_log_weights(
             .crossJoin(F.broadcast(v))
         )
 
-    pairs = _token_pairs(
+    # terminal-row pair stream (round-18, see lm_score): the per-id
+    # aggregation covers every document, so the corpus-rescan restore
+    # join is gone; 0-pair documents aggregate to (0, NULL→0.0)
+    pairs = _token_pairs_terminated(
         corpus.repartition(sc.defaultParallelism), id_col, text_col
     )
     both = probed(probed(pairs, target_lm, "t_"), raw_lm, "r_")
+    pair_row = F.col("w2").isNotNull()
     per_doc = (
         both.select(
             F.col(id_col),
-            _lp_fp("t_", alpha).alias("t_lp"),
-            _lp_fp("r_", alpha).alias("r_lp"),
+            F.when(pair_row, _lp_fp("t_", alpha)).alias("t_lp"),
+            F.when(pair_row, _lp_fp("r_", alpha)).alias("r_lp"),
         )
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.count("t_lp").alias("n_bigrams"),
             (
                 (F.sum("t_lp") - F.sum("r_lp")).cast("double") / F.lit(_LP_SCALE)
             ).alias("log_w"),
         )
     )
-    return (
-        corpus.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
-            F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
-        )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
     )
 
 
