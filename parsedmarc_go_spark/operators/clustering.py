@@ -48,6 +48,39 @@ def _centroid_literal(cents: list[list[float]]) -> Column:
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
 
 
+def _assign_expr(cents: list[list[float]], vec_col: str) -> str:
+    """The argmax-of-dot-products assignment as ONE SQL expression
+    string (round-18, guide §5 "the driver is part of the system"):
+    the Column-tree form cost ~520 py4j round-trips per call (one per
+    centroid-weight F.lit) — paid once per k-means ITERATION, since
+    every iteration embeds fresh centroid literals. ``repr(float)`` is
+    the shortest round-trip decimal and Spark's ``<digits>D`` literal
+    parses back to the identical double (bit-checked), so the planned
+    expression is value-identical to the F.lit tree.
+
+    The argmax itself is a single left fold over (dot, index) structs
+    with strict ``>`` — each dot product is evaluated ONCE per row,
+    where the previous ``array_position(sims, array_max(sims))`` form
+    duplicated the whole sims tree (HOF lambdas evaluate interpreted,
+    with no common-subexpression elimination). Strict ``>`` keeps the
+    earlier index on ties — exactly array_position's first-match
+    rule."""
+    k = len(cents)
+    dots = ", ".join(
+        "aggregate(zip_with({v}, array({lits}), (a, b) -> a * b), 0D, "
+        "(acc, x) -> acc + x)".format(
+            v=vec_col, lits=", ".join(f"{float(x)!r}D" for x in c)
+        )
+        for c in cents
+    )
+    return (
+        "aggregate("
+        f"zip_with(array({dots}), sequence(0, {k - 1}), (s, i) -> struct(s, i)), "
+        "named_struct('s', CAST('-Infinity' AS DOUBLE), 'i', -1), "
+        "(acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).i"
+    )
+
+
 def assign_cells(
     df: DataFrame,
     cents: list[list[float]],
@@ -56,8 +89,8 @@ def assign_cells(
 ) -> DataFrame:
     """Add ``out`` = 0-based index of the max-dot-product centroid.
 
-    Ties break to the lowest cell index (array_position returns the
-    first match), so assignment is deterministic. Purely map-side —
+    Ties break to the lowest cell index (the argmax fold keeps the
+    first maximum), so assignment is deterministic. Purely map-side —
     this is the operator that makes IVF cells a *derived* column: at
     index-build time you persist its output partitioned by ``out`` and
     probing becomes partition pruning; at query time over an
@@ -67,14 +100,8 @@ def assign_cells(
             f"k*dim = {len(cents) * len(cents[0])} exceeds the literal-plan "
             f"budget ({LITERAL_CENTROID_BUDGET}); use a broadcast-join assignment"
         )
-    v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
-    sims = F.transform(
-        _centroid_literal(cents),
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-        ),
-    )
-    return df.withColumn(out, (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
+    v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return df.withColumn(out, F.expr(_assign_expr(cents, v)).cast("int"))
 
 
 def _unit(vec: list[float]) -> list[float]:
@@ -130,22 +157,25 @@ def kmeans_fit(
         cents.append(cents[len(cents) % len(init)])  # to the lower cell, so
         # padded cells stay empty and simply retain their centroid)
     shifts: list[float] = []
+    # Per-dimension exact decimal sums as ONE k-row aggregation
+    # (round-18): the previous shape posexploded every vector (rows ×
+    # dim exploded rows) and paid TWO shuffles per iteration — (cell,
+    # dim) partial sums, then a (cell) collect_list re-assembly. The
+    # dim is known at build time, so the 64 sums ride as one array
+    # aggregate over the vector column directly: same decimal(38,18)
+    # per-(cell, dim) sums (exact ⇒ order-independent ⇒ byte-identical
+    # centroids, pinned in test_kmeans), one exchange of k rows, no
+    # explode, and the whole iteration is a single expr parse.
+    dim = len(cents[0])
+    sum_terms = ", ".join(
+        f"CAST(sum(CAST(__v[{d}] AS DECIMAL(38,18))) AS DOUBLE)"
+        for d in range(dim)
+    )
     for _ in range(max_iters):
-        # one scan: literal-argmax assignment, explode, partial-agg sums
         sums = (
             assign_cells(base, cents, "__v", "__cell")
-            .select("__cell", F.posexplode("__v").alias("__d", "__x"))
-            .groupBy("__cell", "__d")
-            # exact decimal sum: order-independent, so the centroid is
-            # bit-identical under any partitioning (see docstring); the
-            # single decimal→double cast happens after the reduction
-            .agg(F.sum(F.col("__x").cast("decimal(38,18)")).alias("__s"))
             .groupBy("__cell")
-            .agg(F.array_sort(F.collect_list(F.struct("__d", "__s"))).alias("__dm"))
-            .select(
-                "__cell",
-                F.expr("transform(__dm, s -> CAST(s.__s AS DOUBLE))").alias("__sum"),
-            )
+            .agg(F.expr(f"array({sum_terms}) AS __sum"))
             .collect()
         )
         summed = {r["__cell"]: list(r["__sum"]) for r in sums}
@@ -427,6 +457,7 @@ def semdedup(
     vec_col: str = "embedding",
     chunk_rows: int | None = 1024,
     n_passes: int = 1,
+    pair_mode: str = "forest",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
     semantic deduplication over an embedding corpus, composed entirely
@@ -452,6 +483,18 @@ def semdedup(
     boundary in EVERY pass. Cost is linear in passes (one cells fit +
     one blocked-BLAS sweep each); the reported ``cell`` /
     ``centroid_sim`` columns are pass 0's.
+
+    ``pair_mode`` defaults to ``"forest"`` (round-18, the hot-cell
+    output-quadratic fix): semdedup consumes pairs ONLY as edges for
+    connected components, and components over the union of per-task
+    spanning forests equal components over the full pair set (see
+    cosine_neardup_pairs), so every output row — cluster_id, keep —
+    is identical while a hot cell's pair stream shrinks from
+    C(|cell|, 2) rows to |cell|-1: at 100 TB a boilerplate-heavy or
+    prototypical embedding cell is exactly where the full pair list is
+    quadratic in the ANSWER, not the input. Pass ``"all"`` to
+    reproduce the pre-r18 plan shape (equality pinned in
+    tests/test_semdedup.py on a planted hot clique).
 
     Returns one row per input vector: ``vec_id, cell, centroid_sim,
     cluster_id, keep`` (``cluster_id`` null for singletons, which are
@@ -496,7 +539,7 @@ def semdedup(
         pair_frames.append(
             cosine_neardup_pairs(
                 asg, threshold=tau, block_col="cell", id_col=id_col,
-                vec_col=vec_col, chunk_rows=chunk_rows,
+                vec_col=vec_col, chunk_rows=chunk_rows, pair_mode=pair_mode,
             ).select(
                 F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
             )

@@ -157,6 +157,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk_rows: int | None = 1024,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks. Blocking on
     the block column keeps the pair space |block|² instead of |corpus|²
@@ -192,10 +193,33 @@ def cosine_neardup_pairs(
     faster at the median AND stable, with no measurable cost at
     1,024-row-and-under blocks (nc=1 degenerates to one task per block
     plus one cheap rank window). Pass ``chunk_rows=None`` explicitly to
-    force whole-block tasks."""
+    force whole-block tasks.
+
+    ``pair_mode`` (round-18, the hot-cell/output-quadratic escape):
+
+    - ``"all"`` (default): every qualifying pair — the declared
+      contract the dedup_embedding_cosine oracle pins. On a hot block
+      where most members are mutual near-dups the OUTPUT is
+      quadratic in the block size (a 15k-member near-clique emits
+      ~112M pair rows), and every downstream consumer pays to move it.
+    - ``"forest"``: each task emits a spanning FOREST of its local
+      qualifying-pair graph (union-find over the task's edges, ≤
+      rows-1 edges per task) instead of every edge. Connected
+      components over the union of per-task forests are EXACTLY the
+      components over the union of per-task edge sets — any path
+      through task-local edges reroutes through that task's forest —
+      so consumers that only need component structure (semdedup's
+      cluster/keep rule) get bit-identical results from output that is
+      LINEAR in the block size (equality pinned in
+      tests/test_semdedup.py on a planted hot clique). Not for
+      consumers that need the full pair list (the oracle gate, the
+      streaming per-arrival probe)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    if pair_mode not in ("all", "forest"):
+        raise ValueError(f"pair_mode must be 'all' or 'forest', got {pair_mode!r}")
 
     out_schema = T.StructType(
         [
@@ -231,6 +255,36 @@ def cosine_neardup_pairs(
     # stall (SCALE.md §round-17).
     pre_bound = threshold - 1e-4
 
+    def _forest_mask(a, b):
+        # spanning forest of the task-local qualifying-pair graph:
+        # union-find with path halving; keep exactly the edges that
+        # merge two components (≤ distinct-ids − 1 survive per task)
+        parent: dict = {}
+
+        def find(x):
+            while True:
+                p = parent.get(x, x)
+                if p == x:
+                    return x
+                parent[x] = parent.get(p, p)
+                x = p
+
+        keep = np.zeros(len(a), dtype=bool)
+        for i in range(len(a)):
+            ra, rb = find(a[i]), find(b[i])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+                keep[i] = True
+        return keep
+
+    def _reduce(a, b, sim):
+        if pair_mode == "forest" and len(a):
+            m = _forest_mask(a, b)
+            return a[m], b[m], sim[m]
+        return a, b, sim
+
     def _survivors_self(ids, U):
         # upper-triangle candidates of U @ U.T without materializing
         # the full index arrays: boolean mask (1 byte/cell) → nonzero
@@ -239,14 +293,14 @@ def cosine_neardup_pairs(
         ia, ib = np.nonzero(mask)
         sim = _round4(C[ia, ib])
         keep = sim >= threshold
-        return ids[ia[keep]], ids[ib[keep]], sim[keep]
+        return _reduce(ids[ia[keep]], ids[ib[keep]], sim[keep])
 
     def _survivors_cross(ids_a, Ua, ids_b, Ub):
         C = Ua @ Ub.T
         ia, ib = np.nonzero(C >= pre_bound)
         sim = _round4(C[ia, ib])
         keep = sim >= threshold
-        return ids_a[ia[keep]], ids_b[ib[keep]], sim[keep]
+        return _reduce(ids_a[ia[keep]], ids_b[ib[keep]], sim[keep])
 
     if chunk_rows is None:
         def pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -124,6 +124,68 @@ def test_semdedup_window_never_sees_singletons(spark):
         assert a["keep"] and not b["keep"]
 
 
+def test_semdedup_forest_pairs_equal_all_pairs_on_hot_clique(spark):
+    """Round-18 recall contract for pair_mode='forest': on a corpus
+    with a planted HOT CLIQUE (60 near-identical vectors — the
+    output-quadratic pathology, C(60,2)=1770 qualifying pairs) plus
+    scattered 2-dup groups, semdedup with forest edges must produce
+    EXACTLY the all-pairs output row-for-row: components over the
+    union of per-task spanning forests equal components over the full
+    edge set. chunk_rows=16 forces the clique across 4+ chunks so
+    cross-chunk forest tasks are exercised, not just the self case."""
+    from parsedmarc_go_spark.operators.clustering import semdedup
+    from parsedmarc_go_spark.operators.similarity import cosine_neardup_pairs
+    from parsedmarc_go_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    (v0,) = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    base = list(v0[0])
+    hot = spark.createDataFrame(
+        [
+            # tiny distinct perturbations: pairwise cosine ~1 > tau,
+            # distinct centroid_sims so the keep rule is exercised
+            (200_000 + i, [x * (1.0 + i * 1e-9) for x in base], -1)
+            for i in range(60)
+        ],
+        ["vec_id", "embedding", "label"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>")).withColumn(
+        "label", F.col("label").cast("long")
+    )
+    corpus = (
+        emb.select("vec_id", "embedding", "label")
+        .unionByName(hot)
+        .unionByName(
+            _with_planted_dups(spark, emb, [7, 42]).filter(
+                F.col("vec_id") >= 100_000
+            ).select("vec_id", "embedding", "label")
+        )
+    )
+
+    kw = dict(n_clusters=8, tau=0.9999, max_iters=3, chunk_rows=16)
+    all_rows = sorted(
+        tuple(r) for r in semdedup(corpus, pair_mode="all", **kw).collect()
+    )
+    forest_rows = sorted(
+        tuple(r) for r in semdedup(corpus, pair_mode="forest", **kw).collect()
+    )
+    assert forest_rows == all_rows
+
+    # and the forest pair stream really is linear, not quadratic: the
+    # 60-clique contributes ≤ 59 edges + per-task overlap, never 1770
+    from parsedmarc_go_spark.operators.clustering import assign_cells, kmeans_fit
+
+    cents, _ = kmeans_fit(corpus, k=8, max_iters=3)
+    asg = assign_cells(corpus, cents, "embedding", "cell")
+    n_all = cosine_neardup_pairs(
+        asg, threshold=0.9999, block_col="cell", chunk_rows=16, pair_mode="all"
+    ).count()
+    n_forest = cosine_neardup_pairs(
+        asg, threshold=0.9999, block_col="cell", chunk_rows=16, pair_mode="forest"
+    ).count()
+    assert n_all >= 1770  # the clique's quadratic pair set is real
+    assert n_forest < n_all / 5  # forest output is linear-ish per task
+
+
 def test_semdedup_multipass_keeps_invariants_and_adds_only_pairs(spark):
     """n_passes=2: re-seeded second blocking can only ADD pairs (union
     before components), so every single-pass dup group still collapses,
