@@ -317,6 +317,7 @@ def maxmunch_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     unk_token: str = "[UNK]",
+    probe_lengths: list[int] | None = None,
 ) -> DataFrame:
     """Greedy longest-match (max-munch) subword encoding against an
     arbitrary piece vocabulary — the WordPiece inference rule (Schuster
@@ -358,6 +359,23 @@ def maxmunch_encode(
             "unk_token must not contain quotes or backslashes "
             f"(got {unk_token!r})"
         )
+    # Probe-length pruning (round-18, VERDICT task 6): a probe of
+    # length l can only ever match when some vocab piece HAS length l,
+    # so a caller that knows the vocabulary's piece-length set (one
+    # bounded agg over the vocab frame) passes it here and the DP
+    # evaluates len(probe_lengths) arms per step instead of
+    # max_piece_len. Contract: probe_lengths must cover every piece
+    # length ≤ max_piece_len present in the vocab — lengths absent
+    # from the vocab are free to omit because their element_at probe
+    # is NULL on every word position by construction.
+    if probe_lengths is None:
+        lens = list(range(max_piece_len, 0, -1))
+    else:
+        lens = sorted({int(l) for l in probe_lengths}, reverse=True)
+        if not lens or lens[0] > max_piece_len or lens[-1] < 1:
+            raise ValueError(
+                f"probe_lengths must lie in [1, {max_piece_len}], got {probe_lengths!r}"
+            )
     vocab_map = vocab.agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("token"), F.lit(1)))
@@ -381,13 +399,18 @@ def maxmunch_encode(
     distinct_words = words.select("word").distinct().crossJoin(
         F.broadcast(vocab_map)
     )
-    # longest in-vocab piece at cursor acc.pos: probe max_piece_len
-    # fixed lengths longest-first, first hit wins
+    # longest in-vocab piece at cursor acc.pos: probe the pruned
+    # lengths longest-first, first hit wins. The matched piece is
+    # bound ONCE per step through a 1-element nested aggregate — the
+    # pre-r18 form repeated coalesce({probes}) three times (the WHEN,
+    # the pos advance, the append) and HOF lambdas evaluate
+    # interpreted with no common-subexpression elimination, so every
+    # consumed position paid the probe chain three times.
     probes = ", ".join(
         f"CASE WHEN element_at(__vm, substr(word, acc.pos, {l})) IS NOT NULL "
         f"AND acc.pos + {l} - 1 <= length(word) "
         f"THEN substr(word, acc.pos, {l}) END"
-        for l in range(max_piece_len, 0, -1)
+        for l in lens
     )
     step = f"""
     aggregate(
@@ -396,15 +419,17 @@ def maxmunch_encode(
                    'failed', false),
       (acc, i) -> CASE
         WHEN acc.failed OR acc.pos > length(word) OR i < acc.pos THEN acc
-        ELSE CASE
-          WHEN coalesce({probes}) IS NULL
-          THEN named_struct('pos', acc.pos, 'pieces', acc.pieces,
-                            'failed', true)
-          ELSE named_struct(
-            'pos', acc.pos + length(coalesce({probes})),
-            'pieces', array_append(acc.pieces, coalesce({probes})),
-            'failed', false)
-        END END,
+        ELSE aggregate(
+          array(coalesce({probes})), acc,
+          (a, m) -> CASE
+            WHEN m IS NULL
+            THEN named_struct('pos', a.pos, 'pieces', a.pieces,
+                              'failed', true)
+            ELSE named_struct(
+              'pos', a.pos + length(m),
+              'pieces', array_append(a.pieces, m),
+              'failed', false)
+          END) END,
       acc -> named_struct(
         'pieces', CASE WHEN acc.failed THEN array('{unk_token}')
                        ELSE acc.pieces END,
@@ -423,6 +448,12 @@ def maxmunch_encode(
     # corpus — the containment-join pathology, round 11). Building on
     # seg is safe at any scale, never broadcasts, and leaves AQE free
     # to skew-split the probe side's hot words (Zipf head).
+    # (Round-18 measured and REJECTED a size-gated broadcast of seg —
+    # scoped-persist the distinct-word table, count it, broadcast under
+    # 200k words: the eager materialize+count serializes work that the
+    # shuffle plan overlaps with the seg-build chain, and the word
+    # exchange it removes was never on the critical path — gate wall
+    # 1.29 → 1.46 s at sf0.1. The shuffle form stays.)
     enc = words.join(seg.hint("shuffle_hash"), "word").select(
         id_col, "pos", "syms", "__failed"
     )

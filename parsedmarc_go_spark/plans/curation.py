@@ -1185,6 +1185,13 @@ def tokenize_maxmunch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token").rlike("^[a-z0-9]$"))
         .distinct()
     )
+    # (Round-18 measured and REJECTED eager probe-length pruning here:
+    # persisting the count table and collecting the vocab's realized
+    # piece-length set cost two serial driver jobs that concurrency
+    # otherwise hides — gate wall 1.29 → 1.91 s at sf0.1 — to shrink a
+    # DP that runs over only the distinct-word table. The operator
+    # keeps the probe_lengths hook for callers with a STATICALLY known
+    # vocabulary length set.)
     enc = maxmunch_encode(t, top30.union(chars).distinct(), max_piece_len=8)
     return enc.select(
         "doc_id",
