@@ -144,6 +144,12 @@ def kmeans_fit(
         F.col(id_col).alias("__id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
     )
+    # (Round-18 measured and REJECTED a conditional repartition of the
+    # single-file scan before the loop: an alternating same-session A/B
+    # put the spread iteration at 0.97-2.26 s vs 0.95-1.50 s serial —
+    # the per-iteration exchange + 32-task scheduling overhead exceeds
+    # the serial interpreted-assignment compute it parallelizes at this
+    # row count, and a real embedding corpus scan is already split.)
     order = (
         F.xxhash64(F.col("__id"))
         if seed is None

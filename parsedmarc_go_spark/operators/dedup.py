@@ -948,6 +948,20 @@ def neardup_clusters_bigstar(
         .select(F.col("b").alias("a"), F.col("a").alias("b"))  # a > b: point down
         .transform(tracked_local_checkpoint)
     )
+    # Empty-graph early exit (round-18): the checkpoint above has
+    # already materialized the edge set, so the emptiness probe is one
+    # cheap limit-1 job — and at high thresholds an empty (or
+    # converged-at-zero) pair set is the COMMON case, where the loop
+    # below would still pay a full star round (union, two aggregates,
+    # two joins, a distinct, a checkpoint, a convergence collect — all
+    # over nothing) before noticing. Semantics are exact: no edges ⇒
+    # no labeled docs (singletons are never emitted, per the contract).
+    if edges.isEmpty():
+        if stats is not None:
+            stats["rounds"] = 0
+        return edges.select(
+            F.col("a").alias("doc"), F.col("b").alias("cluster_id")
+        )
     prev = None
     for rounds in range(1, max_iterations + 1):
         if stats is not None:
