@@ -79,19 +79,32 @@ ALLOWED_LAMBDA_COUNTS = {
     # span assembly over collected per-doc token runs
     "span_corruption": 4,
     "dedup_substring_spans": 0,  # r17: zip-shaped gram stream
-    # per-DISTINCT-word DP — vocab-bounded, the documented design
-    "tokenize_maxmunch": 4,
+    # per-DISTINCT-word DP — vocab-bounded, the documented design.
+    # r18: 4 → 6 — the probe match is bound once per step through a
+    # 1-element nested aggregate (inner step + finish lambdas), which
+    # REPLACES evaluating the 8-arm probe chain three times per
+    # consumed position; still strictly per-distinct-word work
+    "tokenize_maxmunch": 6,
     "vocab_unigram_seed": 4,
     # dim-64 embedding vector math (zip_with dot products, transforms)
     "ann_topk_bruteforce": 9,
     "retrieval_hybrid_rerank": 9,
     "ann_ivf_topk": 19,
-    "ann_ivf_kmeans_topk": 19,
+    # r18: 19 → 44 — kmeans assignment now plans as an unrolled
+    # argmax fold (one aggregate(zip_with) per centroid + the fold's
+    # own zip_with/aggregate) instead of transform-over-centroids with
+    # a duplicated sims tree; more lambda NODES, each dot product
+    # evaluated ONCE per row instead of twice, all dim-64-bounded
+    "ann_ivf_kmeans_topk": 44,
     "ann_lsh_topk": 34,
     "ann_lsh_multitable": 202,
     "emb_quantize_int8": 4,
     "ann_lsh_indexed": 9,
-    "semdedup_embeddings": 58,
+    # r18: 58 → 158 — same unrolled argmax-fold assignment as
+    # ann_ivf_kmeans_topk, appearing in several plan branches (scored
+    # projection + pair-stage input); node count up, per-row dot
+    # products evaluated once instead of twice, all dim-64-bounded
+    "semdedup_embeddings": 158,
     "ann_ivf_pq_topk": 10,
 }
 
